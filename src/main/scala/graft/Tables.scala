@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.util.{Failure, Success, Try}
+
+/** Parquet table readers over the driver testdata (SURVEY.md §2.1 S1/S2).
+  *
+  * The reference extracts six Postgres tables with plain `SELECT`s
+  * (reference `app/etl.py:141-164`); here each table is a parquet scan whose
+  * projection/predicates Catalyst pushes into the file reader, so the
+  * "extract" step dissolves into the query plans themselves. At 100 TB the
+  * same call reads a partitioned parquet/table layout — no code change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S2: error-tolerant scan (reference `app/etl.py:132-139` `safe_fetch`
+    * returns `[]` on failure). Missing/corrupt source → empty DataFrame of
+    * the given schema, with a logged warning — the query keeps running.
+    */
+  def loadSafe(spark: SparkSession, dir: String, name: String,
+               schema: StructType): DataFrame =
+    Try(spark.read.schema(schema).parquet(s"$dir/$name.parquet")) match {
+      case Success(df) => df
+      case Failure(e) =>
+        System.err.println(s"[graft] source $name unavailable, " +
+          s"substituting empty relation: ${e.getMessage}")
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** S7: liveness smoke (reference `SELECT 1` / `RETURN 1`,
+    * `app/etl.py:46-47,65`). */
+  def healthProbe(spark: SparkSession): DataFrame =
+    spark.range(1).toDF("ok")
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's query-engine surface: the four `/recs` Cypher queries
+  * (reference `app/main.py:23-135`), re-expressed as Catalyst plans over the
+  * testdata stand-ins (FIXTURES.md §1): part = Product (category = p_brand),
+  * orders = Order, lineitem = order_items (CONTAINS edges).
+  *
+  * Scale posture: every query starts from a point-filtered seed side, so the
+  * expensive joins are broadcast-hash against a tiny broadcast relation —
+  * no full shuffle of the fact table at any scale. Top-k compiles to
+  * `TakeOrderedAndProject` (no global sort).
+  */
+object Recs {
+
+  /** CONTAINS edge set: one edge per (order, product) — Cypher MERGE
+    * collapses duplicate order-items into one edge (reference
+    * `app/etl.py:240-247`, SURVEY §2.4 A6). */
+  def containsEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("order_id"), col("l_partkey").as("product_id"))
+      .distinct()
+
+  /** J1+A1+O1 — basket co-occurrence for a seed product, the flagship read
+    * path (reference `app/main.py:51-60`):
+    * `(p {id:$pid})<-[:CONTAINS]-(o)-[:CONTAINS]->(other)
+    *  RETURN other.id, count(*) AS score ORDER BY score DESC LIMIT k`.
+    * The Cypher 2-hop expansion is a self-join of the CONTAINS edge set on
+    * order id; seed side is point-filtered → broadcast.
+    */
+  def coOccurrence(spark: SparkSession, dir: String, seedPart: Long,
+                   k: Int = 10): DataFrame = {
+    val items = containsEdges(spark, dir)
+    val seedOrders = items.filter(col("product_id") === seedPart)
+      .select("order_id")
+    items.join(broadcast(seedOrders), "order_id")
+      .filter(col("product_id") =!= seedPart)
+      .groupBy("product_id")
+      .agg(count(lit(1)).cast("double").as("score"))
+      .withColumn("reason", lit("co-occurrence"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(k)
+  }
+
+  /** J2+O2 — same-category fallback (reference `app/main.py:72-84`):
+    * products sharing the seed's category, constant score 1.0. The bare
+    * Cypher `LIMIT 10` is non-deterministic; we impose a total order
+    * (FIXTURES.md §3) so the oracle hash-match is stable. */
+  def sameCategory(spark: SparkSession, dir: String, seedPart: Long,
+                   k: Int = 10): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"), col("p_brand").as("category_id"))
+    val seedCat = part.filter(col("product_id") === seedPart)
+      .select("category_id")
+    part.join(broadcast(seedCat), "category_id")
+      .filter(col("product_id") =!= seedPart)
+      .select(col("product_id"), lit(1.0).as("score"),
+        lit("same-category").as("reason"))
+      .orderBy(asc("product_id"))
+      .limit(k)
+  }
+
+  /** PLACED edge set: customer → order (reference `app/etl.py:222-233`). */
+  private def placedEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("customer_id"), col("o_orderkey").as("order_id"))
+
+  /** Products a customer has purchased — the J3/J5 seed set and the J4
+    * anti-join right side. Tiny after the point filter → broadcast. */
+  private def purchasedBy(spark: SparkSession, dir: String,
+                          custId: Long): DataFrame =
+    placedEdges(spark, dir).filter(col("customer_id") === custId)
+      .join(containsEdges(spark, dir), "order_id")
+      .select("product_id").distinct()
+
+  /** J3+J4+A1+O1 — customer co-occurrence recs (reference
+    * `app/main.py:88-98`): products co-occurring in orders with anything
+    * the customer bought, minus what they already bought (existential
+    * pattern negation → left-anti join), scored by count. */
+  def customerRecs(spark: SparkSession, dir: String, custId: Long,
+                   k: Int = 10): DataFrame = {
+    val items = containsEdges(spark, dir)
+    val mine = purchasedBy(spark, dir, custId)
+    val seedOrders = items.join(broadcast(mine), "product_id")
+      .select("order_id").distinct()
+    items.join(broadcast(seedOrders), "order_id")
+      .join(broadcast(mine), Seq("product_id"), "left_anti")
+      .groupBy("product_id")
+      .agg(count(lit(1)).cast("double").as("score"))
+      .withColumn("reason", lit("customer-co-occurrence"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(k)
+  }
+
+  /** J5+J4+A2+O2 — customer category fallback (reference
+    * `app/main.py:110-123`): distinct products in categories the customer
+    * has purchased from, minus already-purchased, constant score. */
+  def customerCategoryRecs(spark: SparkSession, dir: String, custId: Long,
+                           k: Int = 10): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"), col("p_brand").as("category_id"))
+    val mine = purchasedBy(spark, dir, custId)
+    val myCats = part.join(broadcast(mine), "product_id")
+      .select("category_id").distinct()
+    part.join(broadcast(myCats), "category_id")
+      .join(broadcast(mine), Seq("product_id"), "left_anti")
+      .select(col("product_id"), lit(1.0).as("score"),
+        lit("category-fallback").as("reason"))
+      .distinct()
+      .orderBy(asc("product_id"))
+      .limit(k)
+  }
+
+  /** The reference's fallback cascade (reference `app/main.py:61,70-71`):
+    * run the rich query; if empty, run the cheap one. Kept as engine-level
+    * control flow — `isEmpty` on a TakeOrderedAndProject plan is cheap. */
+  def recsForProduct(spark: SparkSession, dir: String, seedPart: Long,
+                     k: Int = 10): DataFrame = {
+    val primary = coOccurrence(spark, dir, seedPart, k)
+    if (primary.isEmpty) sameCategory(spark, dir, seedPart, k) else primary
+  }
+
+  def recsForCustomer(spark: SparkSession, dir: String, custId: Long,
+                      k: Int = 10): DataFrame = {
+    val primary = customerRecs(spark, dir, custId, k)
+    if (primary.isEmpty) customerCategoryRecs(spark, dir, custId, k)
+    else primary
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.Registry
+
+/** Registry entries + DuckDB oracle twins for the /recs query surface
+  * (SURVEY §2.3 J1-J5, §2.4 A1-A2, §2.5 O1-O2). Seeds are fixed constants
+  * present at every scale factor (part 1, customer 1).
+  */
+object RecsRegistry {
+  private val SeedPart = 1L
+  private val SeedCust = 1L
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "rec_cooccurrence" -> ((s, d) => Recs.coOccurrence(s, d, SeedPart)),
+      "rec_same_category" -> ((s, d) => Recs.sameCategory(s, d, SeedPart)),
+      "rec_customer" -> ((s, d) => Recs.customerRecs(s, d, SeedCust)),
+      "rec_customer_category" -> ((s, d) =>
+        Recs.customerCategoryRecs(s, d, SeedCust))
+    ),
+    oracles = Map(
+      "rec_cooccurrence" ->
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+           |seed AS (SELECT order_id FROM items WHERE product_id = $SeedPart)
+           |SELECT i.product_id, CAST(count(*) AS DOUBLE) AS score, 'co-occurrence' AS reason
+           |FROM items i JOIN seed USING (order_id)
+           |WHERE i.product_id <> $SeedPart
+           |GROUP BY i.product_id
+           |ORDER BY score DESC, product_id ASC
+           |LIMIT 10""".stripMargin,
+      "rec_same_category" ->
+        s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+           |seed AS (SELECT category_id FROM part_cat WHERE product_id = $SeedPart)
+           |SELECT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
+           |FROM part_cat p JOIN seed USING (category_id)
+           |WHERE p.product_id <> $SeedPart
+           |ORDER BY product_id ASC
+           |LIMIT 10""".stripMargin,
+      "rec_customer" ->
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+           |placed AS (SELECT o_custkey AS customer_id, o_orderkey AS order_id FROM orders),
+           |mine AS (SELECT DISTINCT product_id FROM placed JOIN items USING (order_id) WHERE customer_id = $SeedCust),
+           |seed_orders AS (SELECT DISTINCT order_id FROM items JOIN mine USING (product_id))
+           |SELECT i.product_id, CAST(count(*) AS DOUBLE) AS score, 'customer-co-occurrence' AS reason
+           |FROM items i JOIN seed_orders USING (order_id)
+           |WHERE i.product_id NOT IN (SELECT product_id FROM mine)
+           |GROUP BY i.product_id
+           |ORDER BY score DESC, product_id ASC
+           |LIMIT 10""".stripMargin,
+      "rec_customer_category" ->
+        s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+           |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+           |placed AS (SELECT o_custkey AS customer_id, o_orderkey AS order_id FROM orders),
+           |mine AS (SELECT DISTINCT product_id FROM placed JOIN items USING (order_id) WHERE customer_id = $SeedCust),
+           |my_cats AS (SELECT DISTINCT category_id FROM part_cat JOIN mine USING (product_id))
+           |SELECT DISTINCT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'category-fallback' AS reason
+           |FROM part_cat p JOIN my_cats USING (category_id)
+           |WHERE p.product_id NOT IN (SELECT product_id FROM mine)
+           |ORDER BY product_id ASC
+           |LIMIT 10""".stripMargin
+    )
+  )
+}

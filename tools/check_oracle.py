@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare, for fast iteration.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json:
+  - run the SQL in DuckDB with views over <sfDir>/*.parquet
+  - read the Spark result parquet at <verifyOutDir>/<name>/
+  - sort columns by name, compare row-by-row values
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            oracle = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        spark = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        ocols, scols = sorted(oracle.column_names), sorted(spark.column_names)
+        if ocols != scols:
+            print(f"FAIL {name}: schema mismatch oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        orows = [tuple(norm(r[c]) for c in ocols) for r in oracle.to_pylist()]
+        srows = [tuple(norm(r[c]) for c in scols) for r in spark.to_pylist()]
+        if orows == srows:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows differ (oracle {len(orows)}, spark {len(srows)})")
+            for i, (o, s) in enumerate(zip(orows, srows)):
+                if o != s:
+                    print(f"  first diff at row {i}:\n    oracle: {o}\n    spark:  {s}")
+                    break
+            else:
+                print(f"  one side is a prefix of the other")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
