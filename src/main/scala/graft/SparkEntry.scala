@@ -8,7 +8,8 @@ object SparkEntry {
   /** Every module's registry, concatenated. Add modules here as phases land
     * (SURVEY.md §7 build order). */
   private[graft] val registry: Registry =
-    operators.RecsRegistry.registry
+    operators.RecsRegistry.registry ++
+      operators.RelationalRegistry.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * J1+A1+O1 — the reference's entire /recs hot path in one plan

@@ -17,8 +17,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects; read nanos as long and truncate to Spark's native micros.
+    // (Integer division — the ns epoch exceeds 2^53, double math would
+    // corrupt it.)
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => df
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** S2: error-tolerant scan (reference `app/etl.py:132-139` `safe_fetch`
     * returns `[]` on failure). Missing/corrupt source → empty DataFrame of

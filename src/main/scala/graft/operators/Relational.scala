@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's scalar relational surface (SURVEY §2.1-2.2, §2.4-2.7):
+  * projections, point lookups, enum filters, casts/literals, distinct,
+  * scalar counts, MERGE-style dedup, top-k, previews, relabel unions.
+  *
+  * All queries are totally ordered (FIXTURES.md §3) so the DuckDB
+  * hash-match is deterministic. All are single-pass scans or one-shuffle
+  * aggregations; nothing here collects to the driver.
+  */
+object Relational {
+
+  /** S1+P1 — full scan with column projection (reference `app/etl.py:141-164`).
+    * Catalyst prunes the parquet read schema to the three columns. */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** P2 — parameterized point lookup (reference `app/main.py:53` `{id:$pid}`).
+    * The equality predicate reaches the parquet scan as a pushed filter. */
+  def pointLookup(spark: SparkSession, dir: String, key: Long): DataFrame =
+    Tables.load(spark, dir, "part").filter(col("p_partkey") === key)
+
+  /** P3 inequality + P4 enum-domain filter + P5 per-type bucketing
+    * (reference `01_schema.sql:37` CHECK, `app/etl.py:256-262` split).
+    * The reference's client-side loop collapses to one groupBy. */
+  def filterEnumCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** P6+P7+F3+F4 — projection to API row shape with cast-widen and literal
+    * columns (reference `app/main.py:62-69`: `float(score)`, `reason`). */
+  def projectCastLiteral(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"),
+        col("o_custkey").cast("double").as("score"),
+        lit("projected").as("reason"))
+      .orderBy("id")
+      .limit(100)
+
+  /** A2 — DISTINCT projection (reference `app/main.py:115`). */
+  def distinctProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select("o_orderpriority").distinct()
+      .orderBy("o_orderpriority")
+
+  /** A3/A4 — scalar sanity count (reference `docker-compose.yml:84,98`). */
+  def scalarCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part").agg(count(lit(1)).as("products"))
+
+  /** A5 — MERGE-node upsert semantics: last-write-wins per key (reference
+    * `app/etl.py:173-178` `MERGE (x {id}) SET x.prop = row.prop`). Here:
+    * the latest event per user. Window dedup, not dropDuplicates, because
+    * MERGE order matters; tie-broken on event_id for determinism. */
+  def dedupLastWrite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** O1 — top-k by measure (reference `ORDER BY score DESC LIMIT 10`,
+    * `app/main.py:56-57`). Compiles to TakeOrderedAndProject: each
+    * partition keeps k rows, no global sort — the plan that survives 100 TB. */
+  def topkOrders(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+
+  /** O3 — preview LIMIT (reference `docker-compose.yml:83`
+    * `SELECT * FROM orders LIMIT 5`) with the mandatory total order. */
+  def limitPreview(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy("o_orderkey")
+      .limit(5)
+
+  /** F1+F2+§2.6 — lower-casing + categorical relabel (reference
+    * `app/etl.py:250-262`). The reference's three per-type load loops are a
+    * disjoint union after relabeling; one when/otherwise chain replaces
+    * them, keeping the whole thing in one codegen'd pass. Unknown types
+    * drop (the reference's `else: continue`). */
+  val relTypeOf: org.apache.spark.sql.Column = {
+    val t = lower(col("event_type"))
+    when(t === "view", "VIEWED")
+      .when(t === "click", "CLICKED")
+      .when(t === "purchase", "PURCHASED")
+      .when(t === "signup", "SIGNED_UP")
+      .when(t === "error", "ERRORED")
+      .otherwise(null)
+  }
+
+  def eventRelabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("rel_type", relTypeOf)
+      .filter(col("rel_type").isNotNull)
+      .select("event_id", "rel_type")
+      .orderBy("event_id")
+
+  /** S7 — liveness probe (reference `SELECT 1`, `app/etl.py:46-47`). */
+  def health(spark: SparkSession, dir: String): DataFrame = {
+    val _ = dir
+    spark.range(1).select(lit(1L).as("ok"))
+  }
+
+  /** TPC-H-Q1-shaped pricing summary — the canonical partial+final hash
+    * aggregation showcase (map-side combine means the shuffle carries one
+    * row per group per partition regardless of input size). Money sums go
+    * through decimal so the result is order-independent — double summation
+    * would be nondeterministic across partitionings. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+}

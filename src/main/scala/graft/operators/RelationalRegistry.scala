@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Registry
+
+/** Registry + DuckDB oracle twins for the scalar relational surface. */
+object RelationalRegistry {
+  private val LookupKey = 42L
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "scan_project" -> ((s, d) => Relational.scanProject(s, d)),
+      "point_lookup" -> ((s, d) => Relational.pointLookup(s, d, LookupKey)),
+      "filter_enum_counts" -> ((s, d) => Relational.filterEnumCounts(s, d)),
+      "project_cast_literal" -> ((s, d) => Relational.projectCastLiteral(s, d)),
+      "distinct_projection" -> ((s, d) => Relational.distinctProjection(s, d)),
+      "scalar_count" -> ((s, d) => Relational.scalarCount(s, d)),
+      "dedup_last_write" -> ((s, d) => Relational.dedupLastWrite(s, d)),
+      "topk_orders" -> ((s, d) => Relational.topkOrders(s, d)),
+      "limit_preview" -> ((s, d) => Relational.limitPreview(s, d)),
+      "event_relabel" -> ((s, d) => Relational.eventRelabel(s, d)),
+      "health" -> ((s, d) => Relational.health(s, d)),
+      "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d))
+    ),
+    oracles = Map(
+      "scan_project" ->
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+      "point_lookup" ->
+        s"SELECT * FROM part WHERE p_partkey = $LookupKey ORDER BY p_partkey",
+      "filter_enum_counts" ->
+        """SELECT event_type, count(*) AS n FROM events
+          |WHERE event_type IN ('view','click','purchase')
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "project_cast_literal" ->
+        """SELECT o_orderkey AS id, CAST(o_custkey AS DOUBLE) AS score,
+          |'projected' AS reason FROM orders ORDER BY id LIMIT 100""".stripMargin,
+      "distinct_projection" ->
+        "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+      "scalar_count" ->
+        "SELECT count(*) AS products FROM part",
+      "dedup_last_write" ->
+        """SELECT user_id, event_id, event_type FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id
+          |  ORDER BY (epoch_ns(ts) // 1000) DESC, event_id DESC) = 1
+          |ORDER BY user_id""".stripMargin,
+      "topk_orders" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+      "limit_preview" ->
+        "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
+      "event_relabel" ->
+        """SELECT event_id,
+          |CASE lower(event_type)
+          |  WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+          |  WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
+          |  WHEN 'error' THEN 'ERRORED' END AS rel_type
+          |FROM events
+          |WHERE lower(event_type) IN ('view','click','purchase','signup','error')
+          |ORDER BY event_id""".stripMargin,
+      "health" ->
+        "SELECT CAST(1 AS BIGINT) AS ok",
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+          |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |      AS DECIMAL(18,4))) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )
+  )
+}
