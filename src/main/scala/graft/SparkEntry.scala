@@ -9,7 +9,8 @@ object SparkEntry {
     * (SURVEY.md §7 build order). */
   private[graft] val registry: Registry =
     operators.RecsRegistry.registry ++
-      operators.RelationalRegistry.registry
+      operators.RelationalRegistry.registry ++
+      graph.GraphRegistry.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * J1+A1+O1 — the reference's entire /recs hot path in one plan

@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** G4-G6 — whole-graph algorithms over the canonical nodes/edges frames,
+  * via a GraphX view (BASELINE.json: "GraphX for graph analytics").
+  *
+  * Vertex ids: GraphX needs Long ids; string node ids get a stable dense
+  * mapping via zipWithIndex (one count pass, no sort, no collision risk —
+  * unlike hashing, this stays correct at 10^10 nodes; SURVEY §7 hard parts).
+  */
+object GraphAlgs {
+
+  /** Dense Long id per node id. Deterministic for a given nodes frame. */
+  def vidMap(nodesDf: DataFrame): DataFrame = {
+    val spark = nodesDf.sparkSession
+    import spark.implicits._
+    nodesDf.select("id").rdd.map(_.getString(0))
+      .zipWithIndex().toDF("id", "vid")
+  }
+
+  /** GraphX view of the property graph: vertex attr = string node id,
+    * edge attr = weight. */
+  def graphOf(nodesDf: DataFrame, edgesDf: DataFrame)
+      : (Graph[String, Double], DataFrame) = {
+    val vm = vidMap(nodesDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices: RDD[(VertexId, String)] =
+      vm.select("vid", "id").rdd.map(r => (r.getLong(0), r.getString(1)))
+    val e = edgesDf
+      .join(vm.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
+      .join(vm.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
+      .select("svid", "dvid", "weight")
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (Graph(vertices, e), vm)
+  }
+
+  private def builtGraph(spark: SparkSession, dir: String)
+      : (Graph[String, Double], DataFrame) =
+    graphOf(GraphBuilder.nodes(spark, dir), GraphBuilder.edges(spark, dir))
+
+  /** G4 via aggregateMessages: total degree per node, top-k. Has an exact
+    * SQL oracle (degree = appearances in the edge list), proving the GraphX
+    * view agrees with the relational derivation. */
+  def degreesTop(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val (graph, _) = builtGraph(spark, dir)
+    val deg = graph.aggregateMessages[Long](ctx => {
+      ctx.sendToSrc(1L); ctx.sendToDst(1L)
+    }, _ + _)
+    val idByVid = graph.vertices
+    deg.join(idByVid)
+      .map { case (_, (d, id)) => (id, d) }
+      .toDF("id", "degree")
+      .orderBy(desc("degree"), asc("id"))
+      .limit(k)
+  }
+
+  /** G6 — Personalized PageRank from a seed node (the reference's declared
+    * upgrade path, `app/main.py:31-33`). Fixed iteration count for
+    * determinism of the returned id set; ranks are floating-point and not
+    * oracle-hashable → rows-only check + ScalaTest fixture. */
+  def personalizedPageRank(spark: SparkSession, dir: String, seedId: String,
+                           iters: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (graph, vm) = builtGraph(spark, dir)
+    val seedVid = vm.filter(col("id") === seedId).select("vid")
+      .head().getLong(0)
+    val ranks = graph.staticPersonalizedPageRank(seedVid, iters).vertices
+    ranks.join(graph.vertices)
+      .map { case (_, (rank, id)) => (id, rank) }
+      .toDF("id", "rank")
+      .filter(col("id") =!= seedId)
+      .orderBy(desc("rank"), asc("id"))
+      .limit(k)
+  }
+
+  /** Global PageRank top-k (G6 family). Rows-only check + ScalaTest. */
+  def pageRankTop(spark: SparkSession, dir: String, iters: Int = 10,
+                  k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val (graph, _) = builtGraph(spark, dir)
+    val ranks = graph.staticPageRank(iters).vertices
+    ranks.join(graph.vertices)
+      .map { case (_, (rank, id)) => (id, rank) }
+      .toDF("id", "rank")
+      .orderBy(desc("rank"), asc("id"))
+      .limit(k)
+  }
+
+  /** Connected components over the undirected view; returns component
+    * sizes. Exercises GraphX's iterative Pregel path; SQL-oracle-free
+    * (rows-only + ScalaTest on a known toy graph). */
+  def connectedComponentSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (graph, _) = builtGraph(spark, dir)
+    graph.connectedComponents().vertices
+      .map { case (_, comp) => comp }
+      .toDF("component")
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .select("size")
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
+  /** G5 all-pairs variant — materialized co-occurrence: top-k product pairs
+    * by shared orders. One shuffle on order_id; pair fan-out is bounded by
+    * basket size (quadratic per order, not per table — for 100 TB, cap or
+    * salt pathological mega-baskets). */
+  def allPairsCoOccurrence(spark: SparkSession, dir: String,
+                           k: Int = 20): DataFrame = {
+    val items = graft.operators.Recs.containsEdges(spark, dir)
+    val a = items.select(col("order_id"), col("product_id").as("p1"))
+    val b = items.select(col("order_id"), col("product_id").as("p2"))
+    a.join(b, "order_id")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), asc("p1"), asc("p2"))
+      .limit(k)
+  }
+}

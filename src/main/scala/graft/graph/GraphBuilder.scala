@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Relational
+
+/** G1 — property-graph construction from relational tables (reference
+  * `app/etl.py:108-288`): 6 scans → deduped node sets + join-validated edge
+  * sets, as two canonical DataFrames:
+  *
+  *   nodes(id string, label string, name string)
+  *   edges(src string, dst string, rel_type string, weight double)
+  *
+  * Semantics carried over from the reference:
+  *  - MERGE node upsert (etl.py:173-178) → dedup by id, last-write-wins
+  *    (A5); here sources are already keyed, so dropDuplicates suffices
+  *    except CONTAINS weights (see below).
+  *  - MERGE edge upsert (etl.py:202,230,243,276) → one edge per
+  *    (src,dst,rel_type) (A6); many `view` events collapse to one VIEWED
+  *    edge.
+  *  - Cypher `MATCH` endpoint resolution (etl.py:196-205) drops edges whose
+  *    endpoints don't exist → inner joins (referential-integrity semi-join),
+  *    NOT outer joins (J6).
+  *  - `SET r.quantity` on repeated MERGE (etl.py:243-244) → last row wins
+  *    per (order, product); input order = lineitem order → window by
+  *    l_linenumber descending (deterministic, unlike batch arrival order).
+  *
+  * Entity mapping (FIXTURES.md §1): Customer=customer, Product=part,
+  * Order=orders, Category=p_brand, behavioral events=events with
+  * `props.k` as the target product key.
+  *
+  * Scale: node/edge builds are scan + dedup (one shuffle each, partial
+  * aggregation map-side); endpoint validation joins broadcast the dimension
+  * side where small (category) and shuffle-hash elsewhere. Nothing
+  * collects to the driver. At 100 TB, write `nodes`/`edges` partitioned by
+  * `label`/`rel_type` so per-type queries prune files.
+  */
+object GraphBuilder {
+
+  private def S(prefix: String, c: org.apache.spark.sql.Column) =
+    concat(lit(prefix), c.cast("string"))
+
+  def nodes(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .select(S("C", col("c_custkey")).as("id"), lit("Customer").as("label"),
+        col("c_name").as("name"))
+    val product = Tables.load(spark, dir, "part")
+      .select(S("P", col("p_partkey")).as("id"), lit("Product").as("label"),
+        col("p_name").as("name"))
+    val order = Tables.load(spark, dir, "orders")
+      .select(S("O", col("o_orderkey")).as("id"), lit("Order").as("label"),
+        lit(null).cast("string").as("name"))
+    val category = Tables.load(spark, dir, "part")
+      .select(col("p_brand")).distinct()
+      .select(S("B", col("p_brand")).as("id"), lit("Category").as("label"),
+        col("p_brand").as("name"))
+    // MERGE upsert (A5): sources are keyed, dedup is a safety net for
+    // re-runs / concatenated inputs (idempotency property, SURVEY §5.3).
+    customer.unionByName(product).unionByName(order).unionByName(category)
+      .dropDuplicates("id")
+  }
+
+  /** CONTAINS with `SET r.quantity` last-write-wins per (order, product). */
+  def containsWithQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey", "l_partkey")
+      .orderBy(desc("l_linenumber"))
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(S("O", col("l_orderkey")).as("src"),
+        S("P", col("l_partkey")).as("dst"),
+        lit("CONTAINS").as("rel_type"),
+        col("l_quantity").cast("double").as("weight"))
+  }
+
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val customerKeys = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"))
+    val partKeys = Tables.load(spark, dir, "part").select(col("p_partkey"))
+
+    // PLACED: customer -> order; endpoint-validated against customers (J7).
+    val placed = Tables.load(spark, dir, "orders")
+      .join(customerKeys, col("o_custkey") === col("c_custkey"))
+      .select(S("C", col("o_custkey")).as("src"),
+        S("O", col("o_orderkey")).as("dst"),
+        lit("PLACED").as("rel_type"), lit(1.0).as("weight"))
+
+    val contains = containsWithQuantity(spark, dir)
+
+    // IN_CATEGORY: product -> its brand-category.
+    val inCategory = Tables.load(spark, dir, "part")
+      .select(S("P", col("p_partkey")).as("src"),
+        S("B", col("p_brand")).as("dst"),
+        lit("IN_CATEGORY").as("rel_type"), lit(1.0).as("weight"))
+
+    // Behavioral: user -> props.k product, relabeled per event type
+    // (etl.py:249-279). Both endpoints MATCH-validated (dangling user 0 /
+    // k 0 drop); MERGE collapses repeats to one edge per (src,dst,type).
+    val behavioral = Tables.load(spark, dir, "events")
+      .withColumn("rel_type", Relational.relTypeOf)
+      .filter(col("rel_type").isNotNull)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .join(customerKeys, col("user_id") === col("c_custkey"))
+      .join(partKeys, col("k") === col("p_partkey"))
+      .select(S("C", col("user_id")).as("src"), S("P", col("k")).as("dst"),
+        col("rel_type"), lit(1.0).as("weight"))
+      .dropDuplicates("src", "dst", "rel_type")
+
+    placed.unionByName(contains).unionByName(inCategory)
+      .unionByName(behavioral)
+  }
+
+  /** G2 — uniqueness-constraint assertion (reference `queries.cypher:2-16`):
+    * Spark has no constraints; this is the audit query — must be empty. */
+  def duplicateNodeIds(nodesDf: DataFrame): DataFrame =
+    nodesDf.groupBy("id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+}

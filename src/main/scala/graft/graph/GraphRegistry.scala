@@ -1,0 +1,99 @@
+package graft.graph
+
+import graft.Registry
+
+/** Registry + oracles for the graph build (G1-G3) and graph analytics
+  * (G4-G6). GraphX-only results (PPR, PageRank, components) have no SQL
+  * oracle → rows-only checks + ScalaTest fixtures (SURVEY §7 phase 3).
+  */
+object GraphRegistry {
+
+  /** The canonical edge list, as DuckDB SQL — the oracle twin of
+    * GraphBuilder.edges. Column names come from the first UNION branch. */
+  private val EdgesSql =
+    """SELECT 'C'||CAST(o.o_custkey AS VARCHAR) AS src,
+      |       'O'||CAST(o.o_orderkey AS VARCHAR) AS dst, 'PLACED' AS rel_type
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'O'||CAST(l_orderkey AS VARCHAR), 'P'||CAST(l_partkey AS VARCHAR), 'CONTAINS'
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |UNION ALL
+      |SELECT 'P'||CAST(p_partkey AS VARCHAR), 'B'||p_brand, 'IN_CATEGORY' FROM part
+      |UNION ALL
+      |SELECT DISTINCT 'C'||CAST(e.user_id AS VARCHAR), 'P'||CAST(e.k AS VARCHAR),
+      |  CASE e.et WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+      |    WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
+      |    WHEN 'error' THEN 'ERRORED' END
+      |FROM (SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+      |             lower(event_type) AS et FROM events
+      |      WHERE lower(event_type) IN ('view','click','purchase','signup','error')) e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN part p ON e.k = p.p_partkey""".stripMargin
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "graph_nodes_by_label" -> ((s, d) =>
+        GraphBuilder.nodes(s, d).groupBy("label")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("label")),
+      "graph_edges_by_type" -> ((s, d) =>
+        GraphBuilder.edges(s, d).groupBy("rel_type")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("rel_type")),
+      "graph_contains_weights" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        GraphBuilder.containsWithQuantity(s, d)
+          .groupBy("dst")
+          .agg(sum(col("weight").cast("decimal(18,2)")).as("total_qty"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(desc("total_qty"), asc("dst"))
+          .limit(20)
+      }),
+      "graph_degrees_top" -> ((s, d) => GraphAlgs.degreesTop(s, d)),
+      "allpairs_cooccurrence" -> ((s, d) =>
+        GraphAlgs.allPairsCoOccurrence(s, d)),
+      "graphx_ppr_top" -> ((s, d) =>
+        GraphAlgs.personalizedPageRank(s, d, "P1")),
+      "graphx_pagerank_top" -> ((s, d) => GraphAlgs.pageRankTop(s, d)),
+      "graphx_components" -> ((s, d) =>
+        GraphAlgs.connectedComponentSizes(s, d))
+    ),
+    oracles = Map(
+      "graph_nodes_by_label" ->
+        """SELECT label, count(*) AS n FROM (
+          |  SELECT 'Customer' AS label FROM customer
+          |  UNION ALL SELECT 'Product' FROM part
+          |  UNION ALL SELECT 'Order' FROM orders
+          |  UNION ALL SELECT 'Category' FROM (SELECT DISTINCT p_brand FROM part)
+          |) GROUP BY label ORDER BY label""".stripMargin,
+      "graph_edges_by_type" ->
+        s"""SELECT rel_type, count(*) AS n FROM (
+           |$EdgesSql
+           |) GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      "graph_contains_weights" ->
+        """WITH cw AS (
+          |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+          |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey
+          |    ORDER BY l_linenumber DESC) = 1)
+          |SELECT 'P'||CAST(l_partkey AS VARCHAR) AS dst,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+          |  count(*) AS n_orders
+          |FROM cw GROUP BY 1 ORDER BY total_qty DESC, dst LIMIT 20""".stripMargin,
+      "graph_degrees_top" ->
+        s"""WITH e AS (
+           |$EdgesSql
+           |), d AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+           |SELECT id, count(*) AS degree FROM d
+           |GROUP BY id ORDER BY degree DESC, id ASC LIMIT 20""".stripMargin,
+      "allpairs_cooccurrence" ->
+        """WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem)
+          |SELECT a.product_id AS p1, b.product_id AS p2, count(*) AS n_orders
+          |FROM items a JOIN items b ON a.order_id = b.order_id
+          |WHERE a.product_id < b.product_id
+          |GROUP BY 1, 2
+          |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
+    )
+  )
+}
