@@ -10,7 +10,9 @@ object SparkEntry {
   private[graft] val registry: Registry =
     operators.RecsRegistry.registry ++
       operators.RelationalRegistry.registry ++
-      graph.GraphRegistry.registry
+      graph.GraphRegistry.registry ++
+      text.TextRegistry.registry ++
+      dedup.DedupRegistry.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * J1+A1+O1 — the reference's entire /recs hot path in one plan

@@ -1,0 +1,189 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * core (BASELINE.json north star). Five tiers:
+  *
+  *  - exact (hash-groupBy on normalized text)
+  *  - token-set (order-insensitive exact)
+  *  - n-gram Jaccard (inverted shingle index self-join, exact verify)
+  *  - MinHash + banded LSH (signature → band buckets → candidate join →
+  *    exact verify) — the 100 TB path: candidate generation touches only
+  *    band-bucket collisions, never the n² pair space
+  *  - SimHash (bitwise near-dup fingerprint; Hamming-ball matching)
+  *
+  * MinHash here is built on md5 (a deterministic, engine-portable hash) so
+  * the whole LSH pipeline has an exact DuckDB oracle; xxhash64 would be
+  * faster but unverifiable. Swap `HashFn` for production.
+  *
+  * Scale notes: every stage is shuffle-by-key (shingle, band, pair) with
+  * map-side partial aggregation; `DfCap` bounds inverted-index skew — at
+  * 100 TB ubiquitous shingles (df in the millions) would otherwise create
+  * quadratic bucket blowups. Verification is restricted to candidate
+  * pairs, so it is linear in candidates, not pairs.
+  */
+object Dedup {
+
+  /** Shingle width for near-dup detection. */
+  val ShingleN = 3
+
+  /** Document-frequency cap for candidate generation (no-op at test SFs,
+    * the safety valve at scale). */
+  val DfCap = 10000
+
+  /** Number of MinHash functions and LSH band layout (16 = 8 bands × 2). */
+  val NumHashes = 16
+  val Bands = 8
+
+  /** doc_id → distinct ShingleN-gram shingles (one row per (doc, shingle)). */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens)
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - ShingleN),
+          i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .as("s"))
+      .distinct()
+
+  /** Exact dedup: md5-groupBy, representative = min doc_id (deterministic
+    * keep-first). Returns one row per distinct content. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  /** Token-set dedup: same distinct token multiset-insensitive content
+    * (sorted distinct tokens) — catches shuffled word order. Emits only
+    * groups with >1 member. */
+  def tokenSetDups(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(TextAnalysis.tokens)))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  /** Exact Jaccard over candidate pairs: given (doc_id, s) shingle sets and
+    * a candidate pair set (d1 < d2), compute |A∩B| / |A∪B|. */
+  private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      // Raw IEEE-754 division of exact longs — bit-identical in Spark and
+      // DuckDB, unlike round() whose half-rule differs between engines.
+      .withColumn("jacc", col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")))
+      .filter(col("jacc") >= threshold)
+      .select("d1", "d2", "jacc")
+      .orderBy("d1", "d2")
+  }
+
+  /** n-gram Jaccard near-dup pairs: inverted-index join on shingles (df-
+    * capped), then exact verification. One shuffle on shingle, one on pair. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, dir)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap && col("df") >= 2)
+    val candidates = sh.join(rare.select("s"), "s")
+      .select(col("doc_id").as("d1"), col("s"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    verifyJaccard(sh, candidates, threshold)
+  }
+
+  /** MinHash signature: for each doc, NumHashes column-mins of
+    * md5("<i>|<shingle>") — one groupBy pass, no explode of hash index. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH candidates + exact verify. Band key = md5 of its rows'
+    * concatenated mins; docs sharing any band bucket become candidates. */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sig = minhashSignatures(sh)
+    val rowsPerBand = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("key"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    verifyJaccard(sh, candidates, threshold)
+  }
+
+  /** SimHash: 64-bit bitwise fingerprint — per token-hash bit, sum ±1 over
+    * the doc, sign → bit. Pure higher-order functions over xxhash64 (stays
+    * in codegen; no oracle — xxhash64 has no DuckDB twin). */
+  def simhashCol(toks: Column): Column = {
+    // Bit positions are static → unroll with Scala ints (shiftleft/right
+    // take Int shift amounts); the whole thing stays one codegen'd
+    // expression tree, no UDF.
+    val bitVotes = aggregate(
+      toks,
+      array((0 until 64).map(_ => lit(0L)): _*),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) * 2 - 1): _*),
+        (a, v) => a + v))
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(
+      zip_with(bitVotes, powers, (v, p) => when(v >= 0, p).otherwise(lit(0L))),
+      lit(0L), (s, x) => s.bitwiseOR(x))
+  }
+
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), simhashCol(TextAnalysis.tokens).as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, blocked by 16-bit
+    * chunks (a pair within distance d must share ≥1 of d+1 chunks exactly —
+    * pigeonhole), so candidate generation is an equi-join, never n². */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxDist: Int = 6): DataFrame = {
+    val hs = simhashes(spark, dir)
+    val chunks = hs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
+            .as("val"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.val").as("val"))
+    val cand = chunks.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+        col("chunk"), col("val"))
+      .join(chunks.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+        col("chunk"), col("val")), Seq("chunk", "val"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
+    cand.withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+      .orderBy("d1", "d2")
+  }
+}

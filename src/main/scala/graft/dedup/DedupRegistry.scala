@@ -1,0 +1,95 @@
+package graft.dedup
+
+import graft.Registry
+
+/** Registry + DuckDB oracle twins for the dedup tier (north-star
+  * training-data operators, BASELINE.json). The md5-based MinHash makes
+  * even the LSH pipeline exactly oracle-checkable; SimHash rides on
+  * xxhash64 (no DuckDB twin) so its entries are rows-only checks.
+  *
+  * The oracle SQL re-derives the same shingles / signatures / band keys
+  * with DuckDB list functions, so every intermediate (min-hash string,
+  * band md5, candidate pair, jaccard double) is bit-identical.
+  */
+object DedupRegistry {
+
+  /** DuckDB tokenizer twin of TextAnalysis.tokens. */
+  private val Toks = raw"string_split_regex(trim(text), '\s+')"
+
+  /** DuckDB shingle CTEs twin of Dedup.shingles (ShingleN = 3). */
+  private val ShingleCtes =
+    s"""toks AS (SELECT doc_id, $Toks AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+       |        FROM toks WHERE len(t) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       |       FROM idx),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Exact-jaccard verification over a `cand(d1,d2)` CTE — twin of
+    * Dedup.verifyJaccard. */
+  private def verifySql(threshold: Double): String =
+    s"""common AS (
+       |  SELECT c.d1, c.d2, count(*) AS c
+       |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+       |              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
+       |FROM common JOIN sizes n1 ON n1.doc_id = d1
+       |            JOIN sizes n2 ON n2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Twin of Dedup.minhashSignatures: 16 per-doc min-hashes. */
+  private val SigCols = (0 until Dedup.NumHashes)
+    .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+
+  /** Twin of the banded bucket explode (8 bands × 2 rows) — UNION ALL per
+    * band (DuckDB VALUES can't reference lateral columns). */
+  private val BandSelects = {
+    val rpb = Dedup.NumHashes / Dedup.Bands
+    (0 until Dedup.Bands).map { b =>
+      val parts = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+      "dedup_token_set" -> ((s, d) => Dedup.tokenSetDups(s, d)),
+      "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+      "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+      "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d)),
+      "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d))
+    ),
+    oracles = Map(
+      "dedup_exact" ->
+        """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(lower(trim(text)))
+          |ORDER BY keep_doc_id""".stripMargin,
+      "dedup_token_set" ->
+        s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+           |FROM documents
+           |GROUP BY md5(array_to_string(list_sort(list_distinct($Toks)), ' '))
+           |HAVING count(*) > 1
+           |ORDER BY keep_doc_id""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""WITH $ShingleCtes,
+           |rare AS (SELECT s FROM sh GROUP BY s
+           |         HAVING count(*) BETWEEN 2 AND ${Dedup.DfCap}),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |         FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+           |         WHERE a.doc_id < b.doc_id),
+           |${verifySql(0.8)}""".stripMargin,
+      "dedup_minhash_lsh" ->
+        s"""WITH $ShingleCtes,
+           |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
+           |buckets AS ($BandSelects),
+           |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+           |         FROM buckets b1 JOIN buckets b2
+           |           ON b1.band = b2.band AND b1.key = b2.key
+           |          AND b1.doc_id < b2.doc_id),
+           |${verifySql(0.8)}""".stripMargin
+    )
+  )
+}

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars). Beyond the
+  * reference's surface (it has none of these) — part of the north-star
+  * extension set (BASELINE.json).
+  *
+  * Everything is built from codegen'd built-ins + higher-order functions —
+  * no UDFs — so each query is one whole-stage-codegen'd scan: at 100 TB
+  * these run at parquet-read speed with zero shuffles (except noted).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer shared by all text ops. */
+  val tokens: Column = split(trim(col("text")), "\\s+")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Token counting (whitespace tokenization; a BPE-ish subword count is
+    * approximated by chars/4, the usual LLM heuristic). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        length(col("text")).as("n_chars_text"),
+        (length(col("text")) / lit(4)).cast("int").as("n_subwords_est"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length prior × (1 − stopword density), plus the raw
+    * component signals. All arithmetic double, rounded for oracle parity. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits", hitCount(col("toks"), Stopwords))
+      .select(col("doc_id"), col("n_tokens"),
+        round(length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"),
+        round(least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("stop_hits").cast("double") / col("n_tokens")), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  /** Language ID by marker-token counts (n-gram-free heuristic: argmax of
+    * per-language stopword hits, 'und' (unknown) when no markers hit).
+    * Declared `lang` is carried through for side-by-side evaluation. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val withHits = LangMarkers.foldLeft(
+      Tables.load(spark, dir, "documents").withColumn("toks", tokens)) {
+      case (df, (code, words)) =>
+        df.withColumn(s"hits_$code", hitCount(col("toks"), words))
+    }
+    val best = LangMarkers.map(_._1).foldLeft(
+      (lit("unknown"), lit(0))) { case ((bestLang, bestHits), code) =>
+      val h = col(s"hits_$code")
+      (when(h > bestHits, lit(code)).otherwise(bestLang),
+        when(h > bestHits, h).otherwise(bestHits))
+    }
+    withHits.select(col("doc_id"), col("lang"), best._1.as("lang_pred"),
+        best._2.as("marker_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 of the normalized text (the exact-dedup
+    * key) plus a content-defined prefix fingerprint (first 8 tokens) that
+    * survives suffix edits — both deterministic and oracle-checkable. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("fp"),
+        md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("prefix_fp"))
+      .orderBy("doc_id")
+}

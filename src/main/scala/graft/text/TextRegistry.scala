@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.Registry
+
+/** Registry + DuckDB oracle twins for text analysis. The oracle SQL
+  * mirrors the Spark expressions operation-for-operation (same tokenizer
+  * regex, same rounding) so hash-match holds. */
+object TextRegistry {
+
+  private val Toks = raw"string_split_regex(trim(text), '\s+')"
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "text_token_counts" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        TextAnalysis.tokenCounts(s, d)
+          .withColumn("n_tokens", col("n_tokens").cast("bigint"))
+          .withColumn("n_chars_text", col("n_chars_text").cast("bigint"))
+          .withColumn("n_subwords_est", col("n_subwords_est").cast("bigint"))
+      }),
+      "text_quality" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        TextAnalysis.qualityScore(s, d)
+          .withColumn("n_tokens", col("n_tokens").cast("bigint"))
+      }),
+      "text_langid" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        TextAnalysis.langId(s, d)
+          .withColumn("marker_hits", col("marker_hits").cast("bigint"))
+      }),
+      "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d))
+    ),
+    oracles = Map(
+      "text_token_counts" ->
+        s"""SELECT doc_id, len($Toks) AS n_tokens,
+           |  length(text) AS n_chars_text,
+           |  length(text) // 4 AS n_subwords_est
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  length(replace(text, ' ', '')) AS nsp,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+           |FROM documents)
+           |SELECT doc_id, n_tokens,
+           |  round(nsp * 1.0 / n_tokens, 6) AS avg_token_len,
+           |  round(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+           |  round(least(n_tokens / 100.0, 1.0) *
+           |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
+           |FROM q ORDER BY doc_id""".stripMargin,
+      "text_langid" ->
+        s"""WITH h AS (SELECT doc_id, lang,
+           |  len(list_filter($Toks, t -> t IN ('the','a','is','of'))) AS hits_en,
+           |  len(list_filter($Toks, t -> t IN ('der','die','das','und'))) AS hits_de,
+           |  len(list_filter($Toks, t -> t IN ('el','la','los','y'))) AS hits_es,
+           |  len(list_filter($Toks, t -> t IN ('le','les','et','une'))) AS hits_fr
+           |FROM documents),
+           |m AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, 0) AS mx FROM h)
+           |SELECT doc_id, lang,
+           |  CASE WHEN mx = 0 THEN 'unknown'
+           |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
+           |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred,
+           |  mx AS marker_hits
+           |FROM m ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
+           |  md5(array_to_string(($Toks)[1:8], ' ')) AS prefix_fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  )
+}
