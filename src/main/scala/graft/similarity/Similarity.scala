@@ -1,0 +1,155 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * list<float>, label) — the ANN tier of the training-data pipeline
+  * (north star, BASELINE.json; the reference itself has no vector ops).
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k for a seed vector — the correctness
+  *    baseline: one scan, broadcast seed, TakeOrderedAndProject. At
+  *    100 TB this is the "exact rerank" stage, never the candidate stage.
+  *  - SRP-LSH similarity self-join — signed-random-projection signatures,
+  *    banded bucket join, exact cosine verify. Candidate generation is an
+  *    equi-join on (band, key): n²/2^bits per band, never a cross join.
+  *  - IVF (KMeans-partitioned) ANN top-k — the scale path: probe only the
+  *    nprobe nearest centroid partitions. MLlib KMeans; no SQL oracle
+  *    (rows-only check + recall ScalaTest vs the brute-force baseline).
+  *
+  * All arithmetic is double, folded left→right over the vector so DuckDB's
+  * `list_sum(list_transform(...))` reproduces the same IEEE-754 bits —
+  * the SQL twins are generated from the same hyperplane constants
+  * (SimilarityRegistry).
+  */
+object Similarity {
+
+  /** Number of SRP hyperplanes (signature bits) and band layout:
+    * 32 bits = 4 bands × 8 bits. For cos≈0.9 pairs (near-dup regime) the
+    * per-bit agreement is 1−θ/π ≈ 0.86, an 8-bit band matches with p≈0.30,
+    * so ≥1-of-4 bands ≈ 76% recall per pass; double the planes to sharpen.
+    * On this testdata (max pair cos ≈ 0.51) the join is exercised at
+    * threshold 0.4. */
+  val NumPlanes = 32
+  val BandBits = 8
+  val Bands: Int = NumPlanes / BandBits
+
+  /** Deterministic ±1 (Rademacher) hyperplanes derived from md5("j|i") —
+    * data-independent constants shared verbatim with the SQL oracle. */
+  val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, 64) { (j, i) =>
+      val h = md.digest(s"$j|$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Sequential left→right double dot product — the fold order DuckDB's
+    * list_sum uses, so both engines produce identical bits. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Brute-force cosine top-k against a seed vector (exact baseline).
+    * Seed side is a 1-row broadcast; the scan + expression stays in one
+    * whole-stage-codegen pass; ORDER BY+LIMIT → TakeOrderedAndProject. */
+  def cosineTopK(spark: SparkSession, dir: String, seedId: Long,
+                 k: Int = 20): DataFrame = {
+    val e = emb(spark, dir)
+    val seed = e.filter(col("vec_id") === seedId)
+      .select(col("embedding").as("se"))
+    e.crossJoin(broadcast(seed))
+      .filter(col("vec_id") =!= seedId)
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("se")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** 32-bit SRP signature of an embedding column. */
+  def srpSignature(e: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val w = array(planes(j).map(lit(_)): _*)
+      when(dot(e, w) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SRP-LSH similarity self-join: banded signature buckets → candidate
+    * pairs → exact cosine verify ≥ threshold. Shuffles on (band, key) and
+    * on the pair key only. */
+  def srpLshPairs(spark: SparkSession, dir: String,
+                  threshold: Double = 0.4): DataFrame = {
+    val sig = emb(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        srpSignature(col("embedding")).as("sig"))
+    val buckets = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * BandBits)
+            .bitwiseAND(lit((1L << BandBits) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets
+      .select(col("vec_id").as("d1"), col("embedding").as("e1"),
+        col("band"), col("key"))
+      .join(buckets.select(col("vec_id").as("d2"),
+        col("embedding").as("e2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "e1", "e2").dropDuplicates("d1", "d2")
+    cand.withColumn("cos", cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= threshold)
+      .select("d1", "d2", "cos")
+      .orderBy("d1", "d2")
+  }
+
+  /** IVF ANN top-k: KMeans-partition the vectors (the "inverted file"),
+    * probe only the nprobe centroids nearest the seed, exact-rerank inside
+    * the probed partitions. At scale the cluster id becomes the parquet
+    * partition key, so a probe reads nprobe/k of the data. No SQL oracle —
+    * recall vs cosineTopK is asserted in ScalaTest. */
+  def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
+              k: Int = 20, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+      .cache()
+    val model = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("features").fit(e)
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cluster")
+    val seedVec = assigned.filter(col("vec_id") === seedId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.toArray.zip(seedVec).map { case (a, b) => a * b }.sum
+        (i, d)
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val seed = assigned.filter(col("vec_id") === seedId)
+      .select(col("embedding").as("se"))
+    assigned.filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= seedId)
+      .crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("se")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-vector L2 norms — cheap scan coverage of the vector arithmetic. */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        sqrt(norm2(col("embedding"))).as("l2"))
+      .orderBy("vec_id")
+}

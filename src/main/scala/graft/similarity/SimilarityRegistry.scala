@@ -1,0 +1,75 @@
+package graft.similarity
+
+import graft.Registry
+
+/** Registry + DuckDB oracle twins for similarity search. The SQL is
+  * generated from the same hyperplane constants as the Spark plans
+  * (Similarity.planes), and all vector arithmetic is written as
+  * `list_sum(list_transform(...))` over doubles — the same left→right
+  * IEEE-754 fold Spark's `aggregate(zip_with(...))` performs, so cosine
+  * values are bit-identical across engines. The IVF query has no SQL
+  * twin (KMeans) → rows-only check + recall ScalaTest.
+  */
+object SimilarityRegistry {
+  private val SeedVec = 0L
+
+  /** Double dot of the `embedding` column with another list expression. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def norm2Sql(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
+
+  /** Literal SQL array for hyperplane j. */
+  private def planeSql(j: Int): String =
+    Similarity.planes(j).map(w => if (w > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  private val SigSql: String =
+    (0 until Similarity.NumPlanes).map { j =>
+      s"(CASE WHEN ${dotSql("embedding", planeSql(j))} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val BandSelects: String =
+    (0 until Similarity.Bands).map { b =>
+      val mask = (1L << Similarity.BandBits) - 1
+      s"SELECT vec_id, $b AS band, (sig >> ${b * Similarity.BandBits}) & $mask AS key FROM sig"
+    }.mkString(" UNION ALL ")
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "sim_norms" -> ((s, d) => Similarity.norms(s, d)),
+      "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, SeedVec)),
+      "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
+      "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec))
+    ),
+    oracles = Map(
+      "sim_norms" ->
+        s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "sim_cosine_topk" ->
+        s"""WITH s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = $SeedVec)
+           |SELECT vec_id, label, ${cosSql("embedding", "se")} AS cos
+           |FROM embeddings, s
+           |WHERE vec_id <> $SeedVec
+           |ORDER BY cos DESC, vec_id ASC
+           |LIMIT 20""".stripMargin,
+      "sim_srp_lsh_pairs" ->
+        s"""WITH sig AS (SELECT vec_id, $SigSql AS sig FROM embeddings),
+           |buckets AS ($BandSelects),
+           |cand AS (SELECT DISTINCT b1.vec_id AS d1, b2.vec_id AS d2
+           |         FROM buckets b1 JOIN buckets b2
+           |           ON b1.band = b2.band AND b1.key = b2.key
+           |          AND b1.vec_id < b2.vec_id),
+           |ver AS (SELECT d1, d2,
+           |          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+           |        FROM cand JOIN embeddings e1 ON e1.vec_id = d1
+           |                  JOIN embeddings e2 ON e2.vec_id = d2)
+           |SELECT d1, d2, cos FROM ver WHERE cos >= 0.4
+           |ORDER BY d1, d2""".stripMargin
+    )
+  )
+}
