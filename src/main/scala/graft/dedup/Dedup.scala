@@ -181,7 +181,8 @@ object Dedup {
         col("chunk"), col("val")), Seq("chunk", "val"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2", "s1", "s2").distinct()
-    cand.withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
+    cand.withColumn("dist",
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("d1", "d2", "dist")
       .orderBy("d1", "d2")

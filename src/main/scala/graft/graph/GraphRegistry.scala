@@ -22,11 +22,12 @@ object GraphRegistry {
       |UNION ALL
       |SELECT DISTINCT 'C'||CAST(e.user_id AS VARCHAR), 'P'||CAST(e.k AS VARCHAR),
       |  CASE e.et WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+      |    WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
       |    WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
       |    WHEN 'error' THEN 'ERRORED' END
       |FROM (SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
       |             lower(event_type) AS et FROM events
-      |      WHERE lower(event_type) IN ('view','click','purchase','signup','error')) e
+      |      WHERE lower(event_type) IN ('view','click','add_to_cart','purchase','signup','error')) e
       |JOIN customer c ON e.user_id = c.c_custkey
       |JOIN part p ON e.k = p.p_partkey""".stripMargin
 

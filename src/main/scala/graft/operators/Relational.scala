@@ -95,6 +95,7 @@ object Relational {
     val t = lower(col("event_type"))
     when(t === "view", "VIEWED")
       .when(t === "click", "CLICKED")
+      .when(t === "add_to_cart", "ADDED_TO_CART")
       .when(t === "purchase", "PURCHASED")
       .when(t === "signup", "SIGNED_UP")
       .when(t === "error", "ERRORED")

@@ -51,10 +51,11 @@ object RelationalRegistry {
         """SELECT event_id,
           |CASE lower(event_type)
           |  WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+          |  WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
           |  WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
           |  WHEN 'error' THEN 'ERRORED' END AS rel_type
           |FROM events
-          |WHERE lower(event_type) IN ('view','click','purchase','signup','error')
+          |WHERE lower(event_type) IN ('view','click','add_to_cart','purchase','signup','error')
           |ORDER BY event_id""".stripMargin,
       "health" ->
         "SELECT CAST(1 AS BIGINT) AS ok",

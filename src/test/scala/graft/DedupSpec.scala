@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import graft.dedup.Dedup
+
+/** Dedup tiers on a hand-built corpus with known exact/near/shuffled
+  * duplicates. */
+object DedupFixture {
+  case class Doc(doc_id: Long, text: String)
+
+  // 12 tokens; doc2 = exact dup of doc1; doc3 = doc1 shuffled
+  // (token-set dup); doc4 = doc1 with the last token replaced
+  // (3-gram jaccard = 9/11 ≈ 0.818); doc5 unrelated.
+  val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  val docs: Seq[Doc] = Seq(
+    Doc(1, base),
+    Doc(2, base),
+    Doc(3, base.split(" ").reverse.mkString(" ")),
+    Doc(4, base.split(" ").init.mkString(" ") + " nu"),
+    Doc(5, "completely different words entirely unrelated content here now"))
+
+  lazy val dir: String = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-docs").toString
+    docs.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    d
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  private def dir = DedupFixture.dir
+
+  test("exact dedup groups the byte-identical pair, keeps min doc_id") {
+    val rows = Dedup.exact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("token-set dedup also captures the shuffled doc") {
+    val rows = Dedup.tokenSetDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 3L))) // docs 1,2,3 share the token set
+  }
+
+  test("n-gram jaccard finds exact and near pairs with exact scores") {
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0)
+    assert(math.abs(byPair((1L, 4L)) - 9.0 / 11.0) < 1e-12)
+  }
+
+  test("MinHash LSH candidates verify to a subset of the exact pairs") {
+    val lsh = Dedup.minhashLshPairs(spark, dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Set((1L, 2L), (1L, 4L), (2L, 4L))
+    assert(lsh.subsetOf(exactPairs))
+    assert(lsh.contains((1L, 2L))) // identical docs always collide
+  }
+
+  test("SimHash: identical docs at distance 0; pairs blocked by chunks find them") {
+    val hashes = Dedup.simhashes(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // unrelated doc never pairs with the duplicate cluster
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+}

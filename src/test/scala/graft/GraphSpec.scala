@@ -1,0 +1,70 @@
+package graft
+
+import graft.graph.{GraphAlgs, GraphBuilder}
+
+/** Graph build + analytics on the reference seed (FIXTURES.md §2 golden
+  * expectations). */
+class GraphSpec extends SparkTestBase {
+  private def dir = SeedFixture.dir
+
+  test("nodes: 12 across 4 labels, unique ids (G2 constraint audit empty)") {
+    val n = GraphBuilder.nodes(spark, dir)
+    val byLabel = n.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel == Map("Customer" -> 3L, "Product" -> 4L,
+      "Order" -> 3L, "Category" -> 2L))
+    assert(GraphBuilder.duplicateNodeIds(n).isEmpty)
+  }
+
+  test("edges by type match the hand-derived seed graph") {
+    val byType = GraphBuilder.edges(spark, dir)
+      .groupBy("rel_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("PLACED" -> 3L, "CONTAINS" -> 5L,
+      "IN_CATEGORY" -> 4L, "VIEWED" -> 3L, "CLICKED" -> 1L,
+      "ADDED_TO_CART" -> 1L))
+  }
+
+  test("MERGE idempotency: doubled input builds the identical graph (A5/A6)") {
+    val n1 = GraphBuilder.nodes(spark, SeedFixture.dir).collect().toSet
+    val n2 = GraphBuilder.nodes(spark, SeedFixture.dirX2).collect().toSet
+    assert(n1 == n2)
+    val e1 = GraphBuilder.edges(spark, SeedFixture.dir).collect().toSet
+    val e2 = GraphBuilder.edges(spark, SeedFixture.dirX2).collect().toSet
+    assert(e1 == e2)
+  }
+
+  test("degrees agree with the relational edge-list derivation") {
+    val deg = GraphAlgs.degreesTop(spark, dir, k = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // P2 appears in CONTAINS×2 (O1,O3) + IN_CATEGORY + VIEWED = 4.
+    assert(deg("P2") == 4L)
+    // O3: PLACED + CONTAINS×2 = 3.
+    assert(deg("O3") == 3L)
+    // B1 (CAT1): three IN_CATEGORY edges point at it.
+    assert(deg("BCAT1") == 3L)
+  }
+
+  test("personalized PageRank from P2 ranks basket neighbors over strangers") {
+    val ppr = GraphAlgs.personalizedPageRank(spark, dir, "P2", iters = 10,
+      k = 20).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Direct neighbors of P2 (O1, O3 via CONTAINS; B CAT1; C2 via VIEWED
+    // is inbound) must outrank a node with no path from P2.
+    assert(ppr.getOrElse("BCAT1", 0.0) > ppr.getOrElse("C3", 0.0))
+    // All mass reachable: seed excluded from the result set.
+    assert(!ppr.contains("P2"))
+  }
+
+  test("connected components: the seed graph is one weakly-connected blob") {
+    val sizes = GraphAlgs.connectedComponentSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 12 nodes, all reachable through orders/categories/events.
+    assert(sizes.toSeq == Seq((12L, 1L)))
+  }
+
+  test("all-pairs co-occurrence finds exactly the two real pairs") {
+    val pairs = GraphAlgs.allPairsCoOccurrence(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L), (2L, 4L, 1L)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's seed micro-fixture (reference
+  * `postgres/init/02_seed.sql:1-26`, mapped per FIXTURES.md §2) written as
+  * parquet in the testdata layout, so every `(spark, dir) => DataFrame`
+  * operator runs on it unchanged. Entity mapping: C1..C3 → custkey 1..3,
+  * P1..P4 → partkey 1..4, O1..O3 → orderkey 1..3, CAT1/CAT2 → p_brand.
+  *
+  * `dirX2` holds every table twice (concatenated input) for the MERGE
+  * idempotency property (SURVEY §5.3).
+  */
+object SeedFixture {
+
+  case class Customer(c_custkey: Long, c_name: String, c_mktsegment: String)
+  case class Part(p_partkey: Long, p_name: String, p_brand: String,
+                  p_retailprice: Double)
+  case class Order(o_orderkey: Long, o_custkey: Long, o_orderpriority: String,
+                   o_totalprice: Double)
+  case class Lineitem(l_orderkey: Long, l_partkey: Long, l_linenumber: Int,
+                      l_quantity: Double)
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  def customers: Seq[Customer] = Seq(
+    Customer(1, "Alice", "SEG"), Customer(2, "Bob", "SEG"),
+    Customer(3, "Chloé", "SEG"))
+
+  def parts: Seq[Part] = Seq(
+    Part(1, "Wireless Mouse", "CAT1", 29.99),
+    Part(2, "USB-C Hub", "CAT1", 49.00),
+    Part(3, "Graph Databases Book", "CAT2", 39.00),
+    Part(4, "Mechanical Keyboard", "CAT1", 89.00))
+
+  def orders: Seq[Order] = Seq(
+    Order(1, 1, "1-URGENT", 78.99), Order(2, 2, "2-HIGH", 39.00),
+    Order(3, 1, "3-MEDIUM", 138.00))
+
+  def lineitems: Seq[Lineitem] = Seq(
+    Lineitem(1, 1, 1, 1), Lineitem(1, 2, 2, 1), Lineitem(2, 3, 1, 1),
+    Lineitem(3, 4, 1, 1), Lineitem(3, 2, 2, 1))
+
+  /** E1..E5 (02_seed.sql:21-26); target product in props.k, per the
+    * testdata events shape. */
+  def events: Seq[Event] = Seq(
+    Event(1, ts("2024-05-01 10:00:00"), 1, "view", 1.0, """{"k": 3}"""),
+    Event(2, ts("2024-05-01 10:01:00"), 1, "click", 1.0, """{"k": 3}"""),
+    Event(3, ts("2024-05-02 11:00:00"), 3, "view", 1.0, """{"k": 1}"""),
+    Event(4, ts("2024-05-03 12:00:00"), 2, "view", 1.0, """{"k": 2}"""),
+    Event(5, ts("2024-05-04 13:00:00"), 2, "add_to_cart", 1.0, """{"k": 4}"""))
+
+  private def write(spark: SparkSession, path: String, times: Int): String = {
+    import spark.implicits._
+    def dump(df: DataFrame, name: String): Unit =
+      (1 to times).map(_ => df).reduce(_ union _)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$name.parquet")
+    dump(customers.toDF(), "customer")
+    dump(parts.toDF(), "part")
+    dump(orders.toDF(), "orders")
+    dump(lineitems.toDF(), "lineitem")
+    dump(events.toDF(), "events")
+    path
+  }
+
+  /** Fixture dir, built once per JVM. */
+  lazy val dir: String = write(TestSpark.spark,
+    Files.createTempDirectory("graft-seed").toString, times = 1)
+
+  /** Same rows, every table duplicated (idempotency input). */
+  lazy val dirX2: String = write(TestSpark.spark,
+    Files.createTempDirectory("graft-seed-x2").toString, times = 2)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.similarity.Similarity
+
+/** Similarity search on the real sf0.001 embeddings (64-dim ~unit
+  * vectors). */
+class SimilaritySpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("norms: embeddings are approximately unit-length") {
+    val l2 = Similarity.norms(spark, dir).collect().map(_.getDouble(2))
+    assert(l2.forall(v => v > 0.9 && v < 1.1))
+  }
+
+  test("brute-force cosine top-k is sorted, bounded, and excludes the seed") {
+    val rows = Similarity.cosineTopK(spark, dir, 0L, k = 20).collect()
+    assert(rows.length == 20)
+    val cos = rows.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
+  test("IVF ANN achieves usable recall against the exact baseline") {
+    val exact = Similarity.cosineTopK(spark, dir, 0L, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(spark, dir, 0L, k = 20, nClusters = 16,
+      nProbe = 8).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("SRP-LSH pairs: verified cosines respect the threshold and ordering") {
+    val pairs = Similarity.srpLshPairs(spark, dir, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.forall(_._3 >= 0.3))
+    // pairs are unique
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
+}
