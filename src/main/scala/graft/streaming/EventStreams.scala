@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+import graft.operators.Relational
+
+/** Phase S (SURVEY §2.8): the `events` table is stream-shaped (append-only,
+  * monotone-ish `ts`) but the reference batch-scans it and drops `ts`
+  * (reference `app/etl.py:161-164`). Here every transform is written once
+  * against a DataFrame and works in BOTH modes: on `spark.read` it is a
+  * batch plan with a DuckDB oracle; on `spark.readStream` Catalyst compiles
+  * the identical plan incrementally (EliminateEventTimeWatermark removes
+  * the watermark node in batch). That batch/stream equivalence is the
+  * correctness argument for the streaming path — asserted in
+  * StreamingSpec with a MemoryStream.
+  *
+  * Scale: windowed counts are partial-aggregated per microbatch and keyed
+  * by (window, type) — state size is O(open windows × types), bounded by
+  * the watermark. Dedup state is bounded the same way. Sessionization
+  * keeps one small state row per active user.
+  */
+object EventStreams {
+
+  /** File-replay streaming source over a testdata dir — how the driver
+    * parquet becomes a stream (one file per microbatch). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Schema must match the physical file (ts = INT64 nanos); the
+    // micros conversion happens on the stream, as in Tables.load.
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The testdata table is a single file; the streaming file source wants
+    // a directory → stream the dir with a glob pinned to the events table.
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
+  }
+
+  /** Tumbling 1-hour counts per event type with a 10-minute watermark.
+    * Emits epoch-micros window starts (engine-portable, oracle-stable). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+
+  /** A6-within-watermark: behavioral edge maintenance as streaming dedup —
+    * one (user, product, rel_type) edge regardless of how many events
+    * repeat it. In batch this is plain dropDuplicates; in streaming the
+    * watermark bounds the dedup state. */
+  def dedupedBehavioralEdges(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .withColumn("rel_type", Relational.relTypeOf)
+      .filter(col("rel_type").isNotNull)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .dropDuplicates("user_id", "k", "rel_type")
+      .select(col("user_id"), col("k").as("product_id"), col("rel_type"))
+
+  /** Batch twin for the registry: edge counts per type after stream dedup. */
+  def edgeCounts(spark: SparkSession, dir: String): DataFrame =
+    dedupedBehavioralEdges(Tables.load(spark, dir, "events"))
+      .groupBy("rel_type").agg(count(lit(1)).as("n"))
+      .orderBy("rel_type")
+
+  /** Batch twin for the registry: windowed counts, totally ordered. */
+  def windowedCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    windowedCounts(Tables.load(spark, dir, "events"))
+      .orderBy("window_start_us", "event_type")
+
+  /** Batch sessionization: 30-minute-gap sessions per user via window
+    * functions (the lag/cumsum formulation every engine can express —
+    * the DuckDB oracle mirrors it 1:1). */
+  def sessionsBatch(spark: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_no")
+      .agg(min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess_no")
+  }
+
+  // ---- Streaming-only stateful sessionization (flatMapGroupsWithState) ----
+
+  case class SessionEvent(user_id: Long, ts_us: Long)
+  case class SessionState(start_us: Long, last_us: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long)
+
+  /** Custom state machine: emit a session whenever a user's next event
+    * arrives more than `gapMinutes` after the previous one; the open
+    * session stays in GroupState. The streaming twin of sessionsBatch
+    * (modulo the final open session, which only closes on timeout). */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def update(userId: Long, evs: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = evs.toSeq.sortBy(_.ts_us)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[ClosedSession]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.last_us <= gapUs =>
+            cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}

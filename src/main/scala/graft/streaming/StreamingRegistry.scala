@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.Registry
+
+/** Registry + DuckDB oracle twins for the batch twins of the streaming
+  * transforms (batch/stream plan equivalence is proven in StreamingSpec;
+  * the oracle proves the batch side). Timestamps surface as epoch-micros
+  * longs (`epoch_ns // 1000` — lossless here, events carry no sub-µs). */
+object StreamingRegistry {
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "stream_window_counts" -> ((s, d) =>
+        EventStreams.windowedCountsBatch(s, d)),
+      "stream_edge_counts" -> ((s, d) => EventStreams.edgeCounts(s, d)),
+      "stream_sessions" -> ((s, d) => EventStreams.sessionsBatch(s, d))
+    ),
+    oracles = Map(
+      "stream_window_counts" ->
+        """SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS window_start_us,
+          |  event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2
+          |ORDER BY window_start_us, event_type""".stripMargin,
+      "stream_edge_counts" ->
+        """WITH e AS (
+          |  SELECT user_id,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    CASE lower(event_type)
+          |      WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+          |      WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
+          |      WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
+          |      WHEN 'error' THEN 'ERRORED' END AS rel_type
+          |  FROM events
+          |  WHERE lower(event_type) IN
+          |    ('view','click','add_to_cart','purchase','signup','error'))
+          |SELECT rel_type, count(*) AS n FROM (
+          |  SELECT DISTINCT user_id, k, rel_type FROM e WHERE k IS NOT NULL)
+          |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      "stream_sessions" ->
+        """WITH t AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+          |  FROM events),
+          |lagged AS (
+          |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id) AS prev_us FROM t),
+          |flagged AS (
+          |  SELECT *, CASE WHEN prev_us IS NULL
+          |      OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM lagged),
+          |numbered AS (
+          |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+          |  FROM flagged)
+          |SELECT user_id, sess_no, min(ts_us) AS session_start_us,
+          |  max(ts_us) AS session_end_us, count(*) AS n_events
+          |FROM numbered GROUP BY user_id, sess_no
+          |ORDER BY user_id, sess_no""".stripMargin
+    )
+  )
+}

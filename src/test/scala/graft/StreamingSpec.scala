@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{ClosedSession, SessionEvent}
+
+/** Batch/stream plan equivalence (the Phase-S correctness argument):
+  * the same transform over a MemoryStream must converge to the batch
+  * result over the same rows. */
+class StreamingSpec extends SparkTestBase {
+
+  private def seedEventsDf = {
+    import spark.implicits._
+    SeedFixture.events.toDF()
+  }
+
+  test("windowed counts over a stream equal the batch plan on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeedFixture.Event]
+    mem.addData(SeedFixture.events: _*)
+    val q = EventStreams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStreams.windowedCounts(seedEventsDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedup maintains one behavioral edge per (user, product, type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeedFixture.Event]
+    // Feed the seed events twice across two microbatches: the dedup state
+    // must collapse the replay (A6 within watermark).
+    mem.addData(SeedFixture.events: _*)
+    val q = EventStreams.dedupedBehavioralEdges(mem.toDF())
+      .writeStream.format("memory").queryName("edges_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(SeedFixture.events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("edges_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(streamed.length == streamed.distinct.length)
+      val batch = EventStreams.dedupedBehavioralEdges(seedEventsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(streamed.toSet == batch.toSet && batch.length == 5)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000000L // one hour in micros
+      // batch 1: user 1 has two events 10 min apart (one open session)
+      mem.addData(SessionEvent(1L, 0L), SessionEvent(1L, 600L * 1000000L))
+      q.processAllAvailable()
+      assert(spark.table("sessions_stream").isEmpty) // nothing closed yet
+      // batch 2: an event 2h later closes the first session
+      mem.addData(SessionEvent(1L, 2 * h))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_stream").as[ClosedSession].collect()
+      assert(closed.toSeq == Seq(ClosedSession(1L, 0L, 600L * 1000000L, 2L)))
+    } finally q.stop()
+  }
+
+  test("file-replay source streams the testdata events to the same counts") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.windowedCounts(
+        EventStreams.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("replay_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_counts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStreams.windowedCountsBatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+}
