@@ -14,7 +14,8 @@ object SparkEntry {
       text.TextRegistry.registry ++
       dedup.DedupRegistry.registry ++
       similarity.SimilarityRegistry.registry ++
-      streaming.StreamingRegistry.registry
+      streaming.StreamingRegistry.registry ++
+      multimodal.MultimodalRegistry.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * J1+A1+O1 — the reference's entire /recs hot path in one plan

@@ -1,0 +1,188 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal (image/audio/video) columns as opaque binary + typed
+  * metadata — the training-pipeline pattern for media at 100 TB: payloads
+  * stay as `binary` columns co-partitioned with their metadata; per-asset
+  * compute runs batch-at-a-time inside partitions (`mapPartitions` on a
+  * typed Dataset — the JVM analog of `mapInPandas`: one iterator per
+  * partition, no per-row shuffling, no driver collect).
+  *
+  * Real media codecs aren't available in this environment, so the decode
+  * boundary is STUBBED with a deterministic container format, GRF1:
+  *
+  *   magic "GRF1" | kind u8 | width i32 BE | height i32 BE | payload
+  *
+  * Everything around the stub — binary schema, header parsing, partition
+  * iterators, feature extraction, frame sampling, strided resize — is real
+  * Spark plumbing and is tested; swap `decodePayload` for an actual codec
+  * (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) and nothing else changes.
+  *
+  * Assets are synthesized deterministically from `documents` (payload =
+  * UTF-8 bytes zero-padded to width×height), which keeps the dimension
+  * arithmetic oracle-checkable in plain SQL.
+  */
+object Multimodal {
+
+  val Magic: Array[Byte] = "GRF1".getBytes("US-ASCII")
+  val FrameBytes = 64
+
+  case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
+  case class Decoded(asset_id: Long, kind: String, width: Int, height: Int,
+                     n_pixels: Long)
+  case class Histogram(asset_id: Long, histogram: Array[Double])
+  case class Frame(asset_id: Long, frame_no: Int, frame_fp: Long)
+
+  private val kinds = Array("image", "audio", "video")
+
+  /** Deterministic kind per doc (stable mix of the three modalities). */
+  def kindOf(docId: Long): String = kinds((docId % 3).toInt)
+
+  /** width = ceil(sqrt(n)), height = ceil(n / width) — mirrored in the
+    * oracle SQL (DecodeDimsSql). */
+  def dimsFor(n: Int): (Int, Int) = {
+    val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val h = math.max(1, (n + w - 1) / w)
+    (w, h)
+  }
+
+  /** GRF1-encode a byte buffer (the "media file writer"). */
+  def encodePayload(kind: String, data: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(data.length)
+    val buf = java.nio.ByteBuffer.allocate(Magic.length + 1 + 8 + w * h)
+    buf.put(Magic)
+    buf.put(kinds.indexOf(kind).toByte)
+    buf.putInt(w)
+    buf.putInt(h)
+    buf.put(data)          // zero-padded to w*h by allocate()
+    buf.array()
+  }
+
+  /** The decode STUB boundary: parses GRF1. A production build replaces
+    * this one function with a real codec; signature and everything
+    * downstream stay fixed. Returns None on malformed input (corrupt
+    * media is data, not an exception, at 100 TB). */
+  def decodePayload(payload: Array[Byte])
+      : Option[(String, Int, Int, Array[Byte])] = {
+    if (payload.length < 13 ||
+      !payload.take(4).sameElements(Magic)) None
+    else {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+      buf.position(4)
+      val kind = kinds.lift(buf.get().toInt)
+      val w = buf.getInt
+      val h = buf.getInt
+      if (kind.isEmpty || w <= 0 || h <= 0 ||
+        payload.length != 13 + w * h) None
+      else {
+        val body = new Array[Byte](w * h)
+        buf.get(body)
+        Some((kind.get, w, h, body))
+      }
+    }
+  }
+
+  /** Synthesize the assets table from documents: one GRF1 blob per doc. */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        Asset(id, kindOf(id), encodePayload(kindOf(id), text.getBytes("UTF-8")))
+      })
+  }
+
+  /** Decode metadata extraction — one partition-iterator pass, malformed
+    * assets dropped. */
+  def decoded(assetsDs: Dataset[Asset]): Dataset[Decoded] = {
+    import assetsDs.sparkSession.implicits._
+    assetsDs.mapPartitions(_.flatMap { a =>
+      decodePayload(a.payload).map { case (kind, w, h, _) =>
+        Decoded(a.asset_id, kind, w, h, w.toLong * h)
+      }
+    })
+  }
+
+  /** Feature extraction: 16-bin byte histogram (density), batch-shaped:
+    * one primitive accumulation array per asset, no boxing in the loop. */
+  def byteHistograms(assetsDs: Dataset[Asset]): Dataset[Histogram] = {
+    import assetsDs.sparkSession.implicits._
+    assetsDs.mapPartitions(_.flatMap { a =>
+      decodePayload(a.payload).map { case (_, _, _, body) =>
+        val counts = new Array[Double](16)
+        var i = 0
+        while (i < body.length) {
+          counts((body(i) & 0xFF) >>> 4) += 1.0
+          i += 1
+        }
+        val n = math.max(1, body.length).toDouble
+        Histogram(a.asset_id, counts.map(_ / n))
+      }
+    })
+  }
+
+  /** Strided "resize" (every factor-th pixel) — deterministic stand-in for
+    * real resampling; re-encodes to GRF1 so resizes compose. */
+  def resized(assetsDs: Dataset[Asset], factor: Int): Dataset[Asset] = {
+    import assetsDs.sparkSession.implicits._
+    assetsDs.mapPartitions(_.flatMap { a =>
+      decodePayload(a.payload).map { case (kind, _, _, body) =>
+        val sampled = body.grouped(factor).map(_.head).toArray
+        Asset(a.asset_id, kind, encodePayload(kind, sampled))
+      }
+    })
+  }
+
+  /** Frame sampling for video assets: payload = sequence of 64-byte
+    * frames; keep every `every`-th frame, fingerprint each (xxhash-free
+    * deterministic Long fp so the column stays primitive). */
+  def sampledFrames(assetsDs: Dataset[Asset], every: Int): Dataset[Frame] = {
+    import assetsDs.sparkSession.implicits._
+    assetsDs.filter(_.kind == "video").mapPartitions(_.flatMap { a =>
+      decodePayload(a.payload).toSeq.flatMap { case (_, _, _, body) =>
+        body.grouped(FrameBytes).zipWithIndex
+          .filter(_._2 % every == 0)
+          .map { case (frame, idx) =>
+            Frame(a.asset_id, idx, java.util.Arrays.hashCode(frame).toLong)
+          }
+      }
+    })
+  }
+
+  // ---- Oracle-checkable registry queries (dimension/stat arithmetic) ----
+
+  /** Payload stats straight off the documents bytes (pre-container):
+    * byte length + md5 — the binary-column scan pattern. */
+  def payloadStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        md5(encode(col("text"), "UTF-8")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Decoded dims per asset — the mapPartitions decode path, verified
+    * against pure-SQL integer math in the oracle. */
+  def decodeDims(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decoded(assets(spark, dir))
+      .select(col("asset_id").as("doc_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
+  /** Sampled-frame counts per video asset (every 4th frame), vs SQL. */
+  def frameSampleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    sampledFrames(assets(spark, dir), every = 4)
+      .groupBy(col("asset_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import graft.Registry
+
+/** Registry + oracles for the multimodal tier. The binary payloads are
+  * deterministic functions of `documents.text`, so byte stats and the
+  * GRF1 dimension arithmetic have exact SQL twins; the opaque-binary
+  * paths (histograms, resize, frame fingerprints) are covered by
+  * MultimodalSpec instead. */
+object MultimodalRegistry {
+
+  /** Twin of Multimodal.dimsFor over the UTF-8 byte length. */
+  private val DimsCte =
+    """dims AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    greatest(1, CAST(ceil(sqrt(octet_length(encode(text)))) AS BIGINT)) AS w,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents)""".stripMargin
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
+      "mm_decode_dims" -> ((s, d) => Multimodal.decodeDims(s, d)),
+      "mm_frame_counts" -> ((s, d) => Multimodal.frameSampleCounts(s, d))
+    ),
+    oracles = Map(
+      "mm_payload_stats" ->
+        """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          |  md5(text) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "mm_decode_dims" ->
+        s"""WITH $DimsCte
+           |SELECT doc_id, kind, w AS width,
+           |  greatest(1, (n + w - 1) // w) AS height
+           |FROM dims ORDER BY doc_id""".stripMargin,
+      "mm_frame_counts" ->
+        s"""WITH $DimsCte,
+           |px AS (SELECT doc_id, kind,
+           |         w * greatest(1, (n + w - 1) // w) AS n_px FROM dims)
+           |SELECT doc_id, ((n_px + 63) // 64 + 3) // 4 AS n_frames
+           |FROM px WHERE kind = 'video'
+           |ORDER BY doc_id""".stripMargin
+    )
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Asset
+
+/** The binary plumbing around the stubbed decode boundary: container
+  * roundtrip, malformed-input tolerance, feature extraction, resize
+  * composition, frame sampling. */
+class MultimodalSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("GRF1 roundtrip: encode → decode preserves kind, dims, payload") {
+    val data = "hello multimodal world".getBytes("UTF-8")
+    val enc = Multimodal.encodePayload("audio", data)
+    val Some((kind, w, h, body)) = Multimodal.decodePayload(enc)
+    assert(kind == "audio")
+    assert(w.toLong * h >= data.length && body.take(data.length).sameElements(data))
+    assert((w, h) == Multimodal.dimsFor(data.length))
+  }
+
+  test("malformed payloads decode to None, and the pipeline drops them") {
+    import spark.implicits._
+    assert(Multimodal.decodePayload(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodePayload("XXXX0000000000000".getBytes).isEmpty)
+    val mixed = spark.createDataset(Seq(
+      Asset(1L, "image", Multimodal.encodePayload("image", "ok".getBytes)),
+      Asset(2L, "image", Array[Byte](9, 9, 9))))
+    assert(Multimodal.decoded(mixed).collect().map(_.asset_id).toSeq == Seq(1L))
+  }
+
+  test("every document becomes a decodable asset with positive dims") {
+    val dec = Multimodal.decoded(Multimodal.assets(spark, dir)).collect()
+    assert(dec.length == 500)
+    assert(dec.forall(d => d.width > 0 && d.height > 0 &&
+      d.n_pixels == d.width.toLong * d.height))
+  }
+
+  test("byte histograms are densities (sum to 1) and deterministic") {
+    val h1 = Multimodal.byteHistograms(Multimodal.assets(spark, dir))
+      .collect().map(h => h.asset_id -> h.histogram.toSeq).toMap
+    assert(h1.values.forall(h => math.abs(h.sum - 1.0) < 1e-9))
+    val h2 = Multimodal.byteHistograms(Multimodal.assets(spark, dir))
+      .collect().map(h => h.asset_id -> h.histogram.toSeq).toMap
+    assert(h1 == h2)
+  }
+
+  test("resize composes: factor 2 twice ≈ strided factor 4 in size") {
+    val once = Multimodal.resized(Multimodal.assets(spark, dir), 4)
+    val twice = Multimodal.resized(
+      Multimodal.resized(Multimodal.assets(spark, dir), 2), 2)
+    val sizes1 = Multimodal.decoded(once).collect()
+      .map(d => d.asset_id -> d.n_pixels).toMap
+    val sizes2 = Multimodal.decoded(twice).collect()
+      .map(d => d.asset_id -> d.n_pixels).toMap
+    // both are ~n/4; header padding makes them approximately equal
+    assert(sizes1.keySet == sizes2.keySet)
+    sizes1.foreach { case (id, n) =>
+      assert(math.abs(n - sizes2(id)) <= math.max(8L, n / 4),
+        s"asset $id: $n vs ${sizes2(id)}")
+    }
+  }
+
+  test("frame sampling keeps every 4th 64-byte frame of video assets") {
+    val frames = Multimodal.sampledFrames(Multimodal.assets(spark, dir), 4)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 4 == 0))
+    // only video assets (doc_id % 3 == 2) appear
+    assert(frames.forall(_.asset_id % 3 == 2))
+  }
+}
