@@ -19,7 +19,8 @@ object RelationalRegistry {
       "limit_preview" -> ((s, d) => Relational.limitPreview(s, d)),
       "event_relabel" -> ((s, d) => Relational.eventRelabel(s, d)),
       "health" -> ((s, d) => Relational.health(s, d)),
-      "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d))
+      "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+      "json_props_extract" -> ((s, d) => Json.propsExtract(s, d))
     ),
     oracles = Map(
       "scan_project" ->
@@ -70,7 +71,14 @@ object RelationalRegistry {
           |FROM lineitem
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
           |GROUP BY l_returnflag, l_linestatus
-          |ORDER BY l_returnflag, l_linestatus""".stripMargin
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "json_props_extract" ->
+        """WITH e AS (SELECT event_type,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events)
+          |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+          |  min(k) AS min_k, max(k) AS max_k
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
     )
   )
 }
