@@ -54,11 +54,21 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composable (builtins-only) cosine — kept as the reference semantics
+    * and for sessions without the extension registered. */
+  def cosineFold(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  /** Hot-path cosine: the native codegen'd expression (bit-identical to
+    * cosineFold — see CosineF32 — just one fused loop instead of five
+    * array walks). Query builders register it on the session they get. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineF32(a, b)
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings")
+  }
 
   /** Brute-force cosine top-k against a seed vector (exact baseline).
     * Seed side is a 1-row broadcast; the scan + expression stays in one

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.similarity.Similarity
+
+/** The native CosineF32 expression: registration, SQL surface, and exact
+  * bit-parity with the composable higher-order-function formulation. */
+class FunctionsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native cosine is bit-identical to the fold formulation") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val seed = e.filter(col("vec_id") === 0L).select(col("embedding").as("se"))
+    val both = e.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        GraftFunctions.cosineF32(col("embedding"), col("se")).as("native"),
+        Similarity.cosineFold(col("embedding"), col("se")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("registered function is callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    // orthogonal vectors
+    val o = spark.sql(
+      "SELECT cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))")
+      .head().getDouble(0)
+    assert(math.abs(o) < 1e-12)
+  }
+
+  test("null inputs propagate null (BinaryExpression null-safety)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_f32(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .head()
+    assert(r.isNullAt(0))
+  }
+}
