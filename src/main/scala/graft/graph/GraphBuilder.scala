@@ -117,4 +117,23 @@ object GraphBuilder {
     * Spark has no constraints; this is the audit query — must be empty. */
   def duplicateNodeIds(nodesDf: DataFrame): DataFrame =
     nodesDf.groupBy("id").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** S5 — the graph sink (reference `app/etl.py:166-279`'s batched MERGE
+    * load, reduced to one lazy DAG + write): canonical nodes/edges parquet
+    * partitioned by label/rel_type, so per-label and per-type readers
+    * prune whole directories — the layout the /recs queries and GraphX
+    * loads would read at 100 TB. Overwrite-by-derivation replaces MERGE
+    * idempotency (rerunning produces the same bytes). */
+  def writeCanonical(spark: SparkSession, dir: String, outDir: String): Unit = {
+    nodes(spark, dir).write.mode("overwrite")
+      .partitionBy("label").parquet(s"$outDir/nodes")
+    edges(spark, dir).write.mode("overwrite")
+      .partitionBy("rel_type").parquet(s"$outDir/edges")
+  }
+
+  /** Readers for the canonical layout (partition pruning on label/type). */
+  def readNodes(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/nodes")
+  def readEdges(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/edges")
 }

@@ -62,6 +62,24 @@ class GraphSpec extends SparkTestBase {
     assert(sizes.toSeq == Seq((12L, 1L)))
   }
 
+  test("canonical write round-trips, partitioned by label/rel_type, idempotently") {
+    val out = java.nio.file.Files.createTempDirectory("graft-canon").toString
+    GraphBuilder.writeCanonical(spark, dir, out)
+    GraphBuilder.writeCanonical(spark, dir, out) // overwrite-by-derivation
+    val n = GraphBuilder.readNodes(spark, out)
+    val e = GraphBuilder.readEdges(spark, out)
+    assert(n.count() == 12 && e.count() == 17)
+    // layout: one directory per label/rel_type (partition pruning surface)
+    val labelDirs = new java.io.File(s"$out/nodes").list()
+      .filter(_.startsWith("label=")).sorted
+    assert(labelDirs.toSeq == Seq("label=Category", "label=Customer",
+      "label=Order", "label=Product"))
+    // a per-type read prunes to its directory and matches the in-memory build
+    val contains = e.filter(org.apache.spark.sql.functions
+      .col("rel_type") === "CONTAINS")
+    assert(contains.count() == 5)
+  }
+
   test("all-pairs co-occurrence finds exactly the two real pairs") {
     val pairs = GraphAlgs.allPairsCoOccurrence(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
