@@ -161,10 +161,12 @@ object Dedup {
     verifyJaccard(sh, candidates, threshold)
   }
 
-  /** SimHash: 64-bit bitwise fingerprint — per token-hash bit, sum ±1 over
-    * the doc, sign → bit. Pure higher-order functions over xxhash64 (stays
-    * in codegen; no oracle — xxhash64 has no DuckDB twin). */
-  def simhashCol(toks: Column): Column = {
+  /** SimHash via builtins only: 64-bit bitwise fingerprint — per
+    * token-hash bit, sum ±1 over the doc, sign → bit. Kept as the
+    * reference semantics for the native-expression parity test; the hot
+    * path uses functions.SimHash64 (same result, one loop instead of a
+    * 64-wide expression tree per token). */
+  def simhashColFold(toks: Column): Column = {
     // Bit positions are static → unroll with Scala ints (shiftleft/right
     // take Int shift amounts); the whole thing stays one codegen'd
     // expression tree, no UDF.
@@ -182,13 +184,17 @@ object Dedup {
   }
 
   /** Persisted for the same reason as shingles: the pair join references
-    * the signature relation twice (d1/d2 sides) and the 64-bit-vote
-    * expression is the expensive part. */
-  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    * the signature relation twice (d1/d2 sides) and the hash computation
+    * is the expensive part. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), simhashCol(TextAnalysis.tokens).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simHash64(TextAnalysis.tokens)
+          .as("simhash"))
       .orderBy("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, blocked by four
     * 16-bit chunks. Pigeonhole: a pair within distance 3 must match ≥1 of

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val cosineF32Id: FunctionIdentifier = FunctionIdentifier("cosine_f32")
+  val simHash64Id: FunctionIdentifier = FunctionIdentifier("simhash64")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -22,16 +23,25 @@ object GraftFunctions {
       reg.registerFunction(cosineF32Id, CosineF32.info,
         exprs => CosineF32(exprs(0), exprs(1)))
     }
+    if (!reg.functionExists(simHash64Id)) {
+      reg.registerFunction(simHash64Id, SimHash64.info,
+        exprs => SimHash64(exprs(0)))
+    }
   }
 
-  /** Column-level helper; requires `register` (or the extension) first. */
+  /** Column-level helpers; require `register` (or the extension) first. */
   def cosineF32(a: Column, b: Column): Column =
     call_function("cosine_f32", a, b)
+  def simHash64(toks: Column): Column =
+    call_function("simhash64", toks)
 }
 
 /** `spark.sql.extensions`-injectable variant. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.cosineF32Id, CosineF32.info,
       exprs => CosineF32(exprs(0), exprs(1))))
+    ext.injectFunction((GraftFunctions.simHash64Id, SimHash64.info,
+      exprs => SimHash64(exprs(0))))
+  }
 }

@@ -41,6 +41,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(o) < 1e-12)
   }
 
+  test("native simhash64 is identical to the fold formulation") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(col("doc_id"),
+        GraftFunctions.simHash64(graft.text.TextAnalysis.tokens).as("native"),
+        graft.dedup.Dedup.simhashColFold(graft.text.TextAnalysis.tokens)
+          .as("fold"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+  }
+
   test("null inputs propagate null (BinaryExpression null-safety)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
