@@ -48,8 +48,10 @@ object GraphAlgs {
   private def builtGraph(spark: SparkSession, dir: String)
       : (Graph[String, Double], DataFrame) = graphCache.synchronized {
     graphCache.getOrElseUpdate(dir, {
-      val (g, vm) = graphOf(GraphBuilder.nodes(spark, dir),
-        GraphBuilder.edges(spark, dir))
+      // raw builders: .rdd off the columnar cache is slower than
+      // re-running the codegen'd plans (see GraphBuilder.buildNodes).
+      val (g, vm) = graphOf(GraphBuilder.buildNodes(spark, dir),
+        GraphBuilder.buildEdges(spark, dir))
       (g.cache(), vm)
     })
   }

@@ -130,16 +130,33 @@ object Similarity {
     * the probed partitions. At scale the cluster id becomes the parquet
     * partition key, so a probe reads nprobe/k of the data. No SQL oracle —
     * recall vs cosineTopK is asserted in ScalaTest. */
+  /** The trained partitioner (the "inverted file") is index state, not
+    * per-query work — memoize per (dir, k) like a vector store would
+    * persist its centroids + assignments. */
+  private val ivfCache = scala.collection.mutable.Map.empty[
+    (String, Int), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]
+
+  private def ivfIndex(spark: SparkSession, dir: String, nClusters: Int)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    ivfCache.synchronized {
+      ivfCache.getOrElseUpdate((dir, nClusters), {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = emb(spark, dir)
+          .withColumn("features",
+            array_to_vector(col("embedding").cast("array<double>")))
+        val model = new KMeans().setK(nClusters).setSeed(42L)
+          .setFeaturesCol("features").fit(e)
+        val assigned = model.transform(e)
+          .withColumnRenamed("prediction", "cluster")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (model, assigned)
+      })
+    }
+
   def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
               k: Int = 20, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = emb(spark, dir)
-      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-      .cache()
-    val model = new KMeans().setK(nClusters).setSeed(42L)
-      .setFeaturesCol("features").fit(e)
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cluster")
+    val (model, assigned) = ivfIndex(spark, dir, nClusters)
     val seedVec = assigned.filter(col("vec_id") === seedId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val probes = model.clusterCenters.zipWithIndex
