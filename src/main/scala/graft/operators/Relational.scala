@@ -109,6 +109,25 @@ object Relational {
       .select("event_id", "rel_type")
       .orderBy("event_id")
 
+  /** ROLLUP pricing summary — grouping-sets coverage beyond the
+    * reference's flat GROUP BY: per (flag, status), per flag, and grand
+    * total in one pass (partial aggregation handles all levels map-side). */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** HLL approximate distinct next to the exact count — the sketch tier
+    * for 100 TB cardinalities where exact distinct means a full shuffle.
+    * No DuckDB oracle (sketches differ across engines); the ±5% accuracy
+    * contract is asserted in RelationalSpec. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+
   /** S7 — liveness probe (reference `SELECT 1`, `app/etl.py:46-47`). */
   def health(spark: SparkSession, dir: String): DataFrame = {
     val _ = dir

@@ -20,7 +20,9 @@ object RelationalRegistry {
       "event_relabel" -> ((s, d) => Relational.eventRelabel(s, d)),
       "health" -> ((s, d) => Relational.health(s, d)),
       "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
-      "json_props_extract" -> ((s, d) => Json.propsExtract(s, d))
+      "json_props_extract" -> ((s, d) => Json.propsExtract(s, d)),
+      "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
+      "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
     ),
     oracles = Map(
       "scan_project" ->
@@ -78,7 +80,14 @@ object RelationalRegistry {
           |FROM events)
           |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
           |  min(k) AS min_k, max(k) AS max_k
-          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+          |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "rollup_pricing" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          |FROM lineitem
+          |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+      // approx_distinct: rows-only (HLL sketches differ across engines)
     )
   )
 }

@@ -53,6 +53,20 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"))
 
+  /** Sliding 1-hour windows every 30 minutes (each event lands in two
+    * windows) — same batch/stream duality as windowedCounts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+
+  /** Batch twin for the registry, totally ordered. */
+  def slidingCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.load(spark, dir, "events"))
+      .orderBy("window_start_us", "event_type")
+
   /** A6-within-watermark: behavioral edge maintenance as streaming dedup —
     * one (user, product, rel_type) edge regardless of how many events
     * repeat it. In batch this is plain dropDuplicates; in streaming the

@@ -12,6 +12,8 @@ object StreamingRegistry {
     queries = Map(
       "stream_window_counts" -> ((s, d) =>
         EventStreams.windowedCountsBatch(s, d)),
+      "stream_sliding_counts" -> ((s, d) =>
+        EventStreams.slidingCountsBatch(s, d)),
       "stream_edge_counts" -> ((s, d) => EventStreams.edgeCounts(s, d)),
       "stream_sessions" -> ((s, d) => EventStreams.sessionsBatch(s, d))
     ),
@@ -20,6 +22,22 @@ object StreamingRegistry {
         """SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS window_start_us,
           |  event_type, count(*) AS n
           |FROM events GROUP BY 1, 2
+          |ORDER BY window_start_us, event_type""".stripMargin,
+      "stream_sliding_counts" ->
+        """WITH b AS (
+          |  SELECT event_type,
+          |    epoch_ns(date_trunc('hour', ts)) // 1000
+          |      + CASE WHEN epoch_ns(ts) // 1000
+          |               - epoch_ns(date_trunc('hour', ts)) // 1000
+          |               >= 1800000000 THEN 1800000000 ELSE 0 END
+          |      AS aligned_us
+          |  FROM events),
+          |w AS (
+          |  SELECT event_type, aligned_us AS window_start_us FROM b
+          |  UNION ALL
+          |  SELECT event_type, aligned_us - 1800000000 FROM b)
+          |SELECT window_start_us, event_type, count(*) AS n
+          |FROM w GROUP BY 1, 2
           |ORDER BY window_start_us, event_type""".stripMargin,
       "stream_edge_counts" ->
         """WITH e AS (

@@ -77,6 +77,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** tf-idf-style top terms per document: score = tf × (N / df). The
+    * inverse-document-frequency factor is kept as a plain ratio rather
+    * than log(N/df) — same ranking for fixed tf levels, and exact-int
+    * division is bit-identical across engines where `ln` is not (libm
+    * last-ulp differences would break the oracle hash). Two shuffles:
+    * term-count and df; the rank is a per-doc window over ≤ |vocab| rows. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(tokens).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("score"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Document fingerprinting: md5 of the normalized text (the exact-dedup
     * key) plus a content-defined prefix fingerprint (first 8 tokens) that
     * survives suffix edits — both deterministic and oracle-checkable. */

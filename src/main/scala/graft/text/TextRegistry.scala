@@ -28,7 +28,8 @@ object TextRegistry {
         TextAnalysis.langId(s, d)
           .withColumn("marker_hits", col("marker_hits").cast("bigint"))
       }),
-      "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d))
+      "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+      "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->
@@ -65,7 +66,22 @@ object TextRegistry {
       "text_fingerprint" ->
         s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
            |  md5(array_to_string(($Toks)[1:8], ' ')) AS prefix_fp
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_top_terms" ->
+        s"""WITH terms AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM
+           |       (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (SELECT doc_id, term,
+           |    CAST(tf AS DOUBLE) * n_docs / df AS score
+           |  FROM tf JOIN df USING (term), n)
+           |SELECT doc_id, term, score,
+           |  CAST(row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+           |FROM scored
+           |QUALIFY rk <= 3
+           |ORDER BY doc_id, rk""".stripMargin
     )
   )
 }

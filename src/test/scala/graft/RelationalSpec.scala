@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Relational
+import graft.text.TextAnalysis
+
+class RelationalSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx distinct is within 5% of exact (HLL default accuracy)") {
+    val r = Relational.approxDistinct(spark, dir).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("rollup emits per-pair, per-flag, and grand-total levels") {
+    val rows = Relational.rollupPricing(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val perFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == 6000)
+    assert(perFlag.map(_.getLong(2)).sum == 6000)
+  }
+
+  test("top terms: scores are tf-monotone within a doc, k per doc, ranked") {
+    val rows = TextAnalysis.topTerms(spark, dir, k = 3).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { docRows =>
+      val scores = docRows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -32,6 +32,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows over a stream equal the batch plan; each event lands twice") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeedFixture.Event]
+    mem.addData(SeedFixture.events: _*)
+    val q = EventStreams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_counts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStreams.slidingCounts(seedEventsDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // 1h window / 30m slide: total count doubles the event count
+      assert(batch.toSeq.map(_._3).sum == 2L * SeedFixture.events.length)
+    } finally q.stop()
+  }
+
   test("streaming dedup maintains one behavioral edge per (user, product, type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
