@@ -22,7 +22,8 @@ object RelationalRegistry {
       "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
       "json_props_extract" -> ((s, d) => Json.propsExtract(s, d)),
       "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
-      "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d))
+      "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+      "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d))
     ),
     oracles = Map(
       "scan_project" ->
@@ -86,8 +87,20 @@ object RelationalRegistry {
           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
           |FROM lineitem
           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
       // approx_distinct: rows-only (HLL sketches differ across engines)
+      "asof_event_order" ->
+        """WITH ord AS (
+          |  SELECT o_custkey AS user_id,
+          |    epoch_ns(o_orderdate) // 1000 AS ts_us,
+          |    max(o_orderkey) AS order_id
+          |  FROM orders GROUP BY 1, 2),
+          |ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+          |       FROM events)
+          |SELECT e.event_id, e.user_id, e.ts_us, o.order_id
+          |FROM ev e ASOF LEFT JOIN ord o
+          |  ON e.user_id = o.user_id AND e.ts_us >= o.ts_us
+          |ORDER BY event_id""".stripMargin
     )
   )
 }

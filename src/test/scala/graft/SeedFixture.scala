@@ -18,7 +18,7 @@ object SeedFixture {
   case class Part(p_partkey: Long, p_name: String, p_brand: String,
                   p_retailprice: Double)
   case class Order(o_orderkey: Long, o_custkey: Long, o_orderpriority: String,
-                   o_totalprice: Double)
+                   o_totalprice: Double, o_orderdate: java.sql.Timestamp)
   case class Lineitem(l_orderkey: Long, l_partkey: Long, l_linenumber: Int,
                       l_quantity: Double)
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -37,8 +37,9 @@ object SeedFixture {
     Part(4, "Mechanical Keyboard", "CAT1", 89.00))
 
   def orders: Seq[Order] = Seq(
-    Order(1, 1, "1-URGENT", 78.99), Order(2, 2, "2-HIGH", 39.00),
-    Order(3, 1, "3-MEDIUM", 138.00))
+    Order(1, 1, "1-URGENT", 78.99, ts("2024-04-01 10:15:00")),
+    Order(2, 2, "2-HIGH", 39.00, ts("2024-04-02 12:30:00")),
+    Order(3, 1, "3-MEDIUM", 138.00, ts("2024-04-05 08:05:00")))
 
   def lineitems: Seq[Lineitem] = Seq(
     Lineitem(1, 1, 1, 1), Lineitem(1, 2, 2, 1), Lineitem(2, 3, 1, 1),
