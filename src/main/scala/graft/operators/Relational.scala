@@ -128,6 +128,32 @@ object Relational {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
 
+  /** Set operations (absent from the reference, SURVEY §2.6; covered for
+    * engine completeness): customers appearing in orders vs events —
+    * intersect / except / union all, one count per branch. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orderCusts = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("c")).distinct()
+    val eventCusts = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("c")).distinct()
+    val both = orderCusts.intersect(eventCusts).agg(count(lit(1)).as("n"))
+      .select(lit("intersect").as("op"), col("n"))
+    val onlyOrders = orderCusts.except(eventCusts).agg(count(lit(1)).as("n"))
+      .select(lit("except").as("op"), col("n"))
+    val all = orderCusts.unionAll(eventCusts).agg(count(lit(1)).as("n"))
+      .select(lit("union_all").as("op"), col("n"))
+    both.unionByName(onlyOrders).unionByName(all).orderBy("op")
+  }
+
+  /** Approximate quantiles (KLL-family sketch) beside exact — the other
+    * sketch tier for 100 TB distributions. Rows-only (sketch impls differ
+    * across engines); accuracy contract tested in RelationalSpec. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+        .as("approx_median"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+
   /** S7 — liveness probe (reference `SELECT 1`, `app/etl.py:46-47`). */
   def health(spark: SparkSession, dir: String): DataFrame = {
     val _ = dir

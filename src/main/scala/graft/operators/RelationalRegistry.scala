@@ -23,7 +23,10 @@ object RelationalRegistry {
       "json_props_extract" -> ((s, d) => Json.propsExtract(s, d)),
       "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
-      "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d))
+      "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
+      "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
+      "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+      "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
       "scan_project" ->
@@ -100,7 +103,31 @@ object RelationalRegistry {
           |SELECT e.event_id, e.user_id, e.ts_us, o.order_id
           |FROM ev e ASOF LEFT JOIN ord o
           |  ON e.user_id = o.user_id AND e.ts_us >= o.ts_us
-          |ORDER BY event_id""".stripMargin
+          |ORDER BY event_id""".stripMargin,
+      "range_event_orders" ->
+        s"""WITH ord AS (SELECT o_custkey AS user_id, o_orderkey,
+           |    epoch_ns(o_orderdate) // 1000 AS ots FROM orders),
+           |ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ets
+           |       FROM events)
+           |SELECT e.event_id, e.user_id, count(*) AS n_orders_near,
+           |  min(abs(e.ets - o.ots)) AS closest_us
+           |FROM ev e JOIN ord o ON e.user_id = o.user_id
+           |  AND abs(e.ets - o.ots) <= ${14L * 24 * 3600 * 1000000L}
+           |GROUP BY e.event_id, e.user_id
+           |ORDER BY event_id""".stripMargin,
+      "set_ops" ->
+        """WITH oc AS (SELECT DISTINCT o_custkey AS c FROM orders),
+          |ec AS (SELECT DISTINCT user_id AS c FROM events)
+          |SELECT 'intersect' AS op, count(*) AS n FROM
+          |  (SELECT c FROM oc INTERSECT SELECT c FROM ec)
+          |UNION ALL
+          |SELECT 'except', count(*) FROM
+          |  (SELECT c FROM oc EXCEPT SELECT c FROM ec)
+          |UNION ALL
+          |SELECT 'union_all', count(*) FROM
+          |  (SELECT c FROM oc UNION ALL SELECT c FROM ec)
+          |ORDER BY op""".stripMargin
+      // approx_quantiles: rows-only (sketch families differ across engines)
     )
   )
 }
