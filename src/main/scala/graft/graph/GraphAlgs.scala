@@ -120,20 +120,50 @@ object GraphAlgs {
       .orderBy("size")
   }
 
+  /** Pair fan-out per order is quadratic in basket size; a single
+    * pathological mega-basket (bot traffic, bulk imports) would dominate
+    * the whole job at 100 TB. Baskets above this size are excluded — the
+    * documented semantics, mirrored in the oracle SQL. No-op on sane data
+    * (testdata max basket ≈ dozens). */
+  val MaxBasketSize = 1000
+
   /** G5 all-pairs variant — materialized co-occurrence: top-k product pairs
-    * by shared orders. One shuffle on order_id; pair fan-out is bounded by
-    * basket size (quadratic per order, not per table — for 100 TB, cap or
-    * salt pathological mega-baskets). */
+    * by shared orders. One shuffle on order_id; per-order fan-out bounded
+    * by MaxBasketSize². */
   def allPairsCoOccurrence(spark: SparkSession, dir: String,
                            k: Int = 20): DataFrame = {
     val items = graft.operators.Recs.containsEdges(spark, dir)
-    val a = items.select(col("order_id"), col("product_id").as("p1"))
-    val b = items.select(col("order_id"), col("product_id").as("p2"))
+    val sane = items.groupBy("order_id")
+      .agg(count(lit(1)).as("basket_n"))
+      .filter(col("basket_n") <= MaxBasketSize)
+      .select("order_id")
+    val bounded = items.join(sane, "order_id")
+    val a = bounded.select(col("order_id"), col("product_id").as("p1"))
+    val b = bounded.select(col("order_id"), col("product_id").as("p2"))
     a.join(b, "order_id")
       .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), asc("p1"), asc("p2"))
+      .limit(k)
+  }
+
+  /** BFS distances to a landmark node (GraphX ShortestPaths, directed).
+    * Rows-only (iterative Pregel, no SQL twin); fixture-tested. */
+  def shortestPathsTo(spark: SparkSession, dir: String, landmark: String,
+                      k: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (graph, vm) = builtGraph(spark, dir)
+    val landmarkVid = vm.filter(col("id") === landmark).select("vid")
+      .head().getLong(0)
+    val res = org.apache.spark.graphx.lib.ShortestPaths
+      .run(graph, Seq(landmarkVid))
+    res.vertices.join(graph.vertices)
+      .flatMap { case (_, (spMap, id)) =>
+        spMap.get(landmarkVid).map(d => (id, d.toLong))
+      }
+      .toDF("id", "dist")
+      .orderBy(asc("dist"), asc("id"))
       .limit(k)
   }
 }

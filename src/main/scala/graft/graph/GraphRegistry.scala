@@ -59,7 +59,9 @@ object GraphRegistry {
         GraphAlgs.personalizedPageRank(s, d, "P1")),
       "graphx_pagerank_top" -> ((s, d) => GraphAlgs.pageRankTop(s, d)),
       "graphx_components" -> ((s, d) =>
-        GraphAlgs.connectedComponentSizes(s, d))
+        GraphAlgs.connectedComponentSizes(s, d)),
+      "graphx_shortest_paths" -> ((s, d) =>
+        GraphAlgs.shortestPathsTo(s, d, "P1"))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -89,12 +91,15 @@ object GraphRegistry {
            |SELECT id, count(*) AS degree FROM d
            |GROUP BY id ORDER BY degree DESC, id ASC LIMIT 20""".stripMargin,
       "allpairs_cooccurrence" ->
-        """WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem)
-          |SELECT a.product_id AS p1, b.product_id AS p2, count(*) AS n_orders
-          |FROM items a JOIN items b ON a.order_id = b.order_id
-          |WHERE a.product_id < b.product_id
-          |GROUP BY 1, 2
-          |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+           |sane AS (SELECT order_id FROM items GROUP BY order_id
+           |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+           |bounded AS (SELECT i.* FROM items i JOIN sane USING (order_id))
+           |SELECT a.product_id AS p1, b.product_id AS p2, count(*) AS n_orders
+           |FROM bounded a JOIN bounded b ON a.order_id = b.order_id
+           |WHERE a.product_id < b.product_id
+           |GROUP BY 1, 2
+           |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
     )
   )
 }

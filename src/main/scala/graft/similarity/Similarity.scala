@@ -176,6 +176,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroids, one row per (label, dimension). Plain double
+    * `sum` under groupBy is partition-order-dependent (float addition is
+    * non-associative) and float→decimal casts round differently across
+    * engines; instead collect, sort, and fold — a canonical summation
+    * order both engines reproduce bit-identically. Group size is the
+    * per-label row count; at larger scale switch to a two-level
+    * (partial-sorted-fold, merge-fold) tree with fixed fan-in. posexplode
+    * keeps the unpivot in one codegen pass; one shuffle on (label, dim). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(
+        (aggregate(sort_array(collect_list(col("v").cast("double"))),
+          lit(0.0), (s, x) => s + x) / count(lit(1))).as("mean"))
+      .orderBy("label", "dim")
+
   /** Per-vector L2 norms — cheap scan coverage of the vector arithmetic. */
   def norms(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)

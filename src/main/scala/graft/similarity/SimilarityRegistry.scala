@@ -42,6 +42,7 @@ object SimilarityRegistry {
   val registry: Registry = Registry(
     queries = Map(
       "sim_norms" -> ((s, d) => Similarity.norms(s, d)),
+      "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
       "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, SeedVec)),
       "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
       "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec))
@@ -50,6 +51,14 @@ object SimilarityRegistry {
       "sim_norms" ->
         s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
            |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "sim_label_centroids" ->
+        """WITH u AS (SELECT label, unnest(embedding) AS x,
+          |  unnest(generate_series(1, len(embedding))) AS ord
+          |FROM embeddings)
+          |SELECT label, ord - 1 AS dim,
+          |  list_sum(list_sort(list(CAST(x AS DOUBLE)))) / count(*) AS mean
+          |FROM u GROUP BY label, dim
+          |ORDER BY label, dim""".stripMargin,
       "sim_cosine_topk" ->
         s"""WITH s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = $SeedVec)
            |SELECT vec_id, label, ${cosSql("embedding", "se")} AS cos

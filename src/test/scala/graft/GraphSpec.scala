@@ -62,6 +62,16 @@ class GraphSpec extends SparkTestBase {
     assert(sizes.toSeq == Seq((12L, 1L)))
   }
 
+  test("shortest paths to P1 follow edge direction: self 0, O1 1, C1 2") {
+    val d = GraphAlgs.shortestPathsTo(spark, dir, "P1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("P1") == 0L)
+    assert(d("O1") == 1L)  // O1 -CONTAINS-> P1
+    assert(d("C1") == 2L)  // C1 -PLACED-> O1 -CONTAINS-> P1
+    assert(d("C3") == 1L)  // C3 -VIEWED-> P1
+    assert(!d.contains("BCAT1")) // categories have no out-edges
+  }
+
   test("canonical write round-trips, partitioned by label/rel_type, idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-canon").toString
     GraphBuilder.writeCanonical(spark, dir, out)
