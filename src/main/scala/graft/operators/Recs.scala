@@ -16,13 +16,23 @@ import graft.Tables
   */
 object Recs {
 
-  /** CONTAINS edge set: one edge per (order, product) — Cypher MERGE
-    * collapses duplicate order-items into one edge (reference
-    * `app/etl.py:240-247`, SURVEY §2.4 A6). */
-  def containsEdges(spark: SparkSession, dir: String): DataFrame =
+  /** Raw (order, product) incidence rows, pre-dedup. Per-seed queries
+    * dedup AFTER broadcast-pruning to the seed's orders: Catalyst cannot
+    * push a join below an Aggregate, so `distinct().join(...)` would
+    * shuffle the full fact table at 100 TB, while `join(...).distinct()`
+    * shuffles only the pruned slice. The two commute for semi-join-shaped
+    * plans, so results (and oracles) are unchanged. */
+  private def rawItems(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("order_id"), col("l_partkey").as("product_id"))
-      .distinct()
+
+  /** CONTAINS edge set: one edge per (order, product) — Cypher MERGE
+    * collapses duplicate order-items into one edge (reference
+    * `app/etl.py:240-247`, SURVEY §2.4 A6). Whole-table dedup: only for
+    * consumers that genuinely need the full edge set (graph build,
+    * all-pairs). */
+  def containsEdges(spark: SparkSession, dir: String): DataFrame =
+    rawItems(spark, dir).distinct()
 
   /** J1+A1+O1 — basket co-occurrence for a seed product, the flagship read
     * path (reference `app/main.py:51-60`):
@@ -33,11 +43,12 @@ object Recs {
     */
   def coOccurrence(spark: SparkSession, dir: String, seedPart: Long,
                    k: Int = 10): DataFrame = {
-    val items = containsEdges(spark, dir)
-    val seedOrders = items.filter(col("product_id") === seedPart)
-      .select("order_id")
-    items.join(broadcast(seedOrders), "order_id")
-      .filter(col("product_id") =!= seedPart)
+    val li = rawItems(spark, dir)
+    val seedOrders = li.filter(col("product_id") === seedPart)
+      .select("order_id").distinct()
+    li.filter(col("product_id") =!= seedPart)
+      .join(broadcast(seedOrders), "order_id")
+      .distinct() // A6 dedup on the pruned slice, not the full table
       .groupBy("product_id")
       .agg(count(lit(1)).cast("double").as("score"))
       .withColumn("reason", lit("co-occurrence"))
@@ -69,12 +80,15 @@ object Recs {
       .select(col("o_custkey").as("customer_id"), col("o_orderkey").as("order_id"))
 
   /** Products a customer has purchased — the J3/J5 seed set and the J4
-    * anti-join right side. Tiny after the point filter → broadcast. */
+    * anti-join right side. Tiny after the point filter → broadcast; the
+    * fact table is pruned by the broadcast join BEFORE dedup. */
   private def purchasedBy(spark: SparkSession, dir: String,
-                          custId: Long): DataFrame =
-    placedEdges(spark, dir).filter(col("customer_id") === custId)
-      .join(containsEdges(spark, dir), "order_id")
+                          custId: Long): DataFrame = {
+    val myOrders = placedEdges(spark, dir)
+      .filter(col("customer_id") === custId).select("order_id")
+    rawItems(spark, dir).join(broadcast(myOrders), "order_id")
       .select("product_id").distinct()
+  }
 
   /** J3+J4+A1+O1 — customer co-occurrence recs (reference
     * `app/main.py:88-98`): products co-occurring in orders with anything
@@ -82,11 +96,12 @@ object Recs {
     * pattern negation → left-anti join), scored by count. */
   def customerRecs(spark: SparkSession, dir: String, custId: Long,
                    k: Int = 10): DataFrame = {
-    val items = containsEdges(spark, dir)
+    val li = rawItems(spark, dir)
     val mine = purchasedBy(spark, dir, custId)
-    val seedOrders = items.join(broadcast(mine), "product_id")
+    val seedOrders = li.join(broadcast(mine), "product_id")
       .select("order_id").distinct()
-    items.join(broadcast(seedOrders), "order_id")
+    li.join(broadcast(seedOrders), "order_id")
+      .distinct() // A6 dedup after broadcast pruning (see rawItems)
       .join(broadcast(mine), Seq("product_id"), "left_anti")
       .groupBy("product_id")
       .agg(count(lit(1)).cast("double").as("score"))
