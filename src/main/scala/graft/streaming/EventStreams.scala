@@ -113,6 +113,49 @@ object EventStreams {
       .orderBy("user_id", "sess_no")
   }
 
+  // ---- foreachBatch incremental edge-store maintenance (SURVEY §2.8) ----
+
+  /** Incrementally maintain the behavioral edge store from the event
+    * stream: each microbatch's deduped edges are merged into a parquet
+    * store (read ∪ batch → dedup → overwrite). MERGE-upsert semantics
+    * (A6) across the whole stream, arriving incrementally. At warehouse
+    * scale the overwrite becomes a partition-level (or Delta/Iceberg
+    * MERGE) operation keyed by rel_type; the merge logic is identical.
+    * Returns the started query; the store directory is readable between
+    * microbatches. */
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
+  def maintainEdgeStore(events: DataFrame, storeDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    dedupedBehavioralEdges(events).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val incoming = batch.select("user_id", "product_id", "rel_type")
+        val merged =
+          if (new java.io.File(storeDir).exists())
+            spark.read.parquet(storeDir).unionByName(incoming)
+              .dropDuplicates("user_id", "product_id", "rel_type")
+          else incoming.dropDuplicates("user_id", "product_id", "rel_type")
+        // Can't overwrite a dir we're reading: stage → swap (a Delta/
+        // Iceberg MERGE makes this transactional at warehouse scale).
+        val staging = new java.io.File(storeDir + ".staging")
+        merged.write.mode("overwrite").parquet(staging.getPath)
+        val live = new java.io.File(storeDir)
+        if (live.exists()) {
+          val old = new java.io.File(storeDir + ".old")
+          java.nio.file.Files.move(live.toPath, old.toPath)
+          java.nio.file.Files.move(staging.toPath, live.toPath)
+          deleteRec(old)
+        } else java.nio.file.Files.move(staging.toPath, live.toPath)
+        ()
+      }
+      .start()
+  }
+
   // ---- Streaming-only stateful sessionization (flatMapGroupsWithState) ----
 
   case class SessionEvent(user_id: Long, ts_us: Long)

@@ -96,6 +96,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch edge store converges to the batch edge set across replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-edges")
+      .resolve("store").toString
+    val mem = MemoryStream[SeedFixture.Event]
+    val q = EventStreams.maintainEdgeStore(mem.toDF(), store)
+    try {
+      mem.addData(SeedFixture.events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(SeedFixture.events: _*) // replay everything (dups)
+      q.processAllAvailable()
+      val stored = spark.read.parquet(store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = EventStreams.dedupedBehavioralEdges(seedEventsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(stored == batch && batch.size == 5)
+    } finally q.stop()
+  }
+
   test("file-replay source streams the testdata events to the same counts") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStreams.windowedCounts(
