@@ -113,6 +113,44 @@ object EventStreams {
       .orderBy("user_id", "sess_no")
   }
 
+  /** Stream-stream join with event-time bounds: purchases attributed to a
+    * prior view of the same (user, product) within the attribution
+    * window. In streaming, the watermark + time-range condition lets
+    * Spark expire both join states; in batch the identical plan is a
+    * plain range join (the oracle). Aggregated to attribution counts per
+    * product for a bounded result. */
+  def viewToPurchasePairs(views: DataFrame, purchases: DataFrame,
+                          windowMinutes: Int = 60): DataFrame = {
+    val v = views
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .select(col("user_id").as("v_user"), col("k").as("v_k"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .select(col("user_id").as("p_user"), col("k").as("p_k"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    v.join(p,
+      col("v_user") === col("p_user") && col("v_k") === col("p_k") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
+  /** Batch twin for the registry: attribution counts, totally ordered. */
+  def viewToPurchaseBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    viewToPurchasePairs(
+      ev.filter(lower(col("event_type")) === "view"),
+      ev.filter(lower(col("event_type")) === "purchase"),
+      windowMinutes = 24 * 60) // 24 h: the window that attributes on this data
+      .groupBy(col("p_k").as("product_id"))
+      .agg(count(lit(1)).as("n_attributed"))
+      .orderBy("product_id")
+  }
+
   // ---- foreachBatch incremental edge-store maintenance (SURVEY §2.8) ----
 
   /** Incrementally maintain the behavioral edge store from the event

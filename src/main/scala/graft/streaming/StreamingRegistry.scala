@@ -15,7 +15,9 @@ object StreamingRegistry {
       "stream_sliding_counts" -> ((s, d) =>
         EventStreams.slidingCountsBatch(s, d)),
       "stream_edge_counts" -> ((s, d) => EventStreams.edgeCounts(s, d)),
-      "stream_sessions" -> ((s, d) => EventStreams.sessionsBatch(s, d))
+      "stream_sessions" -> ((s, d) => EventStreams.sessionsBatch(s, d)),
+      "stream_view_to_purchase" -> ((s, d) =>
+        EventStreams.viewToPurchaseBatch(s, d))
     ),
     oracles = Map(
       "stream_window_counts" ->
@@ -54,6 +56,19 @@ object StreamingRegistry {
           |SELECT rel_type, count(*) AS n FROM (
           |  SELECT DISTINCT user_id, k, rel_type FROM e WHERE k IS NOT NULL)
           |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      "stream_view_to_purchase" ->
+        """WITH e AS (SELECT user_id, lower(event_type) AS et,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    epoch_ns(ts) // 1000 AS ts_us
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+          |v AS (SELECT user_id, k, ts_us FROM e WHERE et = 'view'),
+          |p AS (SELECT user_id, k, ts_us FROM e WHERE et = 'purchase')
+          |SELECT p.k AS product_id, count(*) AS n_attributed
+          |FROM v JOIN p ON v.user_id = p.user_id AND v.k = p.k
+          |  AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + 86400000000
+          |GROUP BY p.k
+          |ORDER BY product_id""".stripMargin,
       "stream_sessions" ->
         """WITH t AS (
           |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us

@@ -96,6 +96,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 views product 7 at 10:00, purchases at 10:30 (within 1h) and
+    // again at 12:00 (outside); user 2 purchases without a view.
+    val evs = Seq(
+      SeedFixture.Event(1, ts("2024-05-01 10:00:00"), 1, "view", 1.0, """{"k": 7}"""),
+      SeedFixture.Event(2, ts("2024-05-01 10:30:00"), 1, "purchase", 1.0, """{"k": 7}"""),
+      SeedFixture.Event(3, ts("2024-05-01 12:00:00"), 1, "purchase", 1.0, """{"k": 7}"""),
+      SeedFixture.Event(4, ts("2024-05-01 10:30:00"), 2, "purchase", 1.0, """{"k": 9}"""))
+    val mem = MemoryStream[SeedFixture.Event]
+    val stream = mem.toDF()
+    val joined = EventStreams.viewToPurchasePairs(
+      stream.filter(org.apache.spark.sql.functions.col("event_type") === "view"),
+      stream.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+    val q = joined.writeStream.format("memory")
+      .queryName("attrib_pairs").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_pairs")
+        .select("v_user", "v_k").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSeq == Seq((1L, 7L))) // only the in-window purchase
+      val batchDf = evs.toDF()
+      val batch = EventStreams.viewToPurchasePairs(
+        batchDf.filter(org.apache.spark.sql.functions.col("event_type") === "view"),
+        batchDf.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+        .select("v_user", "v_k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("foreachBatch edge store converges to the batch edge set across replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
