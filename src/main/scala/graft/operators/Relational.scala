@@ -128,6 +128,21 @@ object Relational {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
 
+  /** Outer-join coverage (absent from the reference, SURVEY §2.3): nations
+    * with their customer counts, keeping empty nations — nulls from the
+    * outer side coalesce to zero. Dimension side broadcast. */
+  def nationCustomerCounts(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val perNation = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    broadcast(nation)
+      .join(perNation, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+      .orderBy("n_nationkey")
+  }
+
   /** Set operations (absent from the reference, SURVEY §2.6; covered for
     * engine completeness): customers appearing in orders vs events —
     * intersect / except / union all, one count per branch. */

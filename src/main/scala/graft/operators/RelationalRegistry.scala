@@ -26,6 +26,7 @@ object RelationalRegistry {
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
       "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
       "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+      "outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -115,6 +116,14 @@ object RelationalRegistry {
            |  AND abs(e.ets - o.ots) <= ${14L * 24 * 3600 * 1000000L}
            |GROUP BY e.event_id, e.user_id
            |ORDER BY event_id""".stripMargin,
+      "outer_nation_counts" ->
+        """SELECT n_nationkey, n_name,
+          |  coalesce(c.n_customers, 0) AS n_customers
+          |FROM nation LEFT OUTER JOIN
+          |  (SELECT c_nationkey, count(*) AS n_customers
+          |   FROM customer GROUP BY c_nationkey) c
+          |  ON n_nationkey = c_nationkey
+          |ORDER BY n_nationkey""".stripMargin,
       "set_ops" ->
         """WITH oc AS (SELECT DISTINCT o_custkey AS c FROM orders),
           |ec AS (SELECT DISTINCT user_id AS c FROM events)

@@ -14,6 +14,25 @@ class RelationalSpec extends SparkTestBase {
       s"approx $approx vs exact $exact")
   }
 
+  test("loadSafe substitutes an empty typed relation for a missing source (S2)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val df = Tables.loadSafe(spark, "/nonexistent-dir", "ghost", schema)
+    assert(df.schema == schema && df.isEmpty)
+    // present source loads normally through the same wrapper
+    val ok = Tables.loadSafe(spark, dir, "region",
+      StructType(Seq(StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType))))
+    assert(ok.count() == 5)
+  }
+
+  test("outer join keeps empty dimension rows with zero counts") {
+    val rows = Relational.nationCustomerCounts(spark, dir).collect()
+    assert(rows.length == 25) // every nation survives the outer join
+    assert(rows.map(_.getLong(2)).sum == 150) // all customers accounted for
+  }
+
   test("rollup emits per-pair, per-flag, and grand-total levels") {
     val rows = Relational.rollupPricing(spark, dir).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
