@@ -92,6 +92,35 @@ object GraphAlgs {
       .limit(k)
   }
 
+  /** The reference's declared upgrade path (reference `app/main.py:31-33`:
+    * "Switch to Personalized PageRank when GDS is present"): PPR-based
+    * recommendations for a customer — rank Product nodes by PPR mass from
+    * the customer's node, excluding already-purchased products (the J4
+    * anti-join), top-k. Composition of the GraphX kernel with relational
+    * post-processing; rows-only (no SQL twin for PPR). */
+  def pprRecs(spark: SparkSession, dir: String, custId: Long,
+              iters: Int = 10, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (graph, vm) = builtGraph(spark, dir)
+    val seedVid = vm.filter(col("id") === s"C$custId").select("vid")
+      .head().getLong(0)
+    val ranks = graph.staticPersonalizedPageRank(seedVid, iters).vertices
+    val products = ranks.join(graph.vertices)
+      .flatMap { case (_, (rank, id)) =>
+        if (id.startsWith("P")) Some((id, rank)) else None
+      }
+      .toDF("id", "rank")
+      .withColumn("product_id", substring(col("id"), 2, 100).cast("long"))
+    val purchased = graft.operators.Recs
+      .purchasedProducts(spark, dir, custId)
+    products
+      .join(broadcast(purchased), Seq("product_id"), "left_anti")
+      .filter(col("rank") > 0)
+      .select(col("product_id"), col("rank"))
+      .orderBy(desc("rank"), asc("product_id"))
+      .limit(k)
+  }
+
   /** Global PageRank top-k (G6 family). Rows-only check + ScalaTest. */
   def pageRankTop(spark: SparkSession, dir: String, iters: Int = 10,
                   k: Int = 20): DataFrame = {

@@ -61,7 +61,8 @@ object GraphRegistry {
       "graphx_components" -> ((s, d) =>
         GraphAlgs.connectedComponentSizes(s, d)),
       "graphx_shortest_paths" -> ((s, d) =>
-        GraphAlgs.shortestPathsTo(s, d, "P1"))
+        GraphAlgs.shortestPathsTo(s, d, "P1")),
+      "graphx_ppr_recs" -> ((s, d) => GraphAlgs.pprRecs(s, d, 1L))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->

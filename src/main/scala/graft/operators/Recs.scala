@@ -80,8 +80,13 @@ object Recs {
       .select(col("o_custkey").as("customer_id"), col("o_orderkey").as("order_id"))
 
   /** Products a customer has purchased — the J3/J5 seed set and the J4
-    * anti-join right side. Tiny after the point filter → broadcast; the
-    * fact table is pruned by the broadcast join BEFORE dedup. */
+    * anti-join right side (also used by the PPR recommender). Tiny after
+    * the point filter → broadcast; the fact table is pruned by the
+    * broadcast join BEFORE dedup. */
+  def purchasedProducts(spark: SparkSession, dir: String,
+                        custId: Long): DataFrame =
+    purchasedBy(spark, dir, custId)
+
   private def purchasedBy(spark: SparkSession, dir: String,
                           custId: Long): DataFrame = {
     val myOrders = placedEdges(spark, dir)

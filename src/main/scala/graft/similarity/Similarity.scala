@@ -145,8 +145,16 @@ object Similarity {
         val e = emb(spark, dir)
           .withColumn("features",
             array_to_vector(col("embedding").cast("array<double>")))
+        // Train on a bounded sample (seeded → deterministic): centroid
+        // fitting needs a representative subset, not the corpus — at
+        // 100 TB training on everything is the anti-pattern. Assignment
+        // below still covers every vector.
+        val total = e.count()
+        val trainFraction = math.min(1.0, 100000.0 / math.max(1L, total))
+        val train =
+          if (trainFraction >= 1.0) e else e.sample(trainFraction, 42L)
         val model = new KMeans().setK(nClusters).setSeed(42L)
-          .setFeaturesCol("features").fit(e)
+          .setFeaturesCol("features").fit(train)
         val assigned = model.transform(e)
           .withColumnRenamed("prediction", "cluster")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

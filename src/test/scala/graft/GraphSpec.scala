@@ -55,6 +55,15 @@ class GraphSpec extends SparkTestBase {
     assert(!ppr.contains("P2"))
   }
 
+  test("PPR recs for C1: only the viewed-but-never-bought product remains") {
+    // C1 reaches P1,P2,P4 through orders (all purchased → anti-joined out)
+    // and P3 through VIEWED/CLICKED → the single recommendation.
+    val recs = GraphAlgs.pprRecs(spark, dir, 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(recs.map(_._1).toSeq == Seq(3L))
+    assert(recs.head._2 > 0.0)
+  }
+
   test("connected components: the seed graph is one weakly-connected blob") {
     val sizes = GraphAlgs.connectedComponentSizes(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
