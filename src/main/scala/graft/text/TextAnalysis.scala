@@ -104,6 +104,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Rolling-hash fingerprints (Rabin–Karp / winnowing family): a
+    * polynomial fold over per-token hashes for the whole document, plus
+    * the minimum over all 8-token window hashes — the winnowing
+    * fingerprint that survives edits outside the minimizing window. All
+    * exact integer arithmetic (multiply/add/mod), so the DuckDB
+    * `list_reduce` twin is bit-identical. */
+  val RollB = 1000003L
+  val RollM = 2147483647L
+  val RollWindow = 8
+
+  private val tokenHash: Column => Column = t =>
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  private def rollFold(hashes: Column): Column =
+    aggregate(hashes, lit(0L), (h, x) => (h * RollB + x) % RollM)
+
+  def rollingHashes(spark: SparkSession, dir: String): DataFrame = {
+    val hs = transform(tokens, tokenHash)
+    Tables.load(spark, dir, "documents")
+      .withColumn("hs", hs)
+      .select(col("doc_id"),
+        rollFold(col("hs")).as("roll_full"),
+        when(size(col("hs")) >= RollWindow,
+          array_min(transform(
+            sequence(lit(1), size(col("hs")) - (RollWindow - 1)),
+            i => rollFold(slice(col("hs"), i, lit(RollWindow))))))
+          .otherwise(rollFold(col("hs"))).as("winnow_min"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 of the normalized text (the exact-dedup
     * key) plus a content-defined prefix fingerprint (first 8 tokens) that
     * survives suffix edits — both deterministic and oracle-checkable. */

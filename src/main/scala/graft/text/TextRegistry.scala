@@ -29,7 +29,8 @@ object TextRegistry {
           .withColumn("marker_hits", col("marker_hits").cast("bigint"))
       }),
       "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
-      "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d))
+      "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
+      "text_rolling_hash" -> ((s, d) => TextAnalysis.rollingHashes(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->
@@ -81,7 +82,23 @@ object TextRegistry {
            |    ORDER BY score DESC, term ASC) AS BIGINT) AS rk
            |FROM scored
            |QUALIFY rk <= 3
-           |ORDER BY doc_id, rk""".stripMargin
+           |ORDER BY doc_id, rk""".stripMargin,
+      "text_rolling_hash" ->
+        s"""WITH h AS (SELECT doc_id,
+           |    list_transform($Toks,
+           |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+           |  FROM documents),
+           |r AS (SELECT doc_id, hs,
+           |    list_reduce(list_prepend(0::BIGINT, hs),
+           |      (a, x) -> (a * 1000003 + x) % 2147483647) AS roll_full
+           |  FROM h)
+           |SELECT doc_id, roll_full,
+           |  CASE WHEN len(hs) >= 8 THEN
+           |    list_min(list_transform(generate_series(1, len(hs) - 7),
+           |      i -> list_reduce(list_prepend(0::BIGINT, hs[i:i+7]),
+           |             (a, x) -> (a * 1000003 + x) % 2147483647)))
+           |  ELSE roll_full END AS winnow_min
+           |FROM r ORDER BY doc_id""".stripMargin
     )
   )
 }

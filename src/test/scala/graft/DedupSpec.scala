@@ -61,6 +61,14 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((1L, 2L))) // identical docs always collide
   }
 
+  test("rolling-hash fingerprints: identical docs collide, distinct docs do not") {
+    val fps = graft.text.TextAnalysis.rollingHashes(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L) == fps(2L))          // byte-identical docs
+    assert(fps(1L) != fps(5L))          // unrelated doc
+    assert(fps(1L)._1 != fps(4L)._1)    // suffix edit changes the full hash
+  }
+
   test("SimHash: identical docs at distance 0; pairs blocked by chunks find them") {
     val hashes = Dedup.simhashes(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
