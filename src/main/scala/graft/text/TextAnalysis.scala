@@ -104,6 +104,44 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Character-trigram language ID — the n-gram-profile heuristic (Cavnar
+    * & Trenkle family): score = |doc's char-trigram set ∩ language
+    * profile|, argmax across languages, 'unknown' when nothing hits.
+    * Profiles are tiny literal arrays (the top function-word trigrams per
+    * language); at scale they stay broadcast literals inside one codegen'd
+    * scan. Complements the marker-token langId. */
+  private[text] val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th ", "the", "he ", " th", "is ", " is", "of ", " of"),
+    "de" -> Seq("er ", "der", "ie ", "die", "und", "nd ", " un", "das"),
+    "es" -> Seq("el ", " el", "la ", " la", "los", "os ", " y ", "de "),
+    "fr" -> Seq("le ", " le", "es ", "et ", " et", "une", "ne ", "la "))
+
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val text = lower(trim(col("text")))
+    // char trigrams via split-to-chars + windowed rejoin (substring needs
+    // literal offsets; slice does not)
+    val chars = split(text, "")
+    val tris = array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => concat_ws("", slice(chars, i, lit(3)))))
+    val withHits = TrigramProfiles.foldLeft(
+      Tables.load(spark, dir, "documents").withColumn("tris", tris)) {
+      case (df, (code, prof)) =>
+        df.withColumn(s"hits_$code",
+          size(array_intersect(col("tris"),
+            array(prof.map(lit(_)): _*))))
+    }
+    val best = TrigramProfiles.map(_._1).foldLeft(
+      (lit("unknown"), lit(0))) { case ((bestLang, bestHits), code) =>
+      val h = col(s"hits_$code")
+      (when(h > bestHits, lit(code)).otherwise(bestLang),
+        when(h > bestHits, h).otherwise(bestHits))
+    }
+    withHits.select(col("doc_id"), col("lang"), best._1.as("lang_pred"),
+        best._2.cast("long").as("ngram_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprints (Rabin–Karp / winnowing family): a
     * polynomial fold over per-token hashes for the whole document, plus
     * the minimum over all 8-token window hashes — the winnowing

@@ -30,7 +30,8 @@ object TextRegistry {
       }),
       "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
       "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
-      "text_rolling_hash" -> ((s, d) => TextAnalysis.rollingHashes(s, d))
+      "text_rolling_hash" -> ((s, d) => TextAnalysis.rollingHashes(s, d)),
+      "text_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->
@@ -98,7 +99,29 @@ object TextRegistry {
            |      i -> list_reduce(list_prepend(0::BIGINT, hs[i:i+7]),
            |             (a, x) -> (a * 1000003 + x) % 2147483647)))
            |  ELSE roll_full END AS winnow_min
-           |FROM r ORDER BY doc_id""".stripMargin
+           |FROM r ORDER BY doc_id""".stripMargin,
+      "text_langid_ngram" -> {
+        def profSql(code: String): String =
+          TextAnalysis.TrigramProfiles.find(_._1 == code).get._2
+            .map(s => "'" + s + "'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, lang, lower(trim(text)) AS tx FROM documents),
+           |g AS (SELECT doc_id, lang, list_distinct(list_transform(
+           |    generate_series(1, greatest(length(tx) - 2, 1)),
+           |    i -> tx[i:i+2])) AS tris FROM t),
+           |h AS (SELECT doc_id, lang,
+           |  len(list_intersect(tris, ${profSql("en")})) AS hits_en,
+           |  len(list_intersect(tris, ${profSql("de")})) AS hits_de,
+           |  len(list_intersect(tris, ${profSql("es")})) AS hits_es,
+           |  len(list_intersect(tris, ${profSql("fr")})) AS hits_fr
+           |FROM g),
+           |m AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, 0) AS mx FROM h)
+           |SELECT doc_id, lang,
+           |  CASE WHEN mx = 0 THEN 'unknown'
+           |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
+           |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred,
+           |  CAST(mx AS BIGINT) AS ngram_hits
+           |FROM m ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }
