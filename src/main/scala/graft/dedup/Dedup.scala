@@ -188,11 +188,13 @@ object Dedup {
     * is the expensive part. */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // No orderBy here: a sort inside the persisted plan would be paid on
+    // every materialization and is useless to the pair join's shuffle.
+    // Consumers that need order (the registry dump) sort at the boundary.
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simHash64(TextAnalysis.tokens)
           .as("simhash"))
-      .orderBy("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

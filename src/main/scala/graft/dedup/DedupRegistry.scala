@@ -59,7 +59,9 @@ object DedupRegistry {
       "dedup_token_set" -> ((s, d) => Dedup.tokenSetDups(s, d)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
       "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
-      "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d)),
+      "dedup_simhash" -> ((s, d) =>
+        Dedup.simhashes(s, d)
+          .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d))
     ),
     oracles = Map(

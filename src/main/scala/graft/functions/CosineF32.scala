@@ -36,34 +36,49 @@ case class CosineF32(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Nullable even over non-null inputs: ragged lengths produce null, and
+  // codegen writes ev.isNull (which Spark elides unless nullable).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_f32"
 
+  // Ragged inputs (different lengths) yield null, matching the composable
+  // zip_with formulation (null padding poisons its fold) and the oracle —
+  // silent truncation would hide exactly the malformed rows verification
+  // exists to catch.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double x = (double) $a.getFloat(i);
+         |    double y = (double) $b.getFloat(i);
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
          |}
-         |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
        """.stripMargin
     })
 

@@ -38,23 +38,19 @@ object GraphAlgs {
     (Graph(vertices, e), vm)
   }
 
-  /** The four algorithm queries all need the same graph; building it is
-    * joins + dedup + zipWithIndex and dominates their runtime. Memoize the
-    * materialized GraphX view per input dir (persisted vertices/edges),
-    * exactly what a long-lived service would hold. */
-  private val graphCache =
-    scala.collection.mutable.Map.empty[String, (Graph[String, Double], DataFrame)]
-
+  /** The algorithm queries all need the same graph; building it is joins +
+    * dedup + zipWithIndex and dominates their runtime. Memoize the
+    * materialized GraphX view per (session, dir) — exactly what a
+    * long-lived service would hold. */
   private def builtGraph(spark: SparkSession, dir: String)
-      : (Graph[String, Double], DataFrame) = graphCache.synchronized {
-    graphCache.getOrElseUpdate(dir, {
+      : (Graph[String, Double], DataFrame) =
+    graft.Memo.get(spark, "graphx-view", dir) {
       // raw builders: .rdd off the columnar cache is slower than
       // re-running the codegen'd plans (see GraphBuilder.buildNodes).
       val (g, vm) = graphOf(GraphBuilder.buildNodes(spark, dir),
         GraphBuilder.buildEdges(spark, dir))
       (g.cache(), vm)
-    })
-  }
+    }
 
   /** G4 via aggregateMessages: total degree per node, top-k. Has an exact
     * SQL oracle (degree = appearances in the edge list), proving the GraphX
@@ -81,8 +77,11 @@ object GraphAlgs {
                            iters: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._
     val (graph, vm) = builtGraph(spark, dir)
-    val seedVid = vm.filter(col("id") === seedId).select("vid")
-      .head().getLong(0)
+    val seedRow = vm.filter(col("id") === seedId).select("vid")
+      .collect().headOption
+    if (seedRow.isEmpty)
+      return Seq.empty[(String, Double)].toDF("id", "rank")
+    val seedVid = seedRow.get.getLong(0)
     val ranks = graph.staticPersonalizedPageRank(seedVid, iters).vertices
     ranks.join(graph.vertices)
       .map { case (_, (rank, id)) => (id, rank) }
@@ -102,8 +101,13 @@ object GraphAlgs {
               iters: Int = 10, k: Int = 10): DataFrame = {
     import spark.implicits._
     val (graph, vm) = builtGraph(spark, dir)
-    val seedVid = vm.filter(col("id") === s"C$custId").select("vid")
-      .head().getLong(0)
+    val seedRow = vm.filter(col("id") === s"C$custId").select("vid")
+      .collect().headOption
+    if (seedRow.isEmpty) {
+      // unknown customer → graceful empty (reference main.py:124-127)
+      return Seq.empty[(Long, Double)].toDF("product_id", "rank")
+    }
+    val seedVid = seedRow.get.getLong(0)
     val ranks = graph.staticPersonalizedPageRank(seedVid, iters).vertices
     val products = ranks.join(graph.vertices)
       .flatMap { case (_, (rank, id)) =>
@@ -183,8 +187,11 @@ object GraphAlgs {
                       k: Int = 50): DataFrame = {
     import spark.implicits._
     val (graph, vm) = builtGraph(spark, dir)
-    val landmarkVid = vm.filter(col("id") === landmark).select("vid")
-      .head().getLong(0)
+    val lmRow = vm.filter(col("id") === landmark).select("vid")
+      .collect().headOption
+    if (lmRow.isEmpty)
+      return Seq.empty[(String, Long)].toDF("id", "dist")
+    val landmarkVid = lmRow.get.getLong(0)
     val res = org.apache.spark.graphx.lib.ShortestPaths
       .run(graph, Seq(landmarkVid))
     res.vertices.join(graph.vertices)

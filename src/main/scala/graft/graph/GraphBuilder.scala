@@ -43,21 +43,18 @@ object GraphBuilder {
     concat(lit(prefix), c.cast("string"))
 
   // Node/edge frames are read by every graph query and by the GraphX
-  // build; memoize + persist per input dir (the canonical frames a
-  // long-lived service keeps hot, or reads back via readNodes/readEdges).
-  private val nodeCache = scala.collection.mutable.Map.empty[String, DataFrame]
-  private val edgeCache = scala.collection.mutable.Map.empty[String, DataFrame]
-
+  // build; memoize + persist per (session, dir) — the canonical frames a
+  // long-lived service keeps hot, or reads back via readNodes/readEdges.
   def nodes(spark: SparkSession, dir: String): DataFrame =
-    nodeCache.synchronized {
-      nodeCache.getOrElseUpdate(dir, buildNodes(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Memo.get(spark, "graph-nodes", dir) {
+      buildNodes(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   def edges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      edgeCache.getOrElseUpdate(dir, buildEdges(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.Memo.get(spark, "graph-edges", dir) {
+      buildEdges(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Raw (unpersisted) builders: the GraphX conversion path reads these —

@@ -75,8 +75,10 @@ object Multimodal {
       val kind = kinds.lift(buf.get().toInt)
       val w = buf.getInt
       val h = buf.getInt
+      // Long arithmetic: a crafted header like w=h=65536 overflows Int
+      // (w*h == 0) and would pass an Int-typed length check.
       if (kind.isEmpty || w <= 0 || h <= 0 ||
-        payload.length != 13 + w * h) None
+        payload.length.toLong != 13L + w.toLong * h) None
       else {
         val body = new Array[Byte](w * h)
         buf.get(body)

@@ -136,8 +136,11 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"))
     val perNation = Tables.load(spark, dir, "customer")
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
-    broadcast(nation)
-      .join(perNation, col("n_nationkey") === col("c_nationkey"), "left_outer")
+    // The hint must sit on the build (right) side: for LEFT OUTER Spark
+    // can only broadcast-build the non-preserved side.
+    nation
+      .join(broadcast(perNation),
+        col("n_nationkey") === col("c_nationkey"), "left_outer")
       .select(col("n_nationkey"), col("n_name"),
         coalesce(col("n_customers"), lit(0L)).as("n_customers"))
       .orderBy("n_nationkey")

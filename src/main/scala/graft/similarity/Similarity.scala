@@ -131,15 +131,12 @@ object Similarity {
     * partition key, so a probe reads nprobe/k of the data. No SQL oracle —
     * recall vs cosineTopK is asserted in ScalaTest. */
   /** The trained partitioner (the "inverted file") is index state, not
-    * per-query work — memoize per (dir, k) like a vector store would
-    * persist its centroids + assignments. */
-  private val ivfCache = scala.collection.mutable.Map.empty[
-    (String, Int), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]
-
+    * per-query work — memoize per (session, dir, nClusters) like a vector
+    * store would persist its centroids + assignments. */
   private def ivfIndex(spark: SparkSession, dir: String, nClusters: Int)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
-    ivfCache.synchronized {
-      ivfCache.getOrElseUpdate((dir, nClusters), {
+    graft.Memo.get(spark, "ivf-index", (dir, nClusters)) {
+      locally {
         import org.apache.spark.ml.clustering.KMeans
         import org.apache.spark.ml.functions.array_to_vector
         val e = emb(spark, dir)
@@ -159,18 +156,31 @@ object Similarity {
           .withColumnRenamed("prediction", "cluster")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (model, assigned)
-      })
+      }
     }
 
   def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
               k: Int = 20, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     val (model, assigned) = ivfIndex(spark, dir, nClusters)
-    val seedVec = assigned.filter(col("vec_id") === seedId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val seedRow = assigned.filter(col("vec_id") === seedId)
+      .select("embedding").collect().headOption
+    if (seedRow.isEmpty) {
+      // Missing seed degrades to empty, matching cosineTopK (and the
+      // reference's graceful-empty path) instead of crashing the driver.
+      return assigned.filter(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("cos"))
+    }
+    val seedVec = seedRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val seedNorm = math.sqrt(seedVec.map(x => x * x).sum)
+    // Rank probes by cosine, not raw dot — long-norm centroids would
+    // otherwise win over angularly-closer ones and cost recall.
     val probes = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
-        val d = c.toArray.zip(seedVec).map { case (a, b) => a * b }.sum
-        (i, d)
+        val arr = c.toArray
+        val dot = arr.zip(seedVec).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt(arr.map(x => x * x).sum)
+        (i, if (cn == 0 || seedNorm == 0) Double.NegativeInfinity
+        else dot / (cn * seedNorm))
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
     val seed = assigned.filter(col("vec_id") === seedId)

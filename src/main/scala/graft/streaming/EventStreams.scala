@@ -69,16 +69,24 @@ object EventStreams {
 
   /** A6-within-watermark: behavioral edge maintenance as streaming dedup —
     * one (user, product, rel_type) edge regardless of how many events
-    * repeat it. In batch this is plain dropDuplicates; in streaming the
-    * watermark bounds the dedup state. */
-  def dedupedBehavioralEdges(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
+    * repeat it. In batch this is plain dropDuplicates; in streaming
+    * `dropDuplicatesWithinWatermark` is the variant whose state the
+    * watermark actually evicts (plain dropDuplicates without the event-
+    * time column keeps every key forever — unbounded state). Duplicates
+    * farther apart than the watermark re-emit; the downstream store merge
+    * (maintainEdgeStore) absorbs them idempotently. */
+  def dedupedBehavioralEdges(events: DataFrame): DataFrame = {
+    val typed = events.withWatermark("ts", "10 minutes")
       .withColumn("rel_type", Relational.relTypeOf)
       .filter(col("rel_type").isNotNull)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .filter(col("k").isNotNull)
-      .dropDuplicates("user_id", "k", "rel_type")
-      .select(col("user_id"), col("k").as("product_id"), col("rel_type"))
+    val deduped =
+      if (typed.isStreaming)
+        typed.dropDuplicatesWithinWatermark("user_id", "k", "rel_type")
+      else typed.dropDuplicates("user_id", "k", "rel_type")
+    deduped.select(col("user_id"), col("k").as("product_id"), col("rel_type"))
+  }
 
   /** Batch twin for the registry: edge counts per type after stream dedup. */
   def edgeCounts(spark: SparkSession, dir: String): DataFrame =
@@ -203,8 +211,11 @@ object EventStreams {
 
   /** Custom state machine: emit a session whenever a user's next event
     * arrives more than `gapMinutes` after the previous one; the open
-    * session stays in GroupState. The streaming twin of sessionsBatch
-    * (modulo the final open session, which only closes on timeout). */
+    * session stays in GroupState. With NoTimeout the final open session
+    * is by design never emitted (it is still "open"); a production
+    * variant flushes it via EventTimeTimeout once the watermark passes
+    * start + gap. The streaming twin of sessionsBatch modulo that final
+    * open session. */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
