@@ -128,6 +128,33 @@ object Relational {
       .agg(approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))
 
+  /** Window-ranking coverage (absent from the reference, SURVEY §2.5):
+    * top-3 parts per brand by retail price — partitioned row_number with a
+    * total tie-break. Passthrough values only → oracle-safe. */
+  def topProductsPerBrand(spark: SparkSession, dir: String,
+                          k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("p_retailprice"), asc("p_partkey"))
+    Tables.load(spark, dir, "part")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rk")
+  }
+
+  /** Edit-distance fuzzy matching (the string tier of near-dup detection):
+    * parts closest to a probe name by Levenshtein distance. Integer
+    * distances → exact oracle. At corpus scale the probe side stays a
+    * broadcast literal inside one codegen'd scan + TakeOrdered. */
+  def fuzzyPartNames(spark: SparkSession, dir: String,
+                     probe: String = "spring green yellow purple cornsilk",
+                     k: Int = 10): DataFrame =
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), lit(probe)).cast("long").as("dist"))
+      .orderBy(asc("dist"), asc("p_partkey"))
+      .limit(k)
+
   /** Outer-join coverage (absent from the reference, SURVEY §2.3): nations
     * with their customer counts, keeping empty nations — nulls from the
     * outer side coalesce to zero. Dimension side broadcast. */

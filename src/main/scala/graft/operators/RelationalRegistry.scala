@@ -27,6 +27,8 @@ object RelationalRegistry {
       "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
       "set_ops" -> ((s, d) => Relational.setOps(s, d)),
       "outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
+      "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
+      "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -116,6 +118,20 @@ object RelationalRegistry {
            |  AND abs(e.ets - o.ots) <= ${14L * 24 * 3600 * 1000000L}
            |GROUP BY e.event_id, e.user_id
            |ORDER BY event_id""".stripMargin,
+      "window_top_per_brand" ->
+        """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+          |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+          |    CAST(row_number() OVER (PARTITION BY p_brand
+          |      ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rk
+          |  FROM part)
+          |WHERE rk <= 3
+          |ORDER BY p_brand, rk""".stripMargin,
+      "fuzzy_part_names" ->
+        """SELECT p_partkey, p_name,
+          |  CAST(levenshtein(p_name, 'spring green yellow purple cornsilk') AS BIGINT) AS dist
+          |FROM part
+          |ORDER BY dist ASC, p_partkey ASC
+          |LIMIT 10""".stripMargin,
       "outer_nation_counts" ->
         """SELECT n_nationkey, n_name,
           |  coalesce(c.n_customers, 0) AS n_customers
