@@ -17,14 +17,24 @@ object Bench {
       SparkEntry.queries.get("health").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // Deterministic order keeps per-query numbers comparable across runs.
+    // A failed query must NOT look like a fast passing one: log the error
+    // and record a -1.0 sentinel no timing can produce.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          -1.0
+        }
+      name -> elapsed
     }
+    val failed = results.count(_._2 < 0)
+    if (failed > 0)
+      System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

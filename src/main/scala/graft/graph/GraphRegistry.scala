@@ -45,9 +45,12 @@ object GraphRegistry {
           .orderBy("rel_type")),
       "graph_contains_weights" -> ((s, d) => {
         import org.apache.spark.sql.functions._
+        // Exact-integer-cents sum (Relational.cents): bit-identical across
+        // engines, unlike float→decimal casts (round-1 hash failure).
         GraphBuilder.containsWithQuantity(s, d)
           .groupBy("dst")
-          .agg(sum(col("weight").cast("decimal(18,2)")).as("total_qty"),
+          .agg((sum(graft.operators.Relational.cents(col("weight"))) / lit(100.0))
+            .as("total_qty"),
             count(lit(1)).as("n_orders"))
           .orderBy(desc("total_qty"), asc("dst"))
           .limit(20)
@@ -82,7 +85,8 @@ object GraphRegistry {
           |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey
           |    ORDER BY l_linenumber DESC) = 1)
           |SELECT 'P'||CAST(l_partkey AS VARCHAR) AS dst,
-          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |    / CAST(100 AS DOUBLE) AS total_qty,
           |  count(*) AS n_orders
           |FROM cw GROUP BY 1 ORDER BY total_qty DESC, dst LIMIT 20""".stripMargin,
       "graph_degrees_top" ->

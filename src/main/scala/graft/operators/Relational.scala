@@ -109,6 +109,14 @@ object Relational {
       .select("event_id", "rel_type")
       .orderBy("event_id")
 
+  /** Money columns carried as exact integer cents. `round(x*100)` lands on
+    * the true cent value (the data is within 1e-9 of exact cents, never at
+    * a .5 boundary), and integer sums are bit-identical across engines —
+    * unlike float→decimal casts, whose string-vs-binary scaling diverges
+    * between Spark and DuckDB at ~1e-10 (round-1 hash failures). */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * lit(100)).cast("long")
+
   /** ROLLUP pricing summary — grouping-sets coverage beyond the
     * reference's flat GROUP BY: per (flag, status), per flag, and grand
     * total in one pass (partial aggregation handles all levels map-side). */
@@ -116,7 +124,7 @@ object Relational {
     Tables.load(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** HLL approximate distinct next to the exact count — the sketch tier
@@ -207,19 +215,23 @@ object Relational {
 
   /** TPC-H-Q1-shaped pricing summary — the canonical partial+final hash
     * aggregation showcase (map-side combine means the shuffle carries one
-    * row per group per partition regardless of input size). Money sums go
-    * through decimal so the result is order-independent — double summation
-    * would be nondeterministic across partitionings. */
+    * row per group per partition regardless of input size). Money sums run
+    * in exact integer cents (see [[cents]]) so the result is both
+    * order-independent — double summation would be nondeterministic across
+    * partitionings — and bit-identical to any other engine's exact sum.
+    * disc_price = price_cents * (100 - disc_cents) is exact in 1e-4 units. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .withColumn("qty_c", cents(col("l_quantity")))
+      .withColumn("price_c", cents(col("l_extendedprice")))
+      .withColumn("disc_c", cents(col("l_discount")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-        sum((col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(18,4)")).as("sum_disc_price"),
+        (sum(col("qty_c")) / lit(100.0)).as("sum_qty"),
+        (sum(col("price_c")) / lit(100.0)).as("sum_base_price"),
+        (sum(col("price_c") * (lit(100L) - col("disc_c"))) / lit(10000.0))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 }

@@ -70,15 +70,18 @@ object RelationalRegistry {
       "health" ->
         "SELECT CAST(1 AS BIGINT) AS ok",
       "q1_pricing_summary" ->
-        """SELECT l_returnflag, l_linestatus,
-          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-          |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-          |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-          |      AS DECIMAL(18,4))) AS sum_disc_price,
+        """WITH li AS (SELECT l_returnflag, l_linestatus,
+          |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+          |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+          |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+          |SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(qty_c) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_qty,
+          |  CAST(sum(price_c) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT) / CAST(10000 AS DOUBLE)
+          |    AS sum_disc_price,
           |  count(*) AS count_order
-          |FROM lineitem
-          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |FROM li
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "json_props_extract" ->
@@ -90,7 +93,8 @@ object RelationalRegistry {
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       "rollup_pricing" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |    / CAST(100 AS DOUBLE) AS sum_qty
           |FROM lineitem
           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

@@ -8,15 +8,17 @@ For each query in <verifyOutDir>/oracle_sql.json:
   - read the Spark result parquet at <verifyOutDir>/<name>/
   - sort columns by name, compare row-by-row values
 """
-import sys, json, glob, os
+import sys, json, glob, os, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Compare doubles at exact bit level (the repo's parity claims are
+    # IEEE-754-exact; rounding here would mask cross-engine drift).
     if isinstance(v, float):
-        return round(v, 9)
+        return struct.pack("<d", v)
     return v
 
 def main(sf_dir, out_dir):
