@@ -52,10 +52,26 @@ object GraphAlgs {
       (g.cache(), vm)
     }
 
-  /** G4 via aggregateMessages: total degree per node, top-k. Has an exact
-    * SQL oracle (degree = appearances in the edge list), proving the GraphX
-    * view agrees with the relational derivation. */
+  /** G4 — total degree per node, top-k, computed relationally: each edge
+    * contributes one appearance to each endpoint, so degree = appearances
+    * in src ∪ dst. One partial-agg shuffle + TakeOrdered, fully columnar —
+    * the hot registry path must not pay the GraphX build (RDD conversion
+    * dominated the round-1 bench at 16.7 s). The aggregateMessages
+    * derivation survives as [[degreesTopGraphX]], asserted equal in
+    * GraphSpec. */
   def degreesTop(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = GraphBuilder.edges(spark, dir)
+    e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .orderBy(desc("degree"), asc("id"))
+      .limit(k)
+  }
+
+  /** G4 via GraphX aggregateMessages — the parity proof that the GraphX
+    * view agrees with the relational derivation (and with the SQL oracle).
+    * Test-path only; see [[degreesTop]] for the serving plan. */
+  def degreesTopGraphX(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val (graph, _) = builtGraph(spark, dir)
     val deg = graph.aggregateMessages[Long](ctx => {

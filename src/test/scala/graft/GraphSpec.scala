@@ -43,6 +43,11 @@ class GraphSpec extends SparkTestBase {
     assert(deg("O3") == 3L)
     // B1 (CAT1): three IN_CATEGORY edges point at it.
     assert(deg("BCAT1") == 3L)
+    // GraphX aggregateMessages parity: the graph view must agree with the
+    // relational derivation node-for-node.
+    val gx = GraphAlgs.degreesTopGraphX(spark, dir, k = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gx == deg)
   }
 
   test("personalized PageRank from P2 ranks basket neighbors over strangers") {
