@@ -96,28 +96,50 @@ object Recs {
   }
 
   /** J3+J4+A1+O1 — customer co-occurrence recs (reference
-    * `app/main.py:88-98`): products co-occurring in orders with anything
+    * `app/main.py:88-104`): products co-occurring in orders with anything
     * the customer bought, minus what they already bought (existential
-    * pattern negation → left-anti join), scored by count. */
+    * pattern negation → left-anti join).
+    *
+    * Scoring is Cypher `count(*)` over FULL path bindings
+    * (c)-[:PLACED]->(o1)-[:CONTAINS]->(p)<-[:CONTAINS]-(o2)-[:CONTAINS]->(other):
+    * an order holding N of the customer's purchased products contributes N
+    * per (o1, p) binding to each co-occurring product — NOT 1 per distinct
+    * co-order. Decomposed so nothing unbounded shuffles: score(other)
+    * = Σ_{o2 ∋ other} w(o2), where w(o2) = Σ_{p ∈ o2 ∩ mine} m(p) and
+    * m(p) = #customer orders containing p. (The Cypher's same-relationship
+    * exclusion other ≠ p is subsumed by the anti-join: p is always
+    * purchased.) All derived relations are seed-pruned and broadcast; the
+    * fact table is only ever joined against broadcasts, then deduped on
+    * the pruned slice (see rawItems). */
   def customerRecs(spark: SparkSession, dir: String, custId: Long,
                    k: Int = 10): DataFrame = {
     val li = rawItems(spark, dir)
-    val mine = purchasedBy(spark, dir, custId)
-    val seedOrders = li.join(broadcast(mine), "product_id")
-      .select("order_id").distinct()
-    li.join(broadcast(seedOrders), "order_id")
-      .distinct() // A6 dedup after broadcast pruning (see rawItems)
+    val myOrders = placedEdges(spark, dir)
+      .filter(col("customer_id") === custId).select("order_id")
+    // (o1, p) bindings: CONTAINS edges of the customer's own orders.
+    val bind1 = li.join(broadcast(myOrders), "order_id").distinct()
+    val mine = bind1.select("product_id").distinct()
+    val multiplicity = bind1.groupBy("product_id")
+      .agg(count(lit(1)).as("m"))
+    // w(o2): path bindings arriving at each co-order through any p ∈ mine.
+    val orderWeights = li.join(broadcast(multiplicity), "product_id")
+      .select("order_id", "product_id", "m").distinct()
+      .groupBy("order_id").agg(sum("m").as("w"))
+    li.join(broadcast(orderWeights), "order_id")
+      .select("order_id", "product_id", "w").distinct()
       .join(broadcast(mine), Seq("product_id"), "left_anti")
       .groupBy("product_id")
-      .agg(count(lit(1)).cast("double").as("score"))
-      .withColumn("reason", lit("customer-co-occurrence"))
+      .agg(sum("w").cast("double").as("score"))
+      // reason string per the reference response shape (main.py:104)
+      .withColumn("reason", lit("co-occurrence"))
       .orderBy(desc("score"), asc("product_id"))
       .limit(k)
   }
 
   /** J5+J4+A2+O2 — customer category fallback (reference
     * `app/main.py:110-123`): distinct products in categories the customer
-    * has purchased from, minus already-purchased, constant score. */
+    * has purchased from, minus already-purchased, constant score
+    * (RETURN DISTINCT → binding multiplicity is irrelevant here). */
   def customerCategoryRecs(spark: SparkSession, dir: String, custId: Long,
                            k: Int = 10): DataFrame = {
     val part = Tables.load(spark, dir, "part")
@@ -127,8 +149,9 @@ object Recs {
       .select("category_id").distinct()
     part.join(broadcast(myCats), "category_id")
       .join(broadcast(mine), Seq("product_id"), "left_anti")
+      // reason string per the reference response shape (main.py:120)
       .select(col("product_id"), lit(1.0).as("score"),
-        lit("category-fallback").as("reason"))
+        lit("same-category").as("reason"))
       .distinct()
       .orderBy(asc("product_id"))
       .limit(k)

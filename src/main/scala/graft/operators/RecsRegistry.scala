@@ -36,13 +36,18 @@ object RecsRegistry {
            |WHERE p.product_id <> $SeedPart
            |ORDER BY product_id ASC
            |LIMIT 10""".stripMargin,
+      // Cypher count(*) over FULL path bindings (reference main.py:88-104):
+      // score(other) = #(o1, p, o2) triples, decomposed as Σ w(o2) with
+      // w(o2) = Σ_{p ∈ o2 ∩ mine} m(p), m(p) = #customer orders holding p.
       "rec_customer" ->
         s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
-           |placed AS (SELECT o_custkey AS customer_id, o_orderkey AS order_id FROM orders),
-           |mine AS (SELECT DISTINCT product_id FROM placed JOIN items USING (order_id) WHERE customer_id = $SeedCust),
-           |seed_orders AS (SELECT DISTINCT order_id FROM items JOIN mine USING (product_id))
-           |SELECT i.product_id, CAST(count(*) AS DOUBLE) AS score, 'customer-co-occurrence' AS reason
-           |FROM items i JOIN seed_orders USING (order_id)
+           |myorders AS (SELECT o_orderkey AS order_id FROM orders WHERE o_custkey = $SeedCust),
+           |bind1 AS (SELECT i.order_id, i.product_id FROM items i JOIN myorders USING (order_id)),
+           |mine AS (SELECT DISTINCT product_id FROM bind1),
+           |m AS (SELECT product_id, count(*) AS m FROM bind1 GROUP BY product_id),
+           |owgt AS (SELECT i.order_id, sum(m.m) AS w FROM items i JOIN m USING (product_id) GROUP BY i.order_id)
+           |SELECT i.product_id, CAST(sum(w) AS DOUBLE) AS score, 'co-occurrence' AS reason
+           |FROM items i JOIN owgt USING (order_id)
            |WHERE i.product_id NOT IN (SELECT product_id FROM mine)
            |GROUP BY i.product_id
            |ORDER BY score DESC, product_id ASC
@@ -53,7 +58,7 @@ object RecsRegistry {
            |placed AS (SELECT o_custkey AS customer_id, o_orderkey AS order_id FROM orders),
            |mine AS (SELECT DISTINCT product_id FROM placed JOIN items USING (order_id) WHERE customer_id = $SeedCust),
            |my_cats AS (SELECT DISTINCT category_id FROM part_cat JOIN mine USING (product_id))
-           |SELECT DISTINCT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'category-fallback' AS reason
+           |SELECT DISTINCT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
            |FROM part_cat p JOIN my_cats USING (category_id)
            |WHERE p.product_id NOT IN (SELECT product_id FROM mine)
            |ORDER BY product_id ASC

@@ -47,6 +47,24 @@ class RecsSpec extends SparkTestBase {
     assert(Recs.customerCategoryRecs(spark, dir, 2L).isEmpty)
   }
 
+  test("customer recs score counts path bindings: a co-order holding 2 of the customer's products scores 2") {
+    // Cypher count(*) multiplicity (reference main.py:88-104): C1 owns O1 =
+    // {P10, P11}; O2 (C2) = {P10, P11, P12} reaches P12 through BOTH P10
+    // and P11 → score(P12) = 2, not 1. O3 (C3) = {P11, P12} adds 1 → 3.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-mult").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 10L, 1), (1L, 11L, 2),
+        (2L, 10L, 1), (2L, 11L, 2), (2L, 12L, 3),
+        (3L, 11L, 1), (3L, 12L, 2))
+      .toDF("l_orderkey", "l_partkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Recs.customerRecs(spark, d, 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((12L, 3.0, "co-occurrence")))
+  }
+
   test("CONTAINS edge set collapses duplicate order-items (MERGE semantics)") {
     // Doubled input must produce the identical edge set (A6 idempotency).
     val once = Recs.containsEdges(spark, SeedFixture.dir).collect().toSet
