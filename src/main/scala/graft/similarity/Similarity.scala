@@ -197,19 +197,42 @@ object Similarity {
   /** Per-label centroids, one row per (label, dimension). Plain double
     * `sum` under groupBy is partition-order-dependent (float addition is
     * non-associative) and float→decimal casts round differently across
-    * engines; instead collect, sort, and fold — a canonical summation
-    * order both engines reproduce bit-identically. Group size is the
-    * per-label row count; at larger scale switch to a two-level
-    * (partial-sorted-fold, merge-fold) tree with fixed fan-in. posexplode
-    * keeps the unpivot in one codegen pass; one shuffle on (label, dim). */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("label", "dim")
-      .agg(
-        (aggregate(sort_array(collect_list(col("v").cast("double"))),
-          lit(0.0), (s, x) => s + x) / count(lit(1))).as("mean"))
+    * engines; instead fold in a canonical order both engines reproduce
+    * bit-identically: a fixed-fan-in tree of sorted folds. Level 0 groups
+    * on (label, dim, vec_id >> bits(0)) — at most 2^bits(0) values per
+    * chunk — sorts and folds each chunk to a partial sum; each further
+    * level re-chunks on the next granularity (fan-in 2^(bits(ℓ)−bits(ℓ−1)))
+    * and folds the partial sums the same way; the root folds the last
+    * level's partials per (label, dim). No stage materializes an
+    * unbounded per-group list: with bits (5, 10) the leaf holds ≤32
+    * values, each merge ≤32 partials, and the root N/2^10 — deepen the
+    * Seq to keep the root bounded at larger N (each extra level divides
+    * the root fan-in by 2^5 for one more cheap shuffle). The DuckDB twin
+    * mirrors the chunking with `//` integer division (SimilarityRegistry),
+    * so the bits stay identical. posexplode keeps the unpivot in one
+    * codegen pass. */
+  def labelCentroids(spark: SparkSession, dir: String,
+                     chunkBits: Seq[Int] = Seq(5, 10)): DataFrame = {
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(c), lit(0.0), (s, x) => s + x)
+    val leaf = emb(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+    var acc = leaf
+      .groupBy(col("label"), col("dim"),
+        shiftright(col("vec_id"), chunkBits.head).as("chunk"))
+      .agg(foldSum(collect_list(col("v").cast("double"))).as("ps"),
+        count(lit(1)).as("c"))
+    for ((prev, next) <- chunkBits.zip(chunkBits.tail)) {
+      acc = acc
+        .groupBy(col("label"), col("dim"),
+          shiftright(col("chunk"), next - prev).as("chunk"))
+        .agg(foldSum(collect_list(col("ps"))).as("ps"), sum("c").as("c"))
+    }
+    acc.groupBy("label", "dim")
+      .agg((foldSum(collect_list(col("ps"))) / sum("c")).as("mean"))
       .orderBy("label", "dim")
+  }
 
   /** Per-vector L2 norms — cheap scan coverage of the vector arithmetic. */
   def norms(spark: SparkSession, dir: String): DataFrame =

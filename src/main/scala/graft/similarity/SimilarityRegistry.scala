@@ -51,13 +51,21 @@ object SimilarityRegistry {
       "sim_norms" ->
         s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
            |FROM embeddings ORDER BY vec_id""".stripMargin,
+      // Mirrors the fixed-fan-in fold tree (Similarity.labelCentroids,
+      // chunkBits 5/10): vec_id // 32 leaf chunks, // 32 merge, root fold.
       "sim_label_centroids" ->
-        """WITH u AS (SELECT label, unnest(embedding) AS x,
+        """WITH u AS (SELECT vec_id, label, unnest(embedding) AS x,
           |  unnest(generate_series(1, len(embedding))) AS ord
-          |FROM embeddings)
-          |SELECT label, ord - 1 AS dim,
-          |  list_sum(list_sort(list(CAST(x AS DOUBLE)))) / count(*) AS mean
-          |FROM u GROUP BY label, dim
+          |FROM embeddings),
+          |l0 AS (SELECT label, ord - 1 AS dim, vec_id // 32 AS chunk,
+          |  list_sum(list_sort(list(CAST(x AS DOUBLE)))) AS ps, count(*) AS c
+          |FROM u GROUP BY 1, 2, 3),
+          |l1 AS (SELECT label, dim, chunk // 32 AS chunk,
+          |  list_sum(list_sort(list(ps))) AS ps, sum(c) AS c
+          |FROM l0 GROUP BY 1, 2, 3)
+          |SELECT label, dim,
+          |  list_sum(list_sort(list(ps))) / sum(c) AS mean
+          |FROM l1 GROUP BY label, dim
           |ORDER BY label, dim""".stripMargin,
       "sim_cosine_topk" ->
         s"""WITH s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = $SeedVec)

@@ -30,6 +30,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("label centroids: fold tree matches the exact mean and a hand fold") {
+    // Semantic check: tree-fold mean ≈ exact mean (fp error only).
+    val rows = Similarity.labelCentroids(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLabel = emb.groupBy(_._2)
+    for ((label, vs) <- byLabel; dim <- vs.head._3.indices) {
+      val exact = vs.map(_._3(dim)).sum / vs.length
+      assert(math.abs(rows((label, dim)) - exact) < 1e-9,
+        s"label $label dim $dim")
+    }
+    // Bit check: reproduce the (5,10)-bit fold tree by hand for one
+    // (label, dim) cell — the oracle-parity contract, not just ≈.
+    val (label0, vs0) = byLabel.head
+    def fold(xs: Seq[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+    val l0 = vs0.groupBy(_._1 >> 5).toSeq.map { case (ch, g) =>
+      (ch, fold(g.map(_._3(0))), g.length) }
+    val l1 = l0.groupBy(_._1 >> 5).toSeq.map { case (_, g) =>
+      (fold(g.map(_._2)), g.map(_._3).sum) }
+    val expected = fold(l1.map(_._1)) / l1.map(_._2).sum
+    assert(rows((label0, 0)) == expected)
+    // The tree is actually exercised: >1 leaf chunk at this scale.
+    assert(l0.length > 1)
+  }
+
   test("SRP-LSH pairs: verified cosines respect the threshold and ordering") {
     val pairs = Similarity.srpLshPairs(spark, dir, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
