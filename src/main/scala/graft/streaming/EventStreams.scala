@@ -210,39 +210,74 @@ object EventStreams {
                            session_end_us: Long, n_events: Long)
 
   /** Custom state machine: emit a session whenever a user's next event
-    * arrives more than `gapMinutes` after the previous one; the open
-    * session stays in GroupState. With NoTimeout the final open session
-    * is by design never emitted (it is still "open"); a production
-    * variant flushes it via EventTimeTimeout once the watermark passes
-    * start + gap. The streaming twin of sessionsBatch modulo that final
-    * open session. */
-  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30)
+    * arrives more than `gapMinutes` after the previous one. The open
+    * session stays in GroupState with an EventTimeTimeout at
+    * last_event + gap: once the watermark passes it the session flushes
+    * WITHOUT needing another event from that user — so the stream
+    * eventually emits exactly `sessionsBatch`, including each user's
+    * final session (asserted in StreamingSpec). State is one small row
+    * per active user and the timeout is the eviction, so it cannot grow
+    * with stream length. Batch input has no watermark semantics →
+    * NoTimeout (every session closes by the gap logic or is still open,
+    * same as the window-function batch twin's trailing session). */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes")
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    val streaming = events.isStreaming
 
     def update(userId: Long, evs: Iterator[SessionEvent],
                state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val sorted = evs.toSeq.sortBy(_.ts_us)
-      var cur = state.getOption
-      val closed = Seq.newBuilder[ClosedSession]
-      sorted.foreach { e =>
-        cur match {
-          case Some(s) if e.ts_us - s.last_us <= gapUs =>
-            cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1))
-          case Some(s) =>
-            closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
-            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-          case None =>
-            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+      if (state.hasTimedOut) {
+        // Watermark passed last_us + gap: the open session is final.
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(userId, s.start_us, s.last_us, s.n))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts_us)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[ClosedSession]
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts_us - s.last_us <= gapUs =>
+              cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1))
+            case Some(s) =>
+              closed += ClosedSession(userId, s.start_us, s.last_us, s.n)
+              cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            case None =>
+              cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          }
         }
+        cur.foreach { s =>
+          state.update(s)
+          if (streaming)
+            // Spark requires the timeout to be ahead of the watermark;
+            // clamp for sessions already older than it (late data).
+            state.setTimeoutTimestamp(math.max(s.last_us / 1000L + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+        }
+        closed.result().iterator
       }
-      cur.foreach(state.update)
-      closed.result().iterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+    // EventTimeTimeout needs the watermarked event-time column to reach
+    // the stateful operator, so carry `ets` through the grouping.
+    if (streaming)
+      events.withColumn("ets", timestamp_micros(col("ts_us")))
+        .withWatermark("ets", watermarkDelay)
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)],
+           state: GroupState[SessionState]) =>
+            update(uid, evs.map(t => SessionEvent(t._1, t._2)), state)
+        }
+    else
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
   }
 }

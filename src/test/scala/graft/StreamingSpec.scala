@@ -84,15 +84,74 @@ class StreamingSpec extends SparkTestBase {
       .outputMode("append").start()
     try {
       val h = 3600L * 1000000L // one hour in micros
+      // t0 > 0: an event AT the initial watermark (epoch 0) is late data
+      val t0 = java.sql.Timestamp.valueOf("2024-05-01 10:00:00").getTime * 1000L
       // batch 1: user 1 has two events 10 min apart (one open session)
-      mem.addData(SessionEvent(1L, 0L), SessionEvent(1L, 600L * 1000000L))
+      mem.addData(SessionEvent(1L, t0), SessionEvent(1L, t0 + 600L * 1000000L))
       q.processAllAvailable()
       assert(spark.table("sessions_stream").isEmpty) // nothing closed yet
       // batch 2: an event 2h later closes the first session
-      mem.addData(SessionEvent(1L, 2 * h))
+      mem.addData(SessionEvent(1L, t0 + 2 * h))
       q.processAllAvailable()
       val closed = spark.table("sessions_stream").as[ClosedSession].collect()
-      assert(closed.toSeq == Seq(ClosedSession(1L, 0L, 600L * 1000000L, 2L)))
+      assert(closed.toSeq ==
+        Seq(ClosedSession(1L, t0, t0 + 600L * 1000000L, 2L)))
+    } finally q.stop()
+  }
+
+  test("watermark flushes the final open session without another event from that user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_flush")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000000L
+      val t0 = java.sql.Timestamp.valueOf("2024-05-01 10:00:00").getTime * 1000L
+      // user 1's session would stay open forever under NoTimeout
+      mem.addData(SessionEvent(1L, t0), SessionEvent(1L, t0 + 600L * 1000000L))
+      q.processAllAvailable()
+      // user 2's events push the watermark past user 1's last + gap; the
+      // second batch runs with that advanced watermark and fires the
+      // EventTimeTimeout (no reliance on a no-data microbatch).
+      mem.addData(SessionEvent(2L, t0 + 2 * h))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, t0 + 2 * h + 60L * 1000000L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_flush").as[ClosedSession].collect()
+      assert(closed.toSeq ==
+        Seq(ClosedSession(1L, t0, t0 + 600L * 1000000L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stream sessionizer equals sessionsBatch exactly, including last sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode("append").start()
+    try {
+      def us(t: java.sql.Timestamp) = t.getTime * 1000L
+      mem.addData(SeedFixture.events.map(e =>
+        SessionEvent(e.user_id, us(e.ts))): _*)
+      q.processAllAvailable()
+      // Sentinel user advances the watermark past every real session's
+      // timeout; two batches so the fire happens inside a data batch.
+      val far = us(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      mem.addData(SessionEvent(99L, far))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(99L, far + 3600L * 1000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_eq").as[ClosedSession].collect()
+        .filter(_.user_id != 99L)
+        .map(c => (c.user_id, c.session_start_us, c.session_end_us, c.n_events))
+        .toSet
+      val batch = EventStreams.sessionsBatch(spark, SeedFixture.dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batch && batch.size == 4)
     } finally q.stop()
   }
 
