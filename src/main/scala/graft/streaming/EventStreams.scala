@@ -162,45 +162,126 @@ object EventStreams {
   // ---- foreachBatch incremental edge-store maintenance (SURVEY §2.8) ----
 
   /** Incrementally maintain the behavioral edge store from the event
-    * stream: each microbatch's deduped edges are merged into a parquet
-    * store (read ∪ batch → dedup → overwrite). MERGE-upsert semantics
-    * (A6) across the whole stream, arriving incrementally. At warehouse
-    * scale the overwrite becomes a partition-level (or Delta/Iceberg
-    * MERGE) operation keyed by rel_type; the merge logic is identical.
-    * Returns the started query; the store directory is readable between
-    * microbatches. */
+    * stream with MERGE-upsert semantics (A6), as a versioned,
+    * rel_type-partitioned parquet table:
+    *
+    *   storeDir/_CURRENT          → "v7"  (the only mutable thing)
+    *   storeDir/v7/rel_type=VIEWED/part-*.parquet
+    *
+    * Each microbatch builds generation N+1 by merging ONLY the rel_type
+    * partitions the batch touches (work is O(touched partitions), not
+    * O(store)); untouched partitions are hard-linked from generation N
+    * (a metadata-only operation — what a Delta/Iceberg MERGE records in
+    * its manifest). The single-file atomic-rename of _CURRENT publishes
+    * the generation: a crash at ANY point before it leaves the previous
+    * generation live and complete (no window where the store is absent),
+    * and the orphaned build is garbage-collected by the next successful
+    * publish. Read the store through `edgeStore`, never the raw dir. */
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(); ()
   }
 
+  private val Pointer = "_CURRENT"
+  private val GenName = "v(\\d+)".r
+
+  /** The live generation directory, if the store has ever published. */
+  def currentGen(storeDir: String): Option[java.io.File] = {
+    val p = new java.io.File(storeDir, Pointer)
+    if (!p.exists()) None
+    else {
+      val name = new String(
+        java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim
+      Some(new java.io.File(storeDir, name)).filter(_.isDirectory)
+    }
+  }
+
+  /** Read the live edge store (empty-but-typed frame before first publish —
+    * the graceful-degradation convention of Tables.loadSafe). */
+  def edgeStore(spark: SparkSession, storeDir: String): DataFrame =
+    currentGen(storeDir) match {
+      case Some(gen) => spark.read.parquet(gen.getPath)
+        .select(col("user_id").cast("long"), col("product_id").cast("long"),
+          col("rel_type").cast("string"))
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, String)]
+          .toDF("user_id", "product_id", "rel_type")
+    }
+
+  /** Merge one batch of edges into the versioned store (the foreachBatch
+    * body; also directly callable for batch backfill). */
+  def mergeEdgeBatch(incoming: DataFrame, storeDir: String): Unit = {
+    val spark = incoming.sparkSession
+    val root = new java.io.File(storeDir)
+    root.mkdirs()
+    val inc = incoming.select("user_id", "product_id", "rel_type")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Bounded by the edge-type vocabulary (6 values), not the data.
+      val touched = inc.select("rel_type").distinct().collect()
+        .map(_.getString(0)).toSet
+      if (touched.isEmpty) return
+      val cur = currentGen(storeDir)
+      val curN = cur.map(_.getName match { case GenName(n) => n.toInt })
+        .getOrElse(0)
+      val next = new java.io.File(root, s"v${curN + 1}")
+      // A crash mid-build leaves an unpublished partial generation with
+      // this name; it was never visible to readers — rebuild it.
+      if (next.exists()) deleteRec(next)
+      // Untouched partitions: hard-link every file of the old generation's
+      // partition dir — byte-identical, no read, no write.
+      for (curDir <- cur; sub <- Option(curDir.listFiles()).getOrElse(Array())
+           if sub.isDirectory) {
+        val value = sub.getName.stripPrefix("rel_type=")
+        if (!touched.contains(value)) {
+          val dst = new java.io.File(next, sub.getName)
+          dst.mkdirs()
+          for (f <- sub.listFiles() if f.isFile)
+            java.nio.file.Files.createLink(
+              new java.io.File(dst, f.getName).toPath, f.toPath)
+        }
+      }
+      // Touched partitions: existing ∪ incoming → dedup, one partition at
+      // a time; the rel_type value lives in the directory name.
+      for (t <- touched) {
+        val mine = inc.filter(col("rel_type") === t)
+          .select("user_id", "product_id")
+        val existing = cur.map(d => new java.io.File(d, s"rel_type=$t"))
+          .filter(_.isDirectory)
+          .map(d => spark.read.parquet(d.getPath)
+            .select("user_id", "product_id"))
+        val merged = existing.fold(mine)(mine.unionByName(_))
+          .dropDuplicates("user_id", "product_id")
+        merged.write.mode("overwrite")
+          .parquet(new java.io.File(next, s"rel_type=$t").getPath)
+      }
+      // Publish: single atomic rename of the pointer file.
+      val tmp = new java.io.File(root, Pointer + ".tmp")
+      java.nio.file.Files.write(tmp.toPath, next.getName.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(root, Pointer).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // GC superseded and orphaned (crashed-build) generations. At
+      // warehouse scale this is snapshot expiry with a retention window
+      // for in-flight readers; here the previous generation's files live
+      // on via the hard links.
+      for (f <- Option(root.listFiles()).getOrElse(Array())
+           if f.isDirectory && f.getName != next.getName
+             && GenName.pattern.matcher(f.getName).matches())
+        deleteRec(f)
+    } finally { inc.unpersist(); () }
+  }
+
   def maintainEdgeStore(events: DataFrame, storeDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = events.sparkSession
+      : org.apache.spark.sql.streaming.StreamingQuery =
     dedupedBehavioralEdges(events).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val incoming = batch.select("user_id", "product_id", "rel_type")
-        val merged =
-          if (new java.io.File(storeDir).exists())
-            spark.read.parquet(storeDir).unionByName(incoming)
-              .dropDuplicates("user_id", "product_id", "rel_type")
-          else incoming.dropDuplicates("user_id", "product_id", "rel_type")
-        // Can't overwrite a dir we're reading: stage → swap (a Delta/
-        // Iceberg MERGE makes this transactional at warehouse scale).
-        val staging = new java.io.File(storeDir + ".staging")
-        merged.write.mode("overwrite").parquet(staging.getPath)
-        val live = new java.io.File(storeDir)
-        if (live.exists()) {
-          val old = new java.io.File(storeDir + ".old")
-          java.nio.file.Files.move(live.toPath, old.toPath)
-          java.nio.file.Files.move(staging.toPath, live.toPath)
-          deleteRec(old)
-        } else java.nio.file.Files.move(staging.toPath, live.toPath)
-        ()
+        mergeEdgeBatch(batch.toDF(), storeDir)
       }
       .start()
-  }
 
   // ---- Streaming-only stateful sessionization (flatMapGroupsWithState) ----
 

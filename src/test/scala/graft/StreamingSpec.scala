@@ -201,7 +201,68 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       mem.addData(SeedFixture.events: _*) // replay everything (dups)
       q.processAllAvailable()
-      val stored = spark.read.parquet(store).collect()
+      val stored = EventStreams.edgeStore(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = EventStreams.dedupedBehavioralEdges(seedEventsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(stored == batch && batch.size == 5)
+    } finally q.stop()
+  }
+
+  test("edge store merges only touched partitions; untouched files are byte-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-edges-part")
+      .resolve("store").toString
+    val mem = MemoryStream[SeedFixture.Event]
+    val q = EventStreams.maintainEdgeStore(mem.toDF(), store)
+    try {
+      // batch 1: a view and a click → VIEWED and CLICKED partitions
+      mem.addData(SeedFixture.events.take(2): _*)
+      q.processAllAvailable()
+      val gen1 = EventStreams.currentGen(store).get
+      def fileBytes(dir: java.io.File): Map[String, Seq[Byte]] =
+        dir.listFiles().filter(_.isFile)
+          .map(f => f.getName ->
+            java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val viewedBefore = fileBytes(new java.io.File(gen1, "rel_type=VIEWED"))
+      // batch 2 touches only ADDED_TO_CART
+      mem.addData(SeedFixture.events(4))
+      q.processAllAvailable()
+      val gen2 = EventStreams.currentGen(store).get
+      assert(gen2.getName != gen1.getName)
+      val viewedAfter = fileBytes(new java.io.File(gen2, "rel_type=VIEWED"))
+      assert(viewedAfter == viewedBefore) // hard-linked, not rewritten
+      assert(new java.io.File(gen2, "rel_type=ADDED_TO_CART").isDirectory)
+    } finally q.stop()
+  }
+
+  test("edge store survives a simulated crash mid-build: partial generation is invisible and rebuilt") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-edges-crash")
+      .resolve("store").toString
+    val mem = MemoryStream[SeedFixture.Event]
+    val q = EventStreams.maintainEdgeStore(mem.toDF(), store)
+    try {
+      mem.addData(SeedFixture.events.take(2): _*)
+      q.processAllAvailable()
+      val before = EventStreams.edgeStore(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // Simulate a crash after the next build started but BEFORE publish:
+      // a partial v2 exists, _CURRENT still points at v1.
+      val partial = new java.io.File(store, "v2/rel_type=VIEWED")
+      partial.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(partial, "part-junk.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      // Readers never see the partial generation.
+      assert(EventStreams.edgeStore(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet == before)
+      // The next microbatch rebuilds v2 from scratch and publishes it.
+      mem.addData(SeedFixture.events: _*)
+      q.processAllAvailable()
+      val stored = EventStreams.edgeStore(spark, store).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       val batch = EventStreams.dedupedBehavioralEdges(seedEventsDf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
