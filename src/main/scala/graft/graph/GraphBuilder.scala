@@ -60,20 +60,40 @@ object GraphBuilder {
   /** Raw (unpersisted) builders: the GraphX conversion path reads these —
     * consuming the columnar cache through `.rdd` proved slower than
     * re-running the codegen'd build (measured 3-8× on the sf0.1 bench). */
+  /** Declared node properties (sparse, typed columns — null where a label
+    * doesn't define the property), per the reference's SET clauses:
+    *  - Order.ts          ← o_orderdate   (etl.py:227 `SET o.ts = row.ts`)
+    *  - Product.category_id ← p_brand     (etl.py:188-189)
+    *  - Customer.join_date (etl.py:215-216) — the TPC-H-shaped testdata
+    *    has no stand-in column (FIXTURES.md §1), so it is carried when a
+    *    `c_join_date` column exists (the seed fixture's 02_seed.sql dates)
+    *    and null otherwise — same error-tolerant-extract posture as S2. */
   private[graph] def buildNodes(spark: SparkSession, dir: String): DataFrame = {
-    val customer = Tables.load(spark, dir, "customer")
+    val nullTs = lit(null).cast("timestamp")
+    val nullStr = lit(null).cast("string")
+    val nullDate = lit(null).cast("date")
+    val custRaw = Tables.load(spark, dir, "customer")
+    val joinDate =
+      if (custRaw.columns.contains("c_join_date"))
+        col("c_join_date").cast("date")
+      else nullDate
+    val customer = custRaw
       .select(S("C", col("c_custkey")).as("id"), lit("Customer").as("label"),
-        col("c_name").as("name"))
+        col("c_name").as("name"), nullTs.as("ts"), nullStr.as("category_id"),
+        joinDate.as("join_date"))
     val product = Tables.load(spark, dir, "part")
       .select(S("P", col("p_partkey")).as("id"), lit("Product").as("label"),
-        col("p_name").as("name"))
+        col("p_name").as("name"), nullTs.as("ts"),
+        col("p_brand").as("category_id"), nullDate.as("join_date"))
     val order = Tables.load(spark, dir, "orders")
       .select(S("O", col("o_orderkey")).as("id"), lit("Order").as("label"),
-        lit(null).cast("string").as("name"))
+        nullStr.as("name"), col("o_orderdate").cast("timestamp").as("ts"),
+        nullStr.as("category_id"), nullDate.as("join_date"))
     val category = Tables.load(spark, dir, "part")
       .select(col("p_brand")).distinct()
       .select(S("B", col("p_brand")).as("id"), lit("Category").as("label"),
-        col("p_brand").as("name"))
+        col("p_brand").as("name"), nullTs.as("ts"), nullStr.as("category_id"),
+        nullDate.as("join_date"))
     // MERGE upsert (A5): sources are keyed, dedup is a safety net for
     // re-runs / concatenated inputs (idempotency property, SURVEY §5.3).
     customer.unionByName(product).unionByName(order).unionByName(category)

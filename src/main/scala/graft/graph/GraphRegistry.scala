@@ -43,6 +43,17 @@ object GraphRegistry {
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("n"))
           .orderBy("rel_type")),
+      // Node properties carried through the build (Order.ts,
+      // Product.category_id, Customer.join_date): epoch-micros projection
+      // for engine-portable timestamp compare.
+      "graph_node_props" -> ((s, d) => {
+        import org.apache.spark.sql.functions._
+        GraphBuilder.nodes(s, d)
+          .select(col("id"), col("label"), col("name"),
+            unix_micros(col("ts")).as("ts_us"), col("category_id"),
+            col("join_date").cast("string").as("join_date"))
+          .orderBy("id")
+      }),
       "graph_contains_weights" -> ((s, d) => {
         import org.apache.spark.sql.functions._
         // Exact-integer-cents sum (Relational.cents): bit-identical across
@@ -79,6 +90,26 @@ object GraphRegistry {
         s"""SELECT rel_type, count(*) AS n FROM (
            |$EdgesSql
            |) GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      "graph_node_props" ->
+        """SELECT * FROM (
+          |  SELECT 'C'||CAST(c_custkey AS VARCHAR) AS id, 'Customer' AS label,
+          |    c_name AS name, CAST(NULL AS BIGINT) AS ts_us,
+          |    CAST(NULL AS VARCHAR) AS category_id,
+          |    CAST(NULL AS VARCHAR) AS join_date
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT 'P'||CAST(p_partkey AS VARCHAR), 'Product', p_name,
+          |    NULL, p_brand, NULL
+          |  FROM part
+          |  UNION ALL
+          |  SELECT 'O'||CAST(o_orderkey AS VARCHAR), 'Order', NULL,
+          |    epoch_us(o_orderdate), NULL, NULL
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT DISTINCT 'B'||p_brand, 'Category', p_brand,
+          |    NULL, NULL, NULL
+          |  FROM part
+          |) ORDER BY id""".stripMargin,
       "graph_contains_weights" ->
         """WITH cw AS (
           |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem

@@ -16,6 +16,22 @@ class GraphSpec extends SparkTestBase {
     assert(GraphBuilder.duplicateNodeIds(n).isEmpty)
   }
 
+  test("node properties survive the build: Order.ts, Product.category_id, Customer.join_date") {
+    val props = GraphBuilder.nodes(spark, dir)
+      .select("id", "ts", "category_id", "join_date").collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    // O1 placed 2024-04-01T10:15 (02_seed.sql:12; etl.py:227 SET o.ts)
+    assert(props("O1")._1 ==
+      java.sql.Timestamp.valueOf("2024-04-01 10:15:00"))
+    // P1 in CAT1 (etl.py:188-189 SET p.category_id)
+    assert(props("P1")._2 == "CAT1")
+    // C1 joined 2024-01-02 (etl.py:215-216 SET c.join_date)
+    assert(props("C1")._3 == java.sql.Date.valueOf("2024-01-02"))
+    // Properties stay label-sparse: no ts outside Order, etc.
+    assert(props("C1")._1 == null && props("O1")._2 == null
+      && props("P1")._3 == null)
+  }
+
   test("edges by type match the hand-derived seed graph") {
     val byType = GraphBuilder.edges(spark, dir)
       .groupBy("rel_type").count().collect()

@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SeedFixture {
 
-  case class Customer(c_custkey: Long, c_name: String, c_mktsegment: String)
+  case class Customer(c_custkey: Long, c_name: String, c_mktsegment: String,
+                      c_join_date: java.sql.Date)
   case class Part(p_partkey: Long, p_name: String, p_brand: String,
                   p_retailprice: Double)
   case class Order(o_orderkey: Long, o_custkey: Long, o_orderpriority: String,
@@ -26,9 +27,12 @@ object SeedFixture {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  /** join_date per 02_seed.sql:2-5 — the one Customer property the
+    * testdata tables can't carry (no stand-in column; FIXTURES.md §1). */
   def customers: Seq[Customer] = Seq(
-    Customer(1, "Alice", "SEG"), Customer(2, "Bob", "SEG"),
-    Customer(3, "Chloé", "SEG"))
+    Customer(1, "Alice", "SEG", java.sql.Date.valueOf("2024-01-02")),
+    Customer(2, "Bob", "SEG", java.sql.Date.valueOf("2024-02-11")),
+    Customer(3, "Chloé", "SEG", java.sql.Date.valueOf("2024-03-05")))
 
   def parts: Seq[Part] = Seq(
     Part(1, "Wireless Mouse", "CAT1", 29.99),
