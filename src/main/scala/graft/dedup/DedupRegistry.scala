@@ -4,8 +4,10 @@ import graft.Registry
 
 /** Registry + DuckDB oracle twins for the dedup tier (north-star
   * training-data operators, BASELINE.json). The md5-based MinHash makes
-  * even the LSH pipeline exactly oracle-checkable; SimHash rides on
-  * xxhash64 (no DuckDB twin) so its entries are rows-only checks.
+  * even the LSH pipeline exactly oracle-checkable; the SimHash rows run
+  * the md5-derived fingerprint variant (Dedup.simhashesMd5) for the same
+  * reason, while the xxhash64 native expression stays the production
+  * path (FunctionsSpec bit-parity).
   *
   * The oracle SQL re-derives the same shingles / signatures / band keys
   * with DuckDB list functions, so every intermediate (min-hash string,
@@ -15,6 +17,27 @@ object DedupRegistry {
 
   /** DuckDB tokenizer twin of TextAnalysis.tokens. */
   private val Toks = raw"string_split_regex(trim(text), '\s+')"
+
+  /** Twin of Dedup.simhashesMd5: hex digit p of the token's md5, via the
+    * same ascii arithmetic. */
+  private def digitSql(p: Int): String =
+    s"(ascii(substring(h,$p,1)) - CASE WHEN ascii(substring(h,$p,1)) >= 97 THEN 87 ELSE 48 END)"
+
+  private val VoteCols = (0 until 64).map { b =>
+    s"sum(((${digitSql(1 + b / 2)} >> ${b % 2}) & 1) * 2 - 1) AS v$b"
+  }.mkString(", ")
+
+  /** Disjoint powers, ascending (bit 63's Long.MinValue addend last) —
+    * same overflow-free order as the Spark fold. */
+  private val FpSql = (0 until 64).map { b =>
+    s"(CASE WHEN coalesce(v$b, 0) >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private val SimhashCtes =
+    s"""toks AS (SELECT doc_id, md5(unnest($Toks)) AS h FROM documents),
+       |votes AS (SELECT doc_id, $VoteCols FROM toks GROUP BY doc_id),
+       |fp AS (SELECT d.doc_id, $FpSql AS simhash
+       |       FROM documents d LEFT JOIN votes USING (doc_id))""".stripMargin
 
   /** DuckDB shingle CTEs twin of Dedup.shingles (ShingleN = 3). */
   private val ShingleCtes =
@@ -59,10 +82,8 @@ object DedupRegistry {
       "dedup_token_set" -> ((s, d) => Dedup.tokenSetDups(s, d)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
       "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
-      "dedup_simhash" -> ((s, d) =>
-        Dedup.simhashes(s, d)
-          .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
-      "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d))
+      "dedup_simhash" -> ((s, d) => Dedup.simhashesMd5(s, d)),
+      "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d))
     ),
     oracles = Map(
       "dedup_exact" ->
@@ -97,7 +118,23 @@ object DedupRegistry {
            |         FROM buckets b1 JOIN buckets b2
            |           ON b1.band = b2.band AND b1.key = b2.key
            |          AND b1.doc_id < b2.doc_id),
-           |${verifySql(0.8)}""".stripMargin
+           |${verifySql(0.8)}""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH $SimhashCtes
+           |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      "dedup_simhash_pairs" ->
+        s"""WITH $SimhashCtes,
+           |chunks AS (SELECT doc_id, simhash, c.chunk,
+           |             (simhash >> (c.chunk * 16)) & 65535 AS val
+           |           FROM fp, (VALUES (0), (1), (2), (3)) c(chunk)),
+           |cand AS (SELECT DISTINCT c1.doc_id AS d1, c2.doc_id AS d2,
+           |             c1.simhash AS s1, c2.simhash AS s2
+           |         FROM chunks c1 JOIN chunks c2
+           |           ON c1.chunk = c2.chunk AND c1.val = c2.val
+           |          AND c1.doc_id < c2.doc_id)
+           |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist
+           |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+           |ORDER BY d1, d2""".stripMargin
     )
   )
 }

@@ -79,4 +79,14 @@ class DedupSpec extends SparkTestBase {
     // unrelated doc never pairs with the duplicate cluster
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("md5 SimHash variant (oracle rows) agrees on dup structure") {
+    val hashes = Dedup.simhashesMd5(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Dedup.simhashPairsMd5(spark, dir, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
