@@ -90,6 +90,21 @@ object GraphRegistry {
         s"""SELECT rel_type, count(*) AS n FROM (
            |$EdgesSql
            |) GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      // BFS distances toward the landmark along edge direction — a
+      // recursive CTE twin of GraphX ShortestPaths (expand backwards over
+      // dst→src from the landmark; UNION dedups states, and the graph is
+      // a layered DAG (C→O→P→B) so recursion terminates; the dist guard
+      // is belt-and-braces). min() collapses multi-path revisits.
+      "graphx_shortest_paths" ->
+        s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesSql)),
+           |walk(id, dist) AS (
+           |  SELECT 'P1' AS id, CAST(0 AS BIGINT) AS dist
+           |  UNION
+           |  SELECT e.src, w.dist + 1 FROM walk w
+           |  JOIN e ON e.dst = w.id WHERE w.dist < 8
+           |)
+           |SELECT id, min(dist) AS dist FROM walk GROUP BY id
+           |ORDER BY dist, id LIMIT 50""".stripMargin,
       "graph_node_props" ->
         """SELECT * FROM (
           |  SELECT 'C'||CAST(c_custkey AS VARCHAR) AS id, 'Customer' AS label,
