@@ -4,20 +4,27 @@ package graft
   * frames, GraphX views, trained index models). Keyed by the owning
   * SparkContext as well as the caller's key, so a new session in the same
   * JVM (tests after a bench run, restarted sessions) never receives state
-  * bound to a stopped context.
+  * bound to a stopped context — and entries owned by stopped contexts are
+  * evicted on the next access, so the map cannot grow across session
+  * restarts (their cached blocks already died with the context's block
+  * manager; eviction just drops the dangling plan handles).
   */
 object Memo {
-  private val cache =
-    scala.collection.mutable.Map.empty[(Int, String, Any), Any]
+  private val cache = scala.collection.mutable.Map
+    .empty[(org.apache.spark.SparkContext, String, Any), Any]
 
   def get[V](spark: org.apache.spark.sql.SparkSession, scope: String,
              key: Any)(build: => V): V = cache.synchronized {
-    // Drop entries from dead contexts so the map cannot grow across
-    // session restarts.
     val sc = spark.sparkContext
     if (sc.isStopped) throw new IllegalStateException(
       "Memo.get called with a stopped SparkContext")
-    val k = (System.identityHashCode(sc), scope, key)
-    cache.getOrElseUpdate(k, build).asInstanceOf[V]
+    cache.filterInPlace { case ((owner, _, _), _) => !owner.isStopped }
+    cache.getOrElseUpdate((sc, scope, key), build).asInstanceOf[V]
+  }
+
+  /** Live entry count (after eviction) — test observability. */
+  private[graft] def size: Int = cache.synchronized {
+    cache.filterInPlace { case ((owner, _, _), _) => !owner.isStopped }
+    cache.size
   }
 }

@@ -40,21 +40,24 @@ object Dedup {
   val Bands = 8
 
   /** doc_id → distinct ShingleN-gram shingles (one row per (doc, shingle)).
-    * Persisted: every near-dup pipeline references it 3-4× (candidate
-    * generation + both sides of verification), and Spark's CacheManager
-    * shares the materialization across the jaccard/minhash queries by
-    * plan identity. At 100 TB this is the "shingle index" table you'd
-    * materialize to storage once per corpus. */
+    * Persisted + memoized per (session, dir): every near-dup pipeline
+    * references it 3-4× (candidate generation + both sides of
+    * verification), and repeated invocations in a long-lived session must
+    * share ONE cached plan, not stack identical persists. At 100 TB this
+    * is the "shingle index" table you'd materialize to storage once per
+    * corpus. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .withColumn("toks", TextAnalysis.tokens)
-      .filter(size(col("toks")) >= ShingleN)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - ShingleN),
-          i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
-        .as("s"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Memo.get(spark, "dedup-shingles", dir) {
+      Tables.load(spark, dir, "documents")
+        .withColumn("toks", TextAnalysis.tokens)
+        .filter(size(col("toks")) >= ShingleN)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("toks")) - ShingleN),
+            i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .as("s"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Exact dedup: md5-groupBy, representative = min doc_id (deterministic
     * keep-first). Returns one row per distinct content. */
@@ -131,20 +134,22 @@ object Dedup {
   }
 
   /** MinHash signature: for each doc, NumHashes column-mins of
-    * md5("<i>|<shingle>") — one groupBy pass, no explode of hash index. */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+    * md5("<i>|<shingle>") — one groupBy pass, no explode of hash index.
+    * Memoized like shingles (same repeated-invocation argument). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "dedup-minhash-sig", dir) {
+      val mins = (0 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+      shingles(spark, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Banded LSH candidates + exact verify. Band key = md5 of its rows'
     * concatenated mins; docs sharing any band bucket become candidates. */
   def minhashLshPairs(spark: SparkSession, dir: String,
                       threshold: Double = 0.8): DataFrame = {
     val sh = shingles(spark, dir)
-    val sig = minhashSignatures(sh)
+    val sig = minhashSignatures(spark, dir)
     val rowsPerBand = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -183,20 +188,21 @@ object Dedup {
       lit(0L), (s, x) => s.bitwiseOR(x))
   }
 
-  /** Persisted for the same reason as shingles: the pair join references
-    * the signature relation twice (d1/d2 sides) and the hash computation
-    * is the expensive part. */
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    // No orderBy here: a sort inside the persisted plan would be paid on
-    // every materialization and is useless to the pair join's shuffle.
-    // Consumers that need order (the registry dump) sort at the boundary.
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.simHash64(TextAnalysis.tokens)
-          .as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  /** Persisted + memoized for the same reason as shingles: the pair join
+    * references the signature relation twice (d1/d2 sides) and the hash
+    * computation is the expensive part. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "dedup-simhash", dir) {
+      graft.functions.GraftFunctions.register(spark)
+      // No orderBy here: a sort inside the persisted plan would be paid on
+      // every materialization and is useless to the pair join's shuffle.
+      // Consumers that need order (the registry dump) sort at the boundary.
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.simHash64(TextAnalysis.tokens)
+            .as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Oracle-checkable SimHash twin: the 64 hash bits per token come from
     * the 32 hex chars of ONE md5 (2 bits per char, via ascii arithmetic —

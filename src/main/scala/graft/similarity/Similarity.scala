@@ -98,12 +98,16 @@ object Similarity {
     * on the pair key only. */
   def srpLshPairs(spark: SparkSession, dir: String,
                   threshold: Double = 0.4): DataFrame = {
-    // Persisted: both sides of the bucket self-join reference it, and the
-    // 32×64-term signature expression is the expensive part.
-    val sig = emb(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        srpSignature(col("embedding")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted + memoized: both sides of the bucket self-join reference
+    // it, the 32×64-term signature expression is the expensive part, and
+    // repeated invocations must reuse one cached plan (Memo), not pile up
+    // identical persists in a long-lived session.
+    val sig = graft.Memo.get(spark, "srp-sig", dir) {
+      emb(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          srpSignature(col("embedding")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val buckets = sig.select(col("vec_id"), col("embedding"),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"),
