@@ -60,7 +60,8 @@ object GraphRegistry {
         // engines, unlike float→decimal casts (round-1 hash failure).
         GraphBuilder.containsWithQuantity(s, d)
           .groupBy("dst")
-          .agg((sum(graft.operators.Relational.cents(col("weight"))) / lit(100.0))
+          .agg((graft.operators.Relational.centsSum(
+            graft.operators.Relational.cents(col("weight"))) / lit(100.0))
             .as("total_qty"),
             count(lit(1)).as("n_orders"))
           .orderBy(desc("total_qty"), asc("dst"))
@@ -131,7 +132,7 @@ object GraphRegistry {
           |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey
           |    ORDER BY l_linenumber DESC) = 1)
           |SELECT 'P'||CAST(l_partkey AS VARCHAR) AS dst,
-          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |  sum(CAST(round(l_quantity * 100) AS BIGINT))
           |    / CAST(100 AS DOUBLE) AS total_qty,
           |  count(*) AS n_orders
           |FROM cw GROUP BY 1 ORDER BY total_qty DESC, dst LIMIT 20""".stripMargin,

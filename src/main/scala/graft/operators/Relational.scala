@@ -117,6 +117,16 @@ object Relational {
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * lit(100)).cast("long")
 
+  /** Exact wide-accumulator sum for cents columns: decimal(30,0) terms
+    * accumulate into decimal(38,0) (Spark's precision cap) — headroom to
+    * ~1e38, where a plain Long sum hits 2^63 ≈ 9.2e18 around 1e11 Q1 rows
+    * per group at the 100 TB design point (ADVICE r2). The DuckDB twin is
+    * the bare sum(BIGINT) → HUGEINT (~1.7e38), and both engines convert
+    * the exact integer to the same correctly-rounded double at the final
+    * division. */
+  def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(30,0)"))
+
   /** ROLLUP pricing summary — grouping-sets coverage beyond the
     * reference's flat GROUP BY: per (flag, status), per flag, and grand
     * total in one pass (partial aggregation handles all levels map-side). */
@@ -124,7 +134,7 @@ object Relational {
     Tables.load(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"))
+        (centsSum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** HLL approximate distinct next to the exact count — the sketch tier
@@ -228,10 +238,10 @@ object Relational {
       .withColumn("disc_c", cents(col("l_discount")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        (sum(col("qty_c")) / lit(100.0)).as("sum_qty"),
-        (sum(col("price_c")) / lit(100.0)).as("sum_base_price"),
-        (sum(col("price_c") * (lit(100L) - col("disc_c"))) / lit(10000.0))
-          .as("sum_disc_price"),
+        (centsSum(col("qty_c")) / lit(100.0)).as("sum_qty"),
+        (centsSum(col("price_c")) / lit(100.0)).as("sum_base_price"),
+        (sum(col("price_c").cast("decimal(30,0)") *
+          (lit(100L) - col("disc_c"))) / lit(10000.0)).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 }

@@ -76,9 +76,9 @@ object RelationalRegistry {
           |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
           |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
           |SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(qty_c) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_qty,
-          |  CAST(sum(price_c) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_base_price,
-          |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT) / CAST(10000 AS DOUBLE)
+          |  sum(qty_c) / CAST(100 AS DOUBLE) AS sum_qty,
+          |  sum(price_c) / CAST(100 AS DOUBLE) AS sum_base_price,
+          |  sum(price_c * (100 - disc_c)) / CAST(10000 AS DOUBLE)
           |    AS sum_disc_price,
           |  count(*) AS count_order
           |FROM li
@@ -93,7 +93,7 @@ object RelationalRegistry {
           |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
       "rollup_pricing" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |  sum(CAST(round(l_quantity * 100) AS BIGINT))
           |    / CAST(100 AS DOUBLE) AS sum_qty
           |FROM lineitem
           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
