@@ -34,8 +34,11 @@ object Bench {
       System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // total excludes failures (a broken query must not shrink it to look
+    // like a speedup), so machine consumers need the failure count IN the
+    // JSON, not just on stderr.
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

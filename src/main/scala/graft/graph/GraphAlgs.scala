@@ -58,7 +58,9 @@ object GraphAlgs {
     * the hot registry path must not pay the GraphX build (RDD conversion
     * dominated the round-1 bench at 16.7 s). The aggregateMessages
     * derivation survives as [[degreesTopGraphX]], asserted equal in
-    * GraphSpec. */
+    * GraphSpec — an equivalence that holds because every edge family is
+    * endpoint-validated in GraphBuilder.buildEdges (no dangling endpoints
+    * for the GraphX view to drop that this count would keep). */
   def degreesTop(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = GraphBuilder.edges(spark, dir)
     e.select(col("src").as("id"))

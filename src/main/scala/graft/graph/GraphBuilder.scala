@@ -126,7 +126,17 @@ object GraphBuilder {
         S("O", col("o_orderkey")).as("dst"),
         lit("PLACED").as("rel_type"), lit(1.0).as("weight"))
 
+    // CONTAINS endpoint validation (the reference MATCHes both the Order
+    // and the Product before MERGE, etl.py:237-241): a lineitem row whose
+    // orderkey/partkey has no node must not produce a dangling edge. With
+    // this, EVERY edge family is endpoint-validated, so edge endpoints
+    // always exist in `nodes` — the invariant GraphAlgs.degreesTop's
+    // relational derivation relies on (ADVICE r2).
     val contains = containsWithQuantity(spark, dir)
+      .join(Tables.load(spark, dir, "orders")
+        .select(S("O", col("o_orderkey")).as("src")), Seq("src"), "left_semi")
+      .join(Tables.load(spark, dir, "part")
+        .select(S("P", col("p_partkey")).as("dst")), Seq("dst"), "left_semi")
 
     // IN_CATEGORY: product -> its brand-category.
     val inCategory = Tables.load(spark, dir, "part")

@@ -17,6 +17,8 @@ object GraphRegistry {
       |UNION ALL
       |SELECT 'O'||CAST(l_orderkey AS VARCHAR), 'P'||CAST(l_partkey AS VARCHAR), 'CONTAINS'
       |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
       |UNION ALL
       |SELECT 'P'||CAST(p_partkey AS VARCHAR), 'B'||p_brand, 'IN_CATEGORY' FROM part
       |UNION ALL

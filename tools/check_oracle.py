@@ -17,8 +17,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     # Compare doubles at exact bit level (the repo's parity claims are
     # IEEE-754-exact; rounding here would mask cross-engine drift).
+    # -0.0 normalizes to 0.0: the two are ==-equal and a signed zero from
+    # one engine's aggregate is not a semantic divergence.
     if isinstance(v, float):
-        return struct.pack("<d", v)
+        return struct.pack("<d", v + 0.0)
     return v
 
 def main(sf_dir, out_dir):
