@@ -213,29 +213,37 @@ object Dedup {
     * correctness rows run. Tokenless docs get the all-ones fingerprint
     * (zero votes ⇒ every bit ≥ 0), matching SimHash64 — hence the left
     * join instead of relying on explode to cover every doc. */
-  def simhashesMd5(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val toks = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens).as("t"))
-      .withColumn("h", md5(col("t")))
-    def digit(p: Int): Column = {
-      val a = ascii(substring(col("h"), p, 1))
-      a - when(a >= 97, 87).otherwise(48) // 'a'..'f' vs '0'..'9'
+  def simhashesMd5(spark: SparkSession, dir: String): DataFrame =
+    simhashesMd5Core(spark, dir).orderBy("doc_id")
+
+  /** Unordered fingerprint relation, memoized + persisted: the pair
+    * self-join reads it twice and the registry dump once — the 64-sum
+    * vote aggregation must run once per (session, dir). */
+  private def simhashesMd5Core(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "dedup-simhash-md5", dir) {
+      val docs = Tables.load(spark, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens).as("t"))
+        .withColumn("h", md5(col("t")))
+      def digit(p: Int): Column = {
+        val a = ascii(substring(col("h"), p, 1))
+        a - when(a >= 97, 87).otherwise(48) // 'a'..'f' vs '0'..'9'
+      }
+      val voteCols = (0 until 64).map { b =>
+        sum(shiftright(digit(1 + b / 2), b % 2).bitwiseAND(lit(1)) * 2 - 1)
+          .as(s"v$b")
+      }
+      val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      // Disjoint powers, ascending, bit 63 last: the partial sum peaks at
+      // 2^63-1 then adds Long.MinValue — no overflow in either engine.
+      val fp = (0 until 64).map { b =>
+        when(coalesce(col(s"v$b"), lit(0L)) >= 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      docs.select("doc_id").join(votes, Seq("doc_id"), "left")
+        .select(col("doc_id"), fp.as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val voteCols = (0 until 64).map { b =>
-      sum(shiftright(digit(1 + b / 2), b % 2).bitwiseAND(lit(1)) * 2 - 1)
-        .as(s"v$b")
-    }
-    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    // Disjoint powers, ascending, bit 63 last: the partial sum peaks at
-    // 2^63-1 then adds Long.MinValue — no overflow in either engine.
-    val fp = (0 until 64).map { b =>
-      when(coalesce(col(s"v$b"), lit(0L)) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    docs.select("doc_id").join(votes, Seq("doc_id"), "left")
-      .select(col("doc_id"), fp.as("simhash"))
-      .orderBy("doc_id")
-  }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, blocked by four
     * 16-bit chunks. Pigeonhole: a pair within distance 3 must match ≥1 of
@@ -249,7 +257,7 @@ object Dedup {
   /** Pairs over the md5-derived fingerprints (the oracle-backed rows). */
   def simhashPairsMd5(spark: SparkSession, dir: String,
                       maxDist: Int = 3): DataFrame =
-    simhashPairsFrom(simhashesMd5(spark, dir), maxDist)
+    simhashPairsFrom(simhashesMd5Core(spark, dir), maxDist)
 
   private def simhashPairsFrom(hs: DataFrame, maxDist: Int): DataFrame = {
     val chunks = hs.select(col("doc_id"), col("simhash"),

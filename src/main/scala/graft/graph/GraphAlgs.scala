@@ -23,18 +23,29 @@ object GraphAlgs {
       .zipWithIndex().toDF("id", "vid")
   }
 
+  /** Edges per GraphX partition to aim for: Pregel pays per-partition
+    * task overhead EVERY iteration (10-iteration PageRank = ~30 stages),
+    * so small graphs must not inherit the SQL shuffle parallelism — at
+    * sf0.1 that made 32 near-empty partitions per superstep. Scales up
+    * naturally: 10^11 edges / 2^20 → ~100k partitions. */
+  val EdgesPerPartition = 1 << 20
+
   /** GraphX view of the property graph: vertex attr = string node id,
     * edge attr = weight. */
   def graphOf(nodesDf: DataFrame, edgesDf: DataFrame)
       : (Graph[String, Double], DataFrame) = {
     val vm = vidMap(nodesDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val nParts = math.max(2,
+      math.min(vm.sparkSession.sparkContext.defaultParallelism,
+        (vm.count() * 8 / EdgesPerPartition).toInt)) // ~8 edges/node here
     val vertices: RDD[(VertexId, String)] =
-      vm.select("vid", "id").rdd.map(r => (r.getLong(0), r.getString(1)))
+      vm.select("vid", "id").rdd
+        .coalesce(nParts).map(r => (r.getLong(0), r.getString(1)))
     val e = edgesDf
       .join(vm.withColumnRenamed("id", "src").withColumnRenamed("vid", "svid"), "src")
       .join(vm.withColumnRenamed("id", "dst").withColumnRenamed("vid", "dvid"), "dst")
       .select("svid", "dvid", "weight")
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .rdd.coalesce(nParts).map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     (Graph(vertices, e), vm)
   }
 
@@ -45,10 +56,14 @@ object GraphAlgs {
   private def builtGraph(spark: SparkSession, dir: String)
       : (Graph[String, Double], DataFrame) =
     graft.Memo.get(spark, "graphx-view", dir) {
-      // raw builders: .rdd off the columnar cache is slower than
-      // re-running the codegen'd plans (see GraphBuilder.buildNodes).
-      val (g, vm) = graphOf(GraphBuilder.buildNodes(spark, dir),
-        GraphBuilder.buildEdges(spark, dir))
+      // Feed the view from the memoized persisted frames: by bench order
+      // the graph_* queries have already materialized them, so the view
+      // build skips re-running the 6-scan join plans (r3 probe: ~6 s
+      // build+first-algo off the cache vs ~12 s raw re-build; the r1
+      // ".rdd off the columnar cache is 3-8× slower" measurement predates
+      // the persisted edges frame and no longer reproduces).
+      val (g, vm) = graphOf(GraphBuilder.nodes(spark, dir),
+        GraphBuilder.edges(spark, dir))
       (g.cache(), vm)
     }
 
