@@ -214,6 +214,79 @@ object GraphAlgs {
       .limit(k)
   }
 
+  /** Fixed-iteration PageRank computed RELATIONALLY: contributions
+    * rank/outdeg per edge, per-dst summation in canonical sorted-fold
+    * order (the labelCentroids trick) so every intermediate double is
+    * bit-identical in Spark and DuckDB — the oracle-checkable member of
+    * the PageRank family. Same formulation as GraphX staticPageRank
+    * (init 1.0, rank = 0.15 + 0.85·Σ, dangling mass dropped), asserted
+    * ≈-equal to it on the seed fixture in GraphSpec. Each iteration is
+    * one equi-join shuffle + one grouped fold; localCheckpoint caps the
+    * lineage at one iteration. Per-dst collect_list is bounded by
+    * in-degree — at 100 TB hot sinks get the fixed-fan-in fold tree
+    * (Similarity.labelCentroids). */
+  def pageRankFixedTop(spark: SparkSession, dir: String, iters: Int = 10,
+                       k: Int = 20): DataFrame = {
+    val e = GraphBuilder.edges(spark, dir).select("src", "dst")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = GraphBuilder.nodes(spark, dir).select("id")
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      val summed = contribs.groupBy("id")
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (s, x) => s + x).as("inr"))
+      ranks = nodes.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0)))
+            .as("rank"))
+      if (i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    // GraphX renormalizes final ranks to sum to |V| (SPARK-18847 sink
+    // handling); mirror it with an exact canonical-order total so the
+    // doubles stay oracle-identical. collect_list here is all |V| ranks —
+    // at warehouse scale this total comes from the fixed-fan-in fold tree
+    // (labelCentroids) instead.
+    val n = nodes.count()
+    val total = ranks.agg(
+      aggregate(sort_array(collect_list(col("rank"))), lit(0.0),
+        (s, x) => s + x).as("t"))
+    ranks.crossJoin(broadcast(total))
+      .select(col("id"), (col("rank") * lit(n) / col("t")).as("rank"))
+      .orderBy(desc("rank"), asc("id")).limit(k)
+  }
+
+  /** Fixed-round min-label propagation (weakly-connected components on
+    * the undirected view), relationally: comp(v) ← min(comp(v), min of
+    * neighbours' comp), `rounds` times from comp = id. Pure string mins —
+    * EXACTLY oracle-checkable, unlike the Pregel path. After ≥diameter
+    * rounds this IS connectedComponents (asserted vs GraphX on the seed);
+    * the registry row's semantics are "after `rounds` rounds" and the
+    * DuckDB twin mirrors the same unrolling. Output: component-size
+    * histogram, the connectedComponentSizes shape. */
+  def componentsFixedSizes(spark: SparkSession, dir: String,
+                           rounds: Int = 10): DataFrame = {
+    val e = GraphBuilder.edges(spark, dir).select("src", "dst")
+    val und = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    var comp = GraphBuilder.nodes(spark, dir)
+      .select(col("id"), col("id").as("comp"))
+    for (r <- 1 to rounds) {
+      val fromNbrs = und
+        .join(comp.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      comp = comp.unionByName(fromNbrs)
+        .groupBy("id").agg(min("comp").as("comp"))
+      if (r < rounds) comp = comp.localCheckpoint(true)
+    }
+    comp.groupBy("comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
   /** BFS distances to a landmark node (GraphX ShortestPaths, directed).
     * Rows-only (iterative Pregel, no SQL twin); fixture-tested. */
   def shortestPathsTo(spark: SparkSession, dir: String, landmark: String,

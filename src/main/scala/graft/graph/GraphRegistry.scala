@@ -33,8 +33,70 @@ object GraphRegistry {
       |JOIN customer c ON e.user_id = c.c_custkey
       |JOIN part p ON e.k = p.p_partkey""".stripMargin
 
+  /** All node ids (ids are unique by construction, so UNION ALL). */
+  private val NodeIdsSql =
+    """SELECT 'C'||CAST(c_custkey AS VARCHAR) AS id FROM customer
+      |UNION ALL SELECT 'P'||CAST(p_partkey AS VARCHAR) FROM part
+      |UNION ALL SELECT 'O'||CAST(o_orderkey AS VARCHAR) FROM orders
+      |UNION ALL SELECT DISTINCT 'B'||p_brand FROM part""".stripMargin
+
+  /** Twin of GraphAlgs.pageRankFixedTop: the same fixed iterations
+    * unrolled as CTEs, per-dst sums in the same sorted-fold order →
+    * bit-identical doubles. */
+  private def pageRankSql(iters: Int, k: Int): String = {
+    val head =
+      s"""WITH nodes AS ($NodeIdsSql),
+         |e AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)""".stripMargin
+    // r$i MATERIALIZED: the last rank relation is read twice (total +
+    // final select), and materializing every level keeps the plan linear.
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |  list_sum(list_sort(list(r.rank / o.outdeg))) AS inr
+         |  FROM e JOIN r${i - 1} r ON r.id = e.src
+         |         JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT n.id,
+         |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c.inr, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s""",
+         |tot AS (SELECT list_sum(list_sort(list(rank))) AS t FROM r$iters),
+         |nv AS (SELECT count(*) AS n FROM nodes)
+         |SELECT id, rank * (SELECT n FROM nv) / (SELECT t FROM tot) AS rank
+         |FROM r$iters ORDER BY rank DESC, id LIMIT $k""".stripMargin
+  }
+
+  /** Twin of GraphAlgs.componentsFixedSizes (exact string mins). */
+  private def componentsSql(rounds: Int): String = {
+    val head =
+      s"""WITH nodes AS ($NodeIdsSql),
+         |e0 AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |c0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes)""".stripMargin
+    // MATERIALIZED is load-bearing: each round reads the previous one
+    // TWICE, so an inlining planner would expand the chain 2^rounds times.
+    val iterCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (
+         |  SELECT id, comp FROM c${i - 1}
+         |  UNION ALL
+         |  SELECT u.dst AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.src
+         |) GROUP BY id)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"""\nSELECT size, count(*) AS n_components FROM (
+         |  SELECT comp, count(*) AS size FROM c$rounds GROUP BY comp
+         |) GROUP BY size ORDER BY size""".stripMargin
+  }
+
   val registry: Registry = Registry(
     queries = Map(
+      "pagerank_fixed_top" -> ((s, d) => GraphAlgs.pageRankFixedTop(s, d)),
+      "components_fixed_sizes" -> ((s, d) =>
+        GraphAlgs.componentsFixedSizes(s, d)),
       "graph_nodes_by_label" -> ((s, d) =>
         GraphBuilder.nodes(s, d).groupBy("label")
           .agg(org.apache.spark.sql.functions.count(
@@ -93,6 +155,8 @@ object GraphRegistry {
         s"""SELECT rel_type, count(*) AS n FROM (
            |$EdgesSql
            |) GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      "pagerank_fixed_top" -> pageRankSql(10, 20),
+      "components_fixed_sizes" -> componentsSql(10),
       // BFS distances toward the landmark along edge direction — a
       // recursive CTE twin of GraphX ShortestPaths (expand backwards over
       // dst→src from the landmark; UNION dedups states, and the graph is

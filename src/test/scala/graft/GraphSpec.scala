@@ -102,6 +102,24 @@ class GraphSpec extends SparkTestBase {
     assert(!d.contains("BCAT1")) // categories have no out-edges
   }
 
+  test("fixed-round components equal GraphX connected components on the seed") {
+    val rel = GraphAlgs.componentsFixedSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gx = GraphAlgs.connectedComponentSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rel == gx && rel == Seq((12L, 1L)))
+  }
+
+  test("relational fixed-iteration PageRank agrees with GraphX staticPageRank") {
+    val rel = GraphAlgs.pageRankFixedTop(spark, dir, iters = 10, k = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx = GraphAlgs.pageRankTop(spark, dir, iters = 10, k = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rel.keySet == gx.keySet)
+    for ((id, r) <- rel)
+      assert(math.abs(r - gx(id)) < 1e-9, s"$id rel=$r gx=${gx(id)}")
+  }
+
   test("canonical write round-trips, partitioned by label/rel_type, idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-canon").toString
     GraphBuilder.writeCanonical(spark, dir, out)
