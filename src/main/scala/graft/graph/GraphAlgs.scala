@@ -259,6 +259,46 @@ object GraphAlgs {
       .orderBy(desc("rank"), asc("id")).limit(k)
   }
 
+  /** Fixed-iteration PERSONALIZED PageRank recs, relationally — the
+    * oracle-checkable twin of [[pprRecs]] (the reference's declared
+    * upgrade path, main.py:31-33): reset mass 0.15 pinned to the
+    * customer's node, 10 damped propagation rounds with canonical
+    * sorted-fold sums (bit-identical in DuckDB), then the J4 anti-join
+    * against purchased products and top-k. Unreachable products keep an
+    * exact 0.0 (every op preserves the zero) so `rank > 0` is a clean
+    * cross-engine filter. */
+  def pprFixedRecs(spark: SparkSession, dir: String, custId: Long,
+                   iters: Int = 10, k: Int = 10): DataFrame = {
+    val seedId = s"C$custId"
+    val e = GraphBuilder.edges(spark, dir).select("src", "dst")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = GraphBuilder.nodes(spark, dir).select("id")
+    var ranks = nodes.withColumn("rank",
+      when(col("id") === seedId, lit(1.0)).otherwise(lit(0.0)))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      val summed = contribs.groupBy("id")
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (s, x) => s + x).as("inr"))
+      ranks = nodes.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === seedId, lit(0.15)).otherwise(lit(0.0)) +
+            lit(0.85) * coalesce(col("inr"), lit(0.0))).as("rank"))
+      if (i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    val purchased = graft.operators.Recs.purchasedProducts(spark, dir, custId)
+    ranks.filter(col("id").startsWith("P"))
+      .withColumn("product_id", substring(col("id"), 2, 100).cast("long"))
+      .join(broadcast(purchased), Seq("product_id"), "left_anti")
+      .filter(col("rank") > 0)
+      .select(col("product_id"), col("rank"))
+      .orderBy(desc("rank"), asc("product_id"))
+      .limit(k)
+  }
+
   /** Fixed-round min-label propagation (weakly-connected components on
     * the undirected view), relationally: comp(v) ← min(comp(v), min of
     * neighbours' comp), `rounds` times from comp = id. Pure string mins —

@@ -69,6 +69,43 @@ object GraphRegistry {
          |FROM r$iters ORDER BY rank DESC, id LIMIT $k""".stripMargin
   }
 
+  /** Twin of GraphAlgs.pprFixedRecs: seed-pinned reset vector, same
+    * unrolled damped rounds, purchased anti-join, top-k. */
+  private def pprRecsSql(custId: Long, iters: Int, k: Int): String = {
+    val seed = s"'C$custId'"
+    val head =
+      s"""WITH nodes AS ($NodeIdsSql),
+         |e AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT id,
+         |  CASE WHEN id = $seed THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS rank
+         |  FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id,
+         |  list_sum(list_sort(list(r.rank / o.outdeg))) AS inr
+         |  FROM e JOIN r${i - 1} r ON r.id = e.src
+         |         JOIN outdeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT n.id,
+         |  (CASE WHEN n.id = $seed THEN CAST(0.15 AS DOUBLE)
+         |        ELSE CAST(0.0 AS DOUBLE) END)
+         |    + CAST(0.85 AS DOUBLE) * coalesce(c.inr, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s""",
+         |mine AS (SELECT DISTINCT l_partkey AS product_id FROM lineitem
+         |         JOIN orders ON l_orderkey = o_orderkey
+         |         WHERE o_custkey = $custId)
+         |SELECT CAST(substring(id, 2) AS BIGINT) AS product_id, rank
+         |FROM r$iters
+         |WHERE id LIKE 'P%' AND rank > 0
+         |  AND CAST(substring(id, 2) AS BIGINT) NOT IN
+         |      (SELECT product_id FROM mine)
+         |ORDER BY rank DESC, product_id LIMIT $k""".stripMargin
+  }
+
   /** Twin of GraphAlgs.componentsFixedSizes (exact string mins). */
   private def componentsSql(rounds: Int): String = {
     val head =
@@ -95,6 +132,7 @@ object GraphRegistry {
   val registry: Registry = Registry(
     queries = Map(
       "pagerank_fixed_top" -> ((s, d) => GraphAlgs.pageRankFixedTop(s, d)),
+      "ppr_fixed_recs" -> ((s, d) => GraphAlgs.pprFixedRecs(s, d, 1L)),
       "components_fixed_sizes" -> ((s, d) =>
         GraphAlgs.componentsFixedSizes(s, d)),
       "graph_nodes_by_label" -> ((s, d) =>
@@ -156,6 +194,7 @@ object GraphRegistry {
            |$EdgesSql
            |) GROUP BY rel_type ORDER BY rel_type""".stripMargin,
       "pagerank_fixed_top" -> pageRankSql(10, 20),
+      "ppr_fixed_recs" -> pprRecsSql(1L, 10, 10),
       "components_fixed_sizes" -> componentsSql(10),
       // BFS distances toward the landmark along edge direction — a
       // recursive CTE twin of GraphX ShortestPaths (expand backwards over

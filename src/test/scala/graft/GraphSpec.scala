@@ -83,6 +83,12 @@ class GraphSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(recs.map(_._1).toSeq == Seq(3L))
     assert(recs.head._2 > 0.0)
+    // The relational fixed-iteration twin (the oracle-backed row) agrees
+    // on the recommendation set.
+    val rel = GraphAlgs.pprFixedRecs(spark, dir, 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rel.map(_._1).toSeq == Seq(3L))
+    assert(rel.head._2 > 0.0)
   }
 
   test("connected components: the seed graph is one weakly-connected blob") {
