@@ -23,13 +23,23 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
-  /** Token counting (whitespace tokenization; a BPE-ish subword count is
-    * approximated by chars/4, the usual LLM heuristic). */
+  /** GPT-2-style pre-tokenization regex, restricted to constructs with
+    * identical semantics in Java regex and RE2 (DuckDB): contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs. ASCII
+    * classes only — Unicode property classes differ across engines. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+  /** Token counting: whitespace tokens, a BPE-ish regex piece count
+    * (pre-tokenizer matches — the unit a subword tokenizer would then
+    * split), and the chars/4 LLM heuristic. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .withColumn("toks", tokens)
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .as("n_bpe_pieces"),
         length(col("text")).as("n_chars_text"),
         (length(col("text")) / lit(4)).cast("int").as("n_subwords_est"))
       .orderBy("doc_id")

@@ -15,6 +15,7 @@ object TextRegistry {
         import org.apache.spark.sql.functions._
         TextAnalysis.tokenCounts(s, d)
           .withColumn("n_tokens", col("n_tokens").cast("bigint"))
+          .withColumn("n_bpe_pieces", col("n_bpe_pieces").cast("bigint"))
           .withColumn("n_chars_text", col("n_chars_text").cast("bigint"))
           .withColumn("n_subwords_est", col("n_subwords_est").cast("bigint"))
       }),
@@ -36,6 +37,8 @@ object TextRegistry {
     oracles = Map(
       "text_token_counts" ->
         s"""SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(regexp_extract_all(text,
+           |    '${TextAnalysis.BpePattern.replace("'", "''")}')) AS n_bpe_pieces,
            |  length(text) AS n_chars_text,
            |  length(text) // 4 AS n_subwords_est
            |FROM documents ORDER BY doc_id""".stripMargin,
