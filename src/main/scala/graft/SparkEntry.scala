@@ -15,7 +15,8 @@ object SparkEntry {
       dedup.DedupRegistry.registry ++
       similarity.SimilarityRegistry.registry ++
       streaming.StreamingRegistry.registry ++
-      multimodal.MultimodalRegistry.registry
+      multimodal.MultimodalRegistry.registry ++
+      sources.SourcesRegistry.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * J1+A1+O1 — the reference's entire /recs hot path in one plan

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Tables
+
+/** Source-format tier (SURVEY §2.1): the engine's tables are
+  * parquet-canonical (Tables.load), but ingest at the edges arrives as
+  * CSV / JSON-lines. Readers take EXPLICIT schemas — schema inference is
+  * a full extra pass over the data, an anti-pattern at 100 TB — and keep
+  * the S2 graceful-empty posture for missing paths. Fidelity is proven by
+  * the `source_roundtrip_counts` registry row: events → CSV and JSONL →
+  * read back → exact-cents aggregate must hash-match the oracle computed
+  * from the parquet original (doubles survive because Spark writes
+  * shortest-round-trip decimal text).
+  */
+object Formats {
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    if (!new java.io.File(path).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("header", "true").csv(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    if (!new java.io.File(path).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(path)
+
+  /** Round-trip the events table through both text formats and aggregate
+    * each side identically (counts + exact-cents value sums). Timestamps
+    * travel as epoch-micros longs — the engine-portable convention
+    * (EventStreams) — so text formats can't lose sub-second precision. */
+  def roundTripCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    ev.write.mode("overwrite").json(s"$base/jsonl")
+    def aggOf(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(graft.operators.Relational.cents(col("value"))) / lit(100.0))
+            .as("sum_value"))
+        .select(lit(fmt).as("fmt"), col("event_type"), col("n"),
+          col("sum_value"))
+    aggOf(readCsv(spark, s"$base/csv", ev.schema), "csv")
+      .unionByName(aggOf(readJsonl(spark, s"$base/jsonl", ev.schema), "jsonl"))
+      .orderBy("fmt", "event_type")
+  }
+}
