@@ -267,9 +267,10 @@ object GraphAlgs {
     * against purchased products and top-k. Unreachable products keep an
     * exact 0.0 (every op preserves the zero) so `rank > 0` is a clean
     * cross-engine filter. */
-  def pprFixedRecs(spark: SparkSession, dir: String, custId: Long,
-                   iters: Int = 10, k: Int = 10): DataFrame = {
-    val seedId = s"C$custId"
+  /** The damped seed-pinned propagation shared by the fixed-PPR queries:
+    * r₀ = 1 at the seed; each round r = 0.15·1_seed + 0.85·Σ r/outdeg. */
+  private def pprFixedRanks(spark: SparkSession, dir: String, seedId: String,
+                            iters: Int): DataFrame = {
     val e = GraphBuilder.edges(spark, dir).select("src", "dst")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = GraphBuilder.nodes(spark, dir).select("id")
@@ -289,6 +290,22 @@ object GraphAlgs {
             lit(0.85) * coalesce(col("inr"), lit(0.0))).as("rank"))
       if (i < iters) ranks = ranks.localCheckpoint(true)
     }
+    ranks
+  }
+
+  /** Fixed-iteration PPR top-k from any seed node — the oracle-checkable
+    * twin of [[personalizedPageRank]], same mechanics as [[pprFixedRecs]]
+    * without the product projection. Seed excluded like the GraphX path. */
+  def pprFixedTop(spark: SparkSession, dir: String, seedId: String,
+                  iters: Int = 10, k: Int = 10): DataFrame =
+    pprFixedRanks(spark, dir, seedId, iters)
+      .filter(col("id") =!= seedId && col("rank") > 0)
+      .orderBy(desc("rank"), asc("id"))
+      .limit(k)
+
+  def pprFixedRecs(spark: SparkSession, dir: String, custId: Long,
+                   iters: Int = 10, k: Int = 10): DataFrame = {
+    val ranks = pprFixedRanks(spark, dir, s"C$custId", iters)
     val purchased = graft.operators.Recs.purchasedProducts(spark, dir, custId)
     ranks.filter(col("id").startsWith("P"))
       .withColumn("product_id", substring(col("id"), 2, 100).cast("long"))

@@ -69,10 +69,9 @@ object GraphRegistry {
          |FROM r$iters ORDER BY rank DESC, id LIMIT $k""".stripMargin
   }
 
-  /** Twin of GraphAlgs.pprFixedRecs: seed-pinned reset vector, same
-    * unrolled damped rounds, purchased anti-join, top-k. */
-  private def pprRecsSql(custId: Long, iters: Int, k: Int): String = {
-    val seed = s"'C$custId'"
+  /** Seed-pinned damped propagation CTE chain (twin of
+    * GraphAlgs.pprFixedRanks), ending at r`iters`. */
+  private def pprRanksSql(seed: String, iters: Int): String = {
     val head =
       s"""WITH nodes AS ($NodeIdsSql),
          |e AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
@@ -93,7 +92,12 @@ object GraphRegistry {
          |    + CAST(0.85 AS DOUBLE) * coalesce(c.inr, 0.0) AS rank
          |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
     }
-    (head +: iterCtes).mkString(",\n") +
+    (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Twin of GraphAlgs.pprFixedRecs: propagation + purchased anti-join. */
+  private def pprRecsSql(custId: Long, iters: Int, k: Int): String =
+    pprRanksSql(s"'C$custId'", iters) +
       s""",
          |mine AS (SELECT DISTINCT l_partkey AS product_id FROM lineitem
          |         JOIN orders ON l_orderkey = o_orderkey
@@ -104,7 +108,14 @@ object GraphRegistry {
          |  AND CAST(substring(id, 2) AS BIGINT) NOT IN
          |      (SELECT product_id FROM mine)
          |ORDER BY rank DESC, product_id LIMIT $k""".stripMargin
-  }
+
+  /** Twin of GraphAlgs.pprFixedTop. */
+  private def pprTopSql(seedId: String, iters: Int, k: Int): String =
+    pprRanksSql(s"'$seedId'", iters) +
+      s"""
+         |SELECT id, rank FROM r$iters
+         |WHERE id <> '$seedId' AND rank > 0
+         |ORDER BY rank DESC, id LIMIT $k""".stripMargin
 
   /** Twin of GraphAlgs.componentsFixedSizes (exact string mins). */
   private def componentsSql(rounds: Int): String = {
@@ -133,6 +144,7 @@ object GraphRegistry {
     queries = Map(
       "pagerank_fixed_top" -> ((s, d) => GraphAlgs.pageRankFixedTop(s, d)),
       "ppr_fixed_recs" -> ((s, d) => GraphAlgs.pprFixedRecs(s, d, 1L)),
+      "ppr_fixed_top" -> ((s, d) => GraphAlgs.pprFixedTop(s, d, "P1")),
       "components_fixed_sizes" -> ((s, d) =>
         GraphAlgs.componentsFixedSizes(s, d)),
       "graph_nodes_by_label" -> ((s, d) =>
@@ -195,6 +207,7 @@ object GraphRegistry {
            |) GROUP BY rel_type ORDER BY rel_type""".stripMargin,
       "pagerank_fixed_top" -> pageRankSql(10, 20),
       "ppr_fixed_recs" -> pprRecsSql(1L, 10, 10),
+      "ppr_fixed_top" -> pprTopSql("P1", 10, 10),
       "components_fixed_sizes" -> componentsSql(10),
       // BFS distances toward the landmark along edge direction — a
       // recursive CTE twin of GraphX ShortestPaths (expand backwards over
