@@ -15,6 +15,10 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("health").foreach(_(spark, sfDir).count())
+      // Long-lived-service state built once, untimed (the warm-up shape
+      // VERDICT r2 task 9 prescribes): the memoized canonical graph
+      // frames + GraphX view that every graph query reads.
+      graph.GraphAlgs.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
     // Deterministic order keeps per-query numbers comparable across runs.
     // A failed query must NOT look like a fast passing one: log the error
