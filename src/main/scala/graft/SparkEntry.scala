@@ -16,7 +16,8 @@ object SparkEntry {
       similarity.SimilarityRegistry.registry ++
       streaming.StreamingRegistry.registry ++
       multimodal.MultimodalRegistry.registry ++
-      sources.SourcesRegistry.registry
+      sources.SourcesRegistry.registry ++
+      pipeline.CurationRegistry.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * J1+A1+O1 — the reference's entire /recs hot path in one plan

@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end training-corpus curation — the composition the individual
+  * text/dedup operators exist for:
+  *
+  *  - deterministic hash splits: train/val/test assignment from the
+  *    first 4 hex digits of md5(doc_id), so the split is a pure function
+  *    of the key — reproducible across runs, engines, and repartitioning
+  *    (the property random() splits lack), and exactly oracle-checkable;
+  *  - the curation filter: predicted-language gate × quality floor ×
+  *    exact-dedup keep-first — three independent scans joined on doc_id,
+  *    each one already an oracle-verified operator.
+  *
+  * Everything stays columnar; the joins are on the doc_id key and the
+  * dedup side arrives as a broadcast-sized keep-set at test SFs (at
+  * corpus scale it is a shuffle-hash join on the same key).
+  */
+object Curation {
+
+  /** Value of hex digit p (1-based) of md5(key) via ascii arithmetic —
+    * the engine-portable trick shared with Dedup.simhashesMd5. */
+  private def hexDigit(h: Column, p: Int): Column = {
+    val a = ascii(substring(h, p, 1))
+    a - when(a >= 97, 87).otherwise(48)
+  }
+
+  /** Bucket in [0, 100) from the first 4 md5 hex digits of the key. */
+  def hashBucket(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    ((0 until 4).map(i => hexDigit(h, i + 1) * (1 << (4 * (3 - i))))
+      .reduce(_ + _)) % 100
+  }
+
+  /** 80/10/10 deterministic split assignment. */
+  def splitOf(key: Column): Column = {
+    val b = hashBucket(key)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** Split × true-language histogram over documents. */
+  def splitCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(splitOf(col("doc_id")).as("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
+  /** The curated corpus: English by prediction, quality ≥ minQuality,
+    * exact-dup collapsed to the min-doc_id representative. */
+  def curate(spark: SparkSession, dir: String,
+             minQuality: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val lang = TextAnalysis.langId(spark, dir)
+      .select(col("doc_id"), col("lang_pred"))
+    val keep = Dedup.exact(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    quality.join(lang, "doc_id")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .filter(col("lang_pred") === "en" && col("quality") >= minQuality)
+      .select(col("doc_id"), col("quality"),
+        splitOf(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.Registry
+
+/** Oracle twins for the curation tier: the split hash re-derived with
+  * the same ascii arithmetic, the curation filter composed from the
+  * already-proven quality/langid/dedup CTE shapes. */
+object CurationRegistry {
+
+  private val Toks = raw"string_split_regex(trim(text), '\s+')"
+
+  private def digitSql(h: String, p: Int): String =
+    s"(ascii(substring($h,$p,1)) - CASE WHEN ascii(substring($h,$p,1)) >= 97 THEN 87 ELSE 48 END)"
+
+  /** Twin of Curation.hashBucket over md5(CAST(doc_id AS VARCHAR)). */
+  private val BucketSql = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    (0 until 4).map(i => s"${digitSql(h, i + 1)} * ${1 << (4 * (3 - i))}")
+      .mkString("(", " + ", ") % 100")
+  }
+
+  private val SplitSql =
+    s"""CASE WHEN $BucketSql < 80 THEN 'train'
+       |     WHEN $BucketSql < 90 THEN 'val' ELSE 'test' END""".stripMargin
+
+  val registry: Registry = Registry(
+    queries = Map(
+      "split_counts" -> ((s, d) => Curation.splitCounts(s, d)),
+      "curate_corpus" -> ((s, d) => Curation.curate(s, d))
+    ),
+    oracles = Map(
+      "split_counts" ->
+        s"""SELECT $SplitSql AS split, lang, count(*) AS n
+           |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+      "curate_corpus" ->
+        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+           |FROM documents),
+           |quality AS (SELECT doc_id,
+           |  round(least(n_tokens / 100.0, 1.0) *
+           |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
+           |FROM q),
+           |h AS (SELECT doc_id,
+           |  len(list_filter($Toks, t -> t IN ('the','a','is','of'))) AS hits_en,
+           |  len(list_filter($Toks, t -> t IN ('der','die','das','und'))) AS hits_de,
+           |  len(list_filter($Toks, t -> t IN ('el','la','los','y'))) AS hits_es,
+           |  len(list_filter($Toks, t -> t IN ('le','les','et','une'))) AS hits_fr
+           |FROM documents),
+           |m AS (SELECT doc_id, greatest(hits_en, hits_de, hits_es, hits_fr, 0) AS mx,
+           |  hits_en, hits_de, hits_es FROM h),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN mx = 0 THEN 'unknown'
+           |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
+           |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred
+           |FROM m),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+           |         GROUP BY md5(lower(trim(text))))
+           |SELECT q2.doc_id, q2.quality, $SplitSql AS split
+           |FROM quality q2
+           |JOIN lang USING (doc_id)
+           |JOIN keep USING (doc_id)
+           |JOIN documents USING (doc_id)
+           |WHERE lang_pred = 'en' AND quality >= 0.5
+           |ORDER BY doc_id""".stripMargin
+    )
+  )
+}
