@@ -129,6 +129,33 @@ object Similarity {
       .orderBy("d1", "d2")
   }
 
+  /** Near-dup CLUSTERS from the SRP-LSH pair graph: fixed-round
+    * min-label propagation (the componentsFixedSizes machinery) collapses
+    * transitive near-dup chains into clusters keyed by their min vec_id —
+    * the representative a dedup pass keeps. Long mins → exactly
+    * oracle-checkable; `rounds` bounds the chain length merged (pair
+    * graphs are near-cliques, so small fixed rounds converge). Only
+    * non-singleton clusters emit (singletons aren't duplicates). */
+  def dupClusters(spark: SparkSession, dir: String,
+                  threshold: Double = 0.4, rounds: Int = 5): DataFrame = {
+    val pairs = srpLshPairs(spark, dir, threshold).select("d1", "d2")
+    val und = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    var comp = und.select(col("d1").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    for (_ <- 1 to rounds) {
+      val fromNbrs = und
+        .join(broadcast(comp.withColumnRenamed("id", "d1")), "d1")
+        .select(col("d2").as("id"), col("comp"))
+      comp = comp.unionByName(fromNbrs)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+    }
+    comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .select(col("comp").as("keep_vec_id"), col("n_members"))
+      .orderBy("keep_vec_id")
+  }
+
   /** IVF ANN top-k: KMeans-partition the vectors (the "inverted file"),
     * probe only the nprobe centroids nearest the seed, exact-rerank inside
     * the probed partitions. At scale the cluster id becomes the parquet

@@ -39,12 +39,28 @@ object SimilarityRegistry {
       s"SELECT vec_id, $b AS band, (sig >> ${b * Similarity.BandBits}) & $mask AS key FROM sig"
     }.mkString(" UNION ALL ")
 
+  /** Shared pair-graph CTEs (signatures → bands → candidates → exact
+    * verify at 0.4) — reused by the pairs row and the cluster row. */
+  private val PairCtes: String =
+    s"""sig AS MATERIALIZED (SELECT vec_id, $SigSql AS sig FROM embeddings),
+       |buckets AS ($BandSelects),
+       |cand AS (SELECT DISTINCT b1.vec_id AS d1, b2.vec_id AS d2
+       |         FROM buckets b1 JOIN buckets b2
+       |           ON b1.band = b2.band AND b1.key = b2.key
+       |          AND b1.vec_id < b2.vec_id),
+       |ver AS (SELECT d1, d2,
+       |          ${cosSql("e1.embedding", "e2.embedding")} AS cos
+       |        FROM cand JOIN embeddings e1 ON e1.vec_id = d1
+       |                  JOIN embeddings e2 ON e2.vec_id = d2),
+       |pairs AS MATERIALIZED (SELECT d1, d2 FROM ver WHERE cos >= 0.4)""".stripMargin
+
   val registry: Registry = Registry(
     queries = Map(
       "sim_norms" -> ((s, d) => Similarity.norms(s, d)),
       "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
       "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, SeedVec)),
       "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
+      "sim_dup_clusters" -> ((s, d) => Similarity.dupClusters(s, d)),
       "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec))
     ),
     oracles = Map(
@@ -75,18 +91,32 @@ object SimilarityRegistry {
            |ORDER BY cos DESC, vec_id ASC
            |LIMIT 20""".stripMargin,
       "sim_srp_lsh_pairs" ->
-        s"""WITH sig AS (SELECT vec_id, $SigSql AS sig FROM embeddings),
-           |buckets AS ($BandSelects),
-           |cand AS (SELECT DISTINCT b1.vec_id AS d1, b2.vec_id AS d2
-           |         FROM buckets b1 JOIN buckets b2
-           |           ON b1.band = b2.band AND b1.key = b2.key
-           |          AND b1.vec_id < b2.vec_id),
-           |ver AS (SELECT d1, d2,
-           |          ${cosSql("e1.embedding", "e2.embedding")} AS cos
-           |        FROM cand JOIN embeddings e1 ON e1.vec_id = d1
-           |                  JOIN embeddings e2 ON e2.vec_id = d2)
-           |SELECT d1, d2, cos FROM ver WHERE cos >= 0.4
-           |ORDER BY d1, d2""".stripMargin
+        s"""WITH $PairCtes
+           |SELECT p.d1, p.d2, v.cos FROM pairs p
+           |JOIN ver v ON v.d1 = p.d1 AND v.d2 = p.d2
+           |ORDER BY p.d1, p.d2""".stripMargin,
+      // Min-label propagation over the pair graph (5 rounds, mirrored in
+      // Similarity.dupClusters); every c$i MATERIALIZED — each round
+      // reads the previous twice, so inlining would expand 2^rounds.
+      "sim_dup_clusters" -> {
+        val rounds = 5
+        val head =
+          s"""WITH $PairCtes,
+             |und AS MATERIALIZED (SELECT d1, d2 FROM pairs
+             |  UNION ALL SELECT d2, d1 FROM pairs),
+             |c0 AS MATERIALIZED (SELECT DISTINCT d1 AS id, d1 AS comp FROM und)""".stripMargin
+        val iters = (1 to rounds).map { i =>
+          s"""c$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (
+             |  SELECT id, comp FROM c${i - 1}
+             |  UNION ALL
+             |  SELECT u.d2 AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.d1
+             |) GROUP BY id)""".stripMargin
+        }
+        (head +: iters).mkString(",\n") +
+          s"""
+             |SELECT comp AS keep_vec_id, count(*) AS n_members
+             |FROM c$rounds GROUP BY comp ORDER BY keep_vec_id""".stripMargin
+      }
     )
   )
 }
