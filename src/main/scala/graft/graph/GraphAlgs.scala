@@ -252,8 +252,14 @@ object GraphAlgs {
   private def fixedRanks(spark: SparkSession, dir: String,
                          seeds: Seq[Option[String]], iters: Int): DataFrame =
     graft.Memo.get(spark, "fixed-ranks", (dir, seeds, iters)) {
-      val e = GraphBuilder.edges(spark, dir).select("src", "dst")
-      val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // Static per-edge outdegree, joined ONCE and persisted — recomputed
+      // inside every iteration it would re-shuffle the edge relation
+      // `iters` times for a value that never changes.
+      val e = graft.Memo.get(spark, "fixed-ranks-edges", dir) {
+        val raw = GraphBuilder.edges(spark, dir).select("src", "dst")
+        raw.join(raw.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       val nodes = GraphBuilder.nodes(spark, dir).select("id")
       val inits = seeds.zipWithIndex.map {
         case (None, j) => lit(1.0).as(s"r$j")
@@ -264,7 +270,6 @@ object GraphAlgs {
       for (_ <- 1 to iters) {
         val contribs = e
           .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
-          .join(broadcast(outdeg), "src")
           .select(col("dst").as("id") +: seeds.indices.map(j =>
             (col(s"r$j") / col("outdeg")).as(s"c$j")): _*)
         val folds = seeds.indices.map(j =>
@@ -370,9 +375,14 @@ object GraphAlgs {
     * histogram, the connectedComponentSizes shape. */
   def componentsFixedSizes(spark: SparkSession, dir: String,
                            rounds: Int = 10): DataFrame = {
-    val e = GraphBuilder.edges(spark, dir).select("src", "dst")
-    val und = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // Static undirected edge set, deduped ONCE and persisted — the
+    // distinct is a shuffle that must not re-run every round.
+    val und = graft.Memo.get(spark, "und-edges", dir) {
+      val e = GraphBuilder.edges(spark, dir).select("src", "dst")
+      e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     var comp = GraphBuilder.nodes(spark, dir)
       .select(col("id"), col("id").as("comp"))
     for (r <- 1 to rounds) {
