@@ -26,6 +26,10 @@ object RelationalRegistry {
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
       "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
       "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+      // Salting must never change an answer: the oracles are the PLAIN
+      // unsalted formulations.
+      "skew_salted_counts" -> ((s, d) => Skew.saltedEventCounts(s, d)),
+      "skew_salted_join_counts" -> ((s, d) => Skew.saltedBrandCounts(s, d)),
       "outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
       "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
@@ -144,6 +148,15 @@ object RelationalRegistry {
           |   FROM customer GROUP BY c_nationkey) c
           |  ON n_nationkey = c_nationkey
           |ORDER BY n_nationkey""".stripMargin,
+      "skew_salted_counts" ->
+        """SELECT event_type, count(*) AS n FROM events
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "skew_salted_join_counts" ->
+        """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |           FROM events)
+          |SELECT p_brand, count(*) AS n
+          |FROM e JOIN part ON k = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
       "set_ops" ->
         """WITH oc AS (SELECT DISTINCT o_custkey AS c FROM orders),
           |ec AS (SELECT DISTINCT user_id AS c FROM events)

@@ -48,6 +48,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"seed-pruned rec path fell back to SMJ:\n$plan")
   }
 
+  test("salted skew shapes actually execute salted") {
+    // the salted join runs as a shuffle join keyed on (key, salt) — a
+    // broadcast would mean the salting demo never exercised its path
+    val join = planOf("skew_salted_join_counts")
+    assert(join.contains("SortMergeJoin") && join.contains("salt"),
+      s"salted join did not plan a salted SMJ:\n$join")
+    // the salted aggregation is two grouping stages (key+salt, then key)
+    val agg = planOf("skew_salted_counts")
+    assert(agg.contains("salt"), s"no salt key in:\n$agg")
+  }
+
   test("q1 aggregation is partial (map-side combine before the shuffle)") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
