@@ -50,6 +50,36 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
+  /** Stratified (balanced) subsample: at most `perGroup` docs per true
+    * language, chosen in md5 order — a deterministic stand-in for random
+    * within-group sampling that both engines replay identically. One
+    * window per group; at corpus scale the rank is a per-partition top-k
+    * (TakeOrdered per group), never a global sort. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       perGroup: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perGroup)
+      .select("doc_id", "lang")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Language rebalancing (data mixing): the dominant language keeps
+    * only `keepPct`% of its docs — selected by the same deterministic
+    * hash bucket as the splits, so the subsample is reproducible and the
+    * train/val/test assignment of a kept doc never changes. */
+  def rebalanceCounts(spark: SparkSession, dir: String,
+                      heavyLang: String = "en", keepPct: Int = 30)
+      : DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("lang") =!= heavyLang ||
+        hashBucket(col("doc_id")) < keepPct)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+
   /** The curated corpus: English by prediction, quality ≥ minQuality,
     * exact-dup collapsed to the min-doc_id representative. */
   def curate(spark: SparkSession, dir: String,

@@ -26,12 +26,23 @@ object CurationRegistry {
   val registry: Registry = Registry(
     queries = Map(
       "split_counts" -> ((s, d) => Curation.splitCounts(s, d)),
+      "stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+      "mixture_rebalance_counts" -> ((s, d) => Curation.rebalanceCounts(s, d)),
       "curate_corpus" -> ((s, d) => Curation.curate(s, d))
     ),
     oracles = Map(
       "split_counts" ->
         s"""SELECT $SplitSql AS split, lang, count(*) AS n
            |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+      "stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |QUALIFY row_number() OVER (PARTITION BY lang
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+          |ORDER BY lang, doc_id""".stripMargin,
+      "mixture_rebalance_counts" ->
+        s"""SELECT lang, count(*) AS n FROM documents
+           |WHERE lang <> 'en' OR $BucketSql < 30
+           |GROUP BY lang ORDER BY lang""".stripMargin,
       "curate_corpus" ->
         s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
            |  len(list_filter($Toks,

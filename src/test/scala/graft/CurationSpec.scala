@@ -17,6 +17,26 @@ class CurationSpec extends SparkTestBase {
       Curation.splitCounts(spark, dir).collect().toSeq)
   }
 
+  test("stratified sample caps every language and is deterministic") {
+    val rows = Curation.stratifiedSample(spark, dir, perGroup = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ <= 20) && perLang.size >= 4)
+    assert(Curation.stratifiedSample(spark, dir).collect().toSeq ==
+      Curation.stratifiedSample(spark, dir).collect().toSeq)
+  }
+
+  test("rebalancing downsamples only the heavy language") {
+    import org.apache.spark.sql.functions._
+    val before = Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Curation.rebalanceCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") < before("en") * 0.5) // ~30% kept
+    for ((l, n) <- after if l != "en") assert(n == before(l))
+  }
+
   test("curated corpus honors the quality floor, language gate, and dedup") {
     import org.apache.spark.sql.functions.col
     val curated = Curation.curate(spark, dir).collect()
