@@ -97,7 +97,20 @@ object Similarity {
     * pairs → exact cosine verify ≥ threshold. Shuffles on (band, key) and
     * on the pair key only. */
   def srpLshPairs(spark: SparkSession, dir: String,
-                  threshold: Double = 0.4): DataFrame = {
+                  threshold: Double = 0.4): DataFrame =
+    srpLshPairsCore(spark, dir, threshold).orderBy("d1", "d2")
+
+  /** Unsorted verified pair relation, memoized + persisted: the pairs
+    * row and the cluster row both read it (sort only at the boundary). */
+  private def srpLshPairsCore(spark: SparkSession, dir: String,
+                              threshold: Double): DataFrame =
+    graft.Memo.get(spark, "srp-pairs", (dir, threshold)) {
+      buildSrpPairs(spark, dir, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def buildSrpPairs(spark: SparkSession, dir: String,
+                            threshold: Double): DataFrame = {
     // Persisted + memoized: both sides of the bucket self-join reference
     // it, the 32×64-term signature expression is the expensive part, and
     // repeated invocations must reuse one cached plan (Memo), not pile up
@@ -126,7 +139,6 @@ object Similarity {
     cand.withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= threshold)
       .select("d1", "d2", "cos")
-      .orderBy("d1", "d2")
   }
 
   /** Near-dup CLUSTERS from the SRP-LSH pair graph: fixed-round
@@ -138,7 +150,7 @@ object Similarity {
     * non-singleton clusters emit (singletons aren't duplicates). */
   def dupClusters(spark: SparkSession, dir: String,
                   threshold: Double = 0.4, rounds: Int = 5): DataFrame = {
-    val pairs = srpLshPairs(spark, dir, threshold).select("d1", "d2")
+    val pairs = srpLshPairsCore(spark, dir, threshold).select("d1", "d2")
     val und = pairs.unionByName(
       pairs.select(col("d2").as("d1"), col("d1").as("d2")))
     var comp = und.select(col("d1").as("id")).distinct()
