@@ -385,15 +385,26 @@ object GraphAlgs {
     }
     var comp = GraphBuilder.nodes(spark, dir)
       .select(col("id"), col("id").as("comp"))
-    for (r <- 1 to rounds) {
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
       // Ship the label state to the static undirected edges (see
       // pageRankFixedTop), never re-shuffle the edge relation.
       val fromNbrs = und
         .join(broadcast(comp.withColumnRenamed("id", "src")), "src")
         .select(col("dst").as("id"), col("comp"))
-      comp = comp.unionByName(fromNbrs)
+      val next = comp.unionByName(fromNbrs)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true) // keeps the broadcast lineage concrete
+      // Min-label is monotone: an unchanged round is a fixed point, so
+      // every remaining round is a no-op — skipping them returns exactly
+      // what the oracle's full unrolling computes.
+      if (r < rounds)
+        converged = next
+          .join(comp.withColumnRenamed("comp", "prev"), "id")
+          .filter(col("comp") =!= col("prev")).isEmpty
+      comp = next
     }
     comp.groupBy("comp").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components"))
