@@ -41,6 +41,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(o) < 1e-12)
   }
 
+  test("native simhash64 matches the fold on randomized token soups") {
+    import spark.implicits._
+    // 200 generated docs in ONE job: empty docs, unicode, repeated and
+    // whitespace-adjacent tokens — the shapes a corpus actually throws.
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("the", "Ünïcode", "a b", "", "x", "longtokenlongtoken",
+      "123", "%$#@", "tok")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val both = df.select(
+      graft.functions.GraftFunctions.simHash64(
+        graft.text.TextAnalysis.tokens).as("native"),
+      graft.dedup.Dedup.simhashColFold(
+        graft.text.TextAnalysis.tokens).as("fold"))
+    assert(both.filter(org.apache.spark.sql.functions
+      .col("native") =!= org.apache.spark.sql.functions.col("fold")).isEmpty)
+  }
+
   test("native simhash64 is identical to the fold formulation") {
     GraftFunctions.register(spark)
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
