@@ -57,9 +57,6 @@ object GraphBuilder {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Raw (unpersisted) builders: the GraphX conversion path reads these —
-    * consuming the columnar cache through `.rdd` proved slower than
-    * re-running the codegen'd build (measured 3-8× on the sf0.1 bench). */
   /** Declared node properties (sparse, typed columns — null where a label
     * doesn't define the property), per the reference's SET clauses:
     *  - Order.ts          ← o_orderdate   (etl.py:227 `SET o.ts = row.ts`)

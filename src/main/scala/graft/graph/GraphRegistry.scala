@@ -228,6 +228,12 @@ object GraphRegistry {
            |)
            |SELECT id, min(dist) AS dist FROM walk GROUP BY id
            |ORDER BY dist, id LIMIT 50""".stripMargin,
+      // join_date is hardcoded NULL for customers: the driver's TPC-H
+      // testdata never carries c_join_date (FIXTURES.md §1), so the Spark
+      // side's adaptive read resolves to null there too. The adaptive
+      // branch (a fixture WITH c_join_date) is exercised by GraphSpec on
+      // the seed micro-fixture, not by this oracle — if testdata ever
+      // grows that column, mirror it here.
       "graph_node_props" ->
         """SELECT * FROM (
           |  SELECT 'C'||CAST(c_custkey AS VARCHAR) AS id, 'Customer' AS label,

@@ -156,14 +156,23 @@ object Similarity {
     var comp = und.select(col("d1").as("id")).distinct()
       .withColumn("comp", col("id"))
     for (_ <- 1 to rounds) {
-      val fromNbrs = und
+      // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs, with the
+      // per-d2 min aggregating against the pair relation in place — the
+      // no-exchange round shape shared with componentsFixedSizes.
+      val minNbrs = und
         .join(broadcast(comp.withColumnRenamed("id", "d1")), "d1")
-        .select(col("d2").as("id"), col("comp"))
-      comp = comp.unionByName(fromNbrs)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("d2").as("id"), col("comp").as("ncomp"))
+        .groupBy("id").agg(min("ncomp").as("nbr"))
+      comp = comp.join(minNbrs, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
         .localCheckpoint(true)
     }
+    // Every member here sits on ≥1 verified pair, so after propagation a
+    // singleton label can only appear via bounded rounds on a long chain;
+    // filter it — singletons aren't duplicates (and the oracle twin
+    // filters identically).
     comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
       .select(col("comp").as("keep_vec_id"), col("n_members"))
       .orderBy("keep_vec_id")
   }

@@ -115,7 +115,8 @@ object SimilarityRegistry {
         (head +: iters).mkString(",\n") +
           s"""
              |SELECT comp AS keep_vec_id, count(*) AS n_members
-             |FROM c$rounds GROUP BY comp ORDER BY keep_vec_id""".stripMargin
+             |FROM c$rounds GROUP BY comp HAVING count(*) > 1
+             |ORDER BY keep_vec_id""".stripMargin
       }
     )
   )

@@ -37,7 +37,15 @@ object Formats {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    // Fixed per-input path, overwrite mode: repeated Bench/Verify runs
+    // rewrite in place instead of accumulating orphaned temp dirs. The
+    // result frame stays lazily readable from it (single-writer helper —
+    // concurrent sessions on the same input dir would race, which no
+    // harness does).
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-fmt-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)).toString
     ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     ev.write.mode("overwrite").json(s"$base/jsonl")
     def aggOf(df: DataFrame, fmt: String): DataFrame =

@@ -263,12 +263,15 @@ object EventStreams {
         new java.io.File(root, Pointer).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // GC superseded and orphaned (crashed-build) generations. At
-      // warehouse scale this is snapshot expiry with a retention window
-      // for in-flight readers; here the previous generation's files live
-      // on via the hard links.
+      // GC superseded and orphaned (crashed-build) generations, RETAINING
+      // generation N-1: a reader that resolved _CURRENT just before the
+      // publish may still be mid-read in it (hard links only cover its
+      // untouched partitions — touched ones were rewritten). One
+      // generation of retention is the snapshot-expiry window; anything
+      // older has survived a full publish cycle with no possible reader.
+      val retained = Set(next.getName) ++ cur.map(_.getName)
       for (f <- Option(root.listFiles()).getOrElse(Array())
-           if f.isDirectory && f.getName != next.getName
+           if f.isDirectory && !retained.contains(f.getName)
              && GenName.pattern.matcher(f.getName).matches())
         deleteRec(f)
     } finally { inc.unpersist(); () }
