@@ -192,4 +192,111 @@ object TextAnalysis {
         md5(lower(trim(col("text")))).as("fp"),
         md5(concat_ws(" ", slice(col("toks"), 1, 8))).as("prefix_fp"))
       .orderBy("doc_id")
+
+  /** Per-position occurrence count of each element within its own array
+    * (the building block of the repetition metrics below). Quadratic in
+    * array length — fine per DOCUMENT (arrays are token lists of one
+    * doc, not corpus-sized), and it keeps the whole metric inside one
+    * codegen'd scan with zero shuffles at any corpus size. */
+  private def selfCounts(arr: Column): Column =
+    transform(arr, t => size(filter(arr, x => x === t)))
+
+  private def wordNgrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+
+  /** Repetition / boilerplate metrics (the Gopher-rule family): fraction
+    * of tokens taken by the most frequent token, fraction of word-2-grams
+    * taken by the most frequent 2-gram, and the fraction of word-3-gram
+    * positions whose 3-gram occurs more than once. High values flag
+    * degenerate/templated text a curation pass drops. All counts are
+    * exact ints; each fraction is ONE int/int double division, so the
+    * DuckDB twin is bit-identical. Short docs yield null for undefined
+    * fractions (no 2-grams in a 1-token doc) rather than a fake 0. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    def fracTop(arr: Column, denom: Column): Column =
+      array_max(selfCounts(arr)).cast("double") / denom
+    val bi = wordNgrams(col("toks"), 2)
+    val tri = wordNgrams(col("toks"), 3)
+    docs
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), n.cast("bigint").as("n_tokens"),
+        when(n >= 1, fracTop(col("toks"), n)).as("top_token_frac"),
+        when(n >= 2, fracTop(bi, n - 1)).as("top_bigram_frac"),
+        when(n >= 3, size(filter(selfCounts(tri), c => c > 1))
+          .cast("double") / (n - 2)).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.load(spark, dir, "documents"))
+
+  /** PII detector patterns — ASCII-only constructs so Java regex (Spark)
+    * and RE2 (DuckDB) match identically; counts are non-overlapping
+    * left-to-right matches, the shared semantics of regexp_extract_all
+    * in both engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** PII pattern counts per document (emails, phone-shaped numbers,
+    * IPv4-shaped dotted quads) + a has_pii gate — the scrubbing signal a
+    * training pipeline computes before release. One codegen'd scan. The
+    * driver testdata is synthetic word-salad (zero hits, still
+    * hash-checked); crafted fixtures in TextSpec assert the nonzero
+    * behavior. */
+  def piiCountsOf(docs: DataFrame): DataFrame = {
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("bigint")
+    docs.select(col("doc_id"),
+        cnt(EmailRe).as("n_emails"),
+        cnt(PhoneRe).as("n_phones"),
+        cnt(Ipv4Re).as("n_ipv4"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
+      .orderBy("doc_id")
+  }
+
+  def piiCounts(spark: SparkSession, dir: String): DataFrame =
+    piiCountsOf(Tables.load(spark, dir, "documents"))
+
+  /** Commonness score: mean corpus document-frequency over a document's
+    * DISTINCT tokens — a fluency/noise proxy (rare-token-heavy docs are
+    * OCR garbage, code, or exotic boilerplate; a unigram-LM log-prob
+    * without the cross-engine libm hazard, since df sums are exact
+    * longs and the mean is one final division). Two map-side-combine
+    * shuffles (per-doc distinct, per-term df) + a term-keyed join — at
+    * warehouse scale the df relation is the vocabulary, broadcast or
+    * bucketed by term. */
+  def commonnessOf(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .distinct()
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    terms.join(df, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"), sum("df").as("df_sum"))
+      .select(col("doc_id"), col("n_distinct"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_distinct")).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
+  def commonness(spark: SparkSession, dir: String): DataFrame =
+    commonnessOf(Tables.load(spark, dir, "documents"))
+
+  /** Corpus length histogram: doc counts per 64-char bucket (+ exact
+    * char sums) — the size-profile a mixture designer reads before
+    * setting sampling weights. One partial-agg shuffle over ≤ a few
+    * hundred bucket keys. */
+  def lengthHistOf(docs: DataFrame): DataFrame =
+    docs.groupBy(floor(col("n_chars") / lit(64)).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).cast("bigint").as("min_chars"),
+        max(col("n_chars")).cast("bigint").as("max_chars"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("bucket")
+
+  def lengthHist(spark: SparkSession, dir: String): DataFrame =
+    lengthHistOf(Tables.load(spark, dir, "documents"))
 }

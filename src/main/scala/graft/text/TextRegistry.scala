@@ -32,7 +32,11 @@ object TextRegistry {
       "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
       "text_top_terms" -> ((s, d) => TextAnalysis.topTerms(s, d)),
       "text_rolling_hash" -> ((s, d) => TextAnalysis.rollingHashes(s, d)),
-      "text_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(s, d))
+      "text_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
+      "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+      "text_pii_counts" -> ((s, d) => TextAnalysis.piiCounts(s, d)),
+      "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
+      "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->
@@ -124,7 +128,58 @@ object TextRegistry {
            |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred,
            |  CAST(mx AS BIGINT) AS ngram_hits
            |FROM m ORDER BY doc_id""".stripMargin
-      }
+      },
+      // Repetition fractions: exact int counts, one int/int double
+      // division each → bit-identical. Nested lambdas mirror the Spark
+      // selfCounts transform+filter shape.
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |c AS (SELECT doc_id, toks, len(toks) AS n,
+           |  list_transform(generate_series(1, len(toks) - 1),
+           |    i -> toks[i] || ' ' || toks[i+1]) AS bi,
+           |  list_transform(generate_series(1, len(toks) - 2),
+           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+           |FROM t)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  CASE WHEN n >= 1 THEN CAST(list_max(list_transform(toks,
+           |    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n
+           |  END AS top_token_frac,
+           |  CASE WHEN n >= 2 THEN CAST(list_max(list_transform(bi,
+           |    t -> len(list_filter(bi, x -> x = t)))) AS DOUBLE) / (n - 1)
+           |  END AS top_bigram_frac,
+           |  CASE WHEN n >= 3 THEN CAST(len(list_filter(list_transform(tri,
+           |    t -> len(list_filter(tri, x -> x = t))), c -> c > 1))
+           |    AS DOUBLE) / (n - 2)
+           |  END AS dup_trigram_frac
+           |FROM c ORDER BY doc_id""".stripMargin,
+      "text_pii_counts" ->
+        s"""WITH p AS (SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text,
+           |    '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text,
+           |    '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text,
+           |    '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ipv4
+           |FROM documents)
+           |SELECT doc_id, n_emails, n_phones, n_ipv4,
+           |  (n_emails + n_phones + n_ipv4 > 0) AS has_pii
+           |FROM p ORDER BY doc_id""".stripMargin,
+      "text_commonness" ->
+        s"""WITH terms AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+           |d AS (SELECT DISTINCT doc_id, term FROM terms),
+           |df AS (SELECT term, count(*) AS df FROM d GROUP BY term)
+           |SELECT doc_id, count(*) AS n_distinct,
+           |  CAST(sum(df) AS BIGINT) AS df_sum,
+           |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+           |FROM d JOIN df USING (term)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_length_hist" ->
+        """SELECT CAST(n_chars // 64 AS BIGINT) AS bucket,
+          |  count(*) AS n_docs,
+          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
     )
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+
+/** Hand-computable fixtures for the curation-signal text operators
+  * (repetition, PII, commonness, length histogram). The registry rows
+  * run the same code over `documents` against DuckDB twins; these
+  * specs pin the SEMANTICS on inputs where the answer is obvious —
+  * including the nonzero-PII behavior the synthetic testdata (zero
+  * emails/phones/IPs) cannot exercise. */
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Int, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text"))
+
+  test("repetition fractions count exact token/ngram multiplicities") {
+    val out = TextAnalysis.repetitionOf(docs(
+      1 -> "a a a b",       // top token 3/4; bigrams {a a, a a, a b} top 2/3
+      2 -> "x y x y x y",   // trigrams {x y x, y x y, x y x, y x y}: all dup
+      3 -> "q"              // no bigrams/trigrams → nulls, not fake zeros
+    )).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getDouble(2) === 3.0 / 4)
+    assert(out(1).getDouble(3) === 2.0 / 3)
+    assert(out(1).getDouble(4) === 0.0) // trigrams a-a-a, a-a-b unique
+    assert(out(2).getDouble(4) === 1.0) // every trigram position repeats
+    assert(out(2).getDouble(3) === 3.0 / 5) // "x y" 3 of 5 bigrams
+    assert(out(3).getDouble(2) === 1.0)
+    assert(out(3).isNullAt(3) && out(3).isNullAt(4))
+  }
+
+  test("pii counts find emails, phone shapes, dotted quads; clean text is clean") {
+    val out = TextAnalysis.piiCountsOf(docs(
+      1 -> "contact bob@example.com or carol@test.org now",
+      2 -> "call 555-123-4567 from 10.0.0.1 please",
+      3 -> "perfectly clean prose with no identifiers"
+    )).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) === 2 && out(1).getBoolean(4))
+    assert(out(2).getLong(2) === 1 && out(2).getLong(3) === 1
+      && out(2).getBoolean(4))
+    assert(out(3).getLong(1) === 0 && out(3).getLong(2) === 0
+      && out(3).getLong(3) === 0 && !out(3).getBoolean(4))
+  }
+
+  test("commonness is the mean document-frequency over distinct tokens") {
+    // df: shared=3, rare=1, mid=2 → doc 1 mean (3+1)/2, doc 3 mean 3/1.
+    val out = TextAnalysis.commonnessOf(docs(
+      1 -> "shared rare",
+      2 -> "shared mid",
+      3 -> "shared shared", // repeats collapse: one distinct token
+      4 -> "mid"
+    )).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getLong(1) === 2 && out(1).getLong(2) === 4
+      && out(1).getDouble(3) === 2.0)
+    assert(out(3).getLong(1) === 1 && out(3).getDouble(3) === 3.0)
+    assert(out(4).getDouble(3) === 2.0)
+  }
+
+  test("length histogram buckets by 64 chars with exact sums") {
+    val a = "x" * 10   // bucket 0
+    val b = "y" * 100  // bucket 1
+    val c = "z" * 70   // bucket 1
+    val out = TextAnalysis.lengthHistOf(docs(1 -> a, 2 -> b, 3 -> c))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(out(1).getLong(1) === 2 && out(1).getLong(2) === 70
+      && out(1).getLong(3) === 100 && out(1).getLong(4) === 170)
+  }
+}
