@@ -97,4 +97,31 @@ object Curation {
         splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
+
+  /** The full release gate — [[curate]]'s three text gates composed with
+    * the two cross-tier ones a frontier pipeline adds:
+    *
+    *  - embedding near-dup drop: a doc whose vector sits in an SRP-LSH
+    *    duplicate cluster survives only as the cluster representative
+    *    (vec_id ↔ doc_id, FIXTURES.md §2) — semantic dedup beyond
+    *    byte-identity;
+    *  - benchmark decontamination: any doc sharing an 8-token window
+    *    fingerprint with the benchmark set is excluded.
+    *
+    * Every input relation is itself an oracle-verified operator; the
+    * composition is doc_id-keyed semi/anti joins (broadcast-sized drop
+    * sets here, shuffle-hash on the same key at corpus scale). */
+  def curateFull(spark: SparkSession, dir: String,
+                 minQuality: Double = 0.5): DataFrame = {
+    val nearDupDrop = graft.similarity.Similarity.dupAssignments(spark, dir)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val contaminated = TextAnalysis.contamination(spark, dir)
+      .filter(col("is_contaminated"))
+      .select("doc_id")
+    curate(spark, dir, minQuality)
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
 }

@@ -28,7 +28,8 @@ object CurationRegistry {
       "split_counts" -> ((s, d) => Curation.splitCounts(s, d)),
       "stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
       "mixture_rebalance_counts" -> ((s, d) => Curation.rebalanceCounts(s, d)),
-      "curate_corpus" -> ((s, d) => Curation.curate(s, d))
+      "curate_corpus" -> ((s, d) => Curation.curate(s, d)),
+      "curate_full" -> ((s, d) => Curation.curateFull(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -44,36 +45,60 @@ object CurationRegistry {
            |WHERE lang <> 'en' OR $BucketSql < 30
            |GROUP BY lang ORDER BY lang""".stripMargin,
       "curate_corpus" ->
-        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
-           |  len(list_filter($Toks,
-           |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
-           |FROM documents),
-           |quality AS (SELECT doc_id,
-           |  round(least(n_tokens / 100.0, 1.0) *
-           |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
-           |FROM q),
-           |h AS (SELECT doc_id,
-           |  len(list_filter($Toks, t -> t IN ('the','a','is','of'))) AS hits_en,
-           |  len(list_filter($Toks, t -> t IN ('der','die','das','und'))) AS hits_de,
-           |  len(list_filter($Toks, t -> t IN ('el','la','los','y'))) AS hits_es,
-           |  len(list_filter($Toks, t -> t IN ('le','les','et','une'))) AS hits_fr
-           |FROM documents),
-           |m AS (SELECT doc_id, greatest(hits_en, hits_de, hits_es, hits_fr, 0) AS mx,
-           |  hits_en, hits_de, hits_es FROM h),
-           |lang AS (SELECT doc_id,
-           |  CASE WHEN mx = 0 THEN 'unknown'
-           |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
-           |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred
-           |FROM m),
-           |keep AS (SELECT min(doc_id) AS doc_id FROM documents
-           |         GROUP BY md5(lower(trim(text))))
-           |SELECT q2.doc_id, q2.quality, $SplitSql AS split
-           |FROM quality q2
-           |JOIN lang USING (doc_id)
-           |JOIN keep USING (doc_id)
-           |JOIN documents USING (doc_id)
-           |WHERE lang_pred = 'en' AND quality >= 0.5
+        s"""WITH $CurateCtes
+           |$CurateSelect
+           |ORDER BY doc_id""".stripMargin,
+      // The full release gate: curate_corpus's three text gates + the
+      // near-dup representative drop (SimilarityRegistry's assignment
+      // propagation, vec_id ↔ doc_id) + the contamination gate
+      // (TextRegistry's window-fingerprint CTEs).
+      "curate_full" ->
+        s"""WITH $CurateCtes,
+           |${graft.similarity.SimilarityRegistry.dupAssignCtes(
+                graft.similarity.SimilarityRegistry.DupRounds)},
+           |nd_drop AS (SELECT id AS doc_id
+           |  FROM c${graft.similarity.SimilarityRegistry.DupRounds}
+           |  WHERE id <> comp),
+           |${graft.text.TextRegistry.ContaminationCtes}
+           |$CurateSelect
+           |  AND doc_id NOT IN (SELECT doc_id FROM nd_drop)
+           |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n > 0)
            |ORDER BY doc_id""".stripMargin
     )
   )
+
+  /** Quality × language × exact-dedup CTE block, ending at `quality`,
+    * `lang`, `keep` — shared by curate_corpus and curate_full. */
+  private lazy val CurateCtes: String =
+    s"""q AS (SELECT doc_id, len($Toks) AS n_tokens,
+       |  len(list_filter($Toks,
+       |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+       |FROM documents),
+       |quality AS (SELECT doc_id,
+       |  round(least(n_tokens / 100.0, 1.0) *
+       |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
+       |FROM q),
+       |h AS (SELECT doc_id,
+       |  len(list_filter($Toks, t -> t IN ('the','a','is','of'))) AS hits_en,
+       |  len(list_filter($Toks, t -> t IN ('der','die','das','und'))) AS hits_de,
+       |  len(list_filter($Toks, t -> t IN ('el','la','los','y'))) AS hits_es,
+       |  len(list_filter($Toks, t -> t IN ('le','les','et','une'))) AS hits_fr
+       |FROM documents),
+       |m AS (SELECT doc_id, greatest(hits_en, hits_de, hits_es, hits_fr, 0) AS mx,
+       |  hits_en, hits_de, hits_es FROM h),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN mx = 0 THEN 'unknown'
+       |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
+       |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred
+       |FROM m),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents
+       |         GROUP BY md5(lower(trim(text))))""".stripMargin
+
+  private lazy val CurateSelect: String =
+    s"""SELECT q2.doc_id, q2.quality, $SplitSql AS split
+       |FROM quality q2
+       |JOIN lang USING (doc_id)
+       |JOIN keep USING (doc_id)
+       |JOIN documents USING (doc_id)
+       |WHERE lang_pred = 'en' AND quality >= 0.5""".stripMargin
 }

@@ -148,34 +148,45 @@ object Similarity {
     * oracle-checkable; `rounds` bounds the chain length merged (pair
     * graphs are near-cliques, so small fixed rounds converge). Only
     * non-singleton clusters emit (singletons aren't duplicates). */
-  def dupClusters(spark: SparkSession, dir: String,
-                  threshold: Double = 0.4, rounds: Int = 5): DataFrame = {
-    val pairs = srpLshPairsCore(spark, dir, threshold).select("d1", "d2")
-    val und = pairs.unionByName(
-      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-    var comp = und.select(col("d1").as("id")).distinct()
-      .withColumn("comp", col("id"))
-    for (_ <- 1 to rounds) {
-      // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs, with the
-      // per-d2 min aggregating against the pair relation in place — the
-      // no-exchange round shape shared with componentsFixedSizes.
-      val minNbrs = und
-        .join(broadcast(comp.withColumnRenamed("id", "d1")), "d1")
-        .select(col("d2").as("id"), col("comp").as("ncomp"))
-        .groupBy("id").agg(min("ncomp").as("nbr"))
-      comp = comp.join(minNbrs, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
-        .localCheckpoint(true)
+  /** Per-member cluster assignment (vec_id → min-label representative)
+    * over the SRP pair graph — the relation [[dupClusters]] aggregates
+    * and curate_full's near-dup drop reads (members whose comp ≠ id are
+    * the redundant copies a dedup pass removes). Memoized: the
+    * propagation runs once per (session, dir, threshold, rounds). */
+  def dupAssignments(spark: SparkSession, dir: String,
+                     threshold: Double = 0.4, rounds: Int = 5): DataFrame =
+    graft.Memo.get(spark, "srp-dup-assign", (dir, threshold, rounds)) {
+      val pairs = srpLshPairsCore(spark, dir, threshold).select("d1", "d2")
+      val und = pairs.unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      var comp = und.select(col("d1").as("id")).distinct()
+        .withColumn("comp", col("id"))
+      for (_ <- 1 to rounds) {
+        // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs, with
+        // the per-d2 min aggregating against the pair relation in place —
+        // the no-exchange round shape shared with componentsFixedSizes.
+        val minNbrs = und
+          .join(broadcast(comp.withColumnRenamed("id", "d1")), "d1")
+          .select(col("d2").as("id"), col("comp").as("ncomp"))
+          .groupBy("id").agg(min("ncomp").as("nbr"))
+        comp = comp.join(minNbrs, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
+          .localCheckpoint(true)
+      }
+      comp
     }
+
+  def dupClusters(spark: SparkSession, dir: String,
+                  threshold: Double = 0.4, rounds: Int = 5): DataFrame =
     // Every member here sits on ≥1 verified pair, so after propagation a
     // singleton label can only appear via bounded rounds on a long chain;
     // filter it — singletons aren't duplicates (and the oracle twin
     // filters identically).
-    comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    dupAssignments(spark, dir, threshold, rounds)
+      .groupBy("comp").agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
       .select(col("comp").as("keep_vec_id"), col("n_members"))
       .orderBy("keep_vec_id")
-  }
 
   /** IVF ANN top-k: KMeans-partition the vectors (the "inverted file"),
     * probe only the nprobe centroids nearest the seed, exact-rerank inside

@@ -41,7 +41,7 @@ object SimilarityRegistry {
 
   /** Shared pair-graph CTEs (signatures → bands → candidates → exact
     * verify at 0.4) — reused by the pairs row and the cluster row. */
-  private val PairCtes: String =
+  private[graft] val PairCtes: String =
     s"""sig AS MATERIALIZED (SELECT vec_id, $SigSql AS sig FROM embeddings),
        |buckets AS ($BandSelects),
        |cand AS (SELECT DISTINCT b1.vec_id AS d1, b2.vec_id AS d2
@@ -53,6 +53,11 @@ object SimilarityRegistry {
        |        FROM cand JOIN embeddings e1 ON e1.vec_id = d1
        |                  JOIN embeddings e2 ON e2.vec_id = d2),
        |pairs AS MATERIALIZED (SELECT d1, d2 FROM ver WHERE cos >= 0.4)""".stripMargin
+
+  // Declared BEFORE `registry`: the registry's oracle strings read it at
+  // object init, and a later declaration would still be 0 at that point
+  // (silent forward reference).
+  private[graft] val DupRounds = 5
 
   val registry: Registry = Registry(
     queries = Map(
@@ -98,26 +103,31 @@ object SimilarityRegistry {
       // Min-label propagation over the pair graph (5 rounds, mirrored in
       // Similarity.dupClusters); every c$i MATERIALIZED — each round
       // reads the previous twice, so inlining would expand 2^rounds.
-      "sim_dup_clusters" -> {
-        val rounds = 5
-        val head =
-          s"""WITH $PairCtes,
-             |und AS MATERIALIZED (SELECT d1, d2 FROM pairs
-             |  UNION ALL SELECT d2, d1 FROM pairs),
-             |c0 AS MATERIALIZED (SELECT DISTINCT d1 AS id, d1 AS comp FROM und)""".stripMargin
-        val iters = (1 to rounds).map { i =>
-          s"""c$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (
-             |  SELECT id, comp FROM c${i - 1}
-             |  UNION ALL
-             |  SELECT u.d2 AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.d1
-             |) GROUP BY id)""".stripMargin
-        }
-        (head +: iters).mkString(",\n") +
-          s"""
-             |SELECT comp AS keep_vec_id, count(*) AS n_members
-             |FROM c$rounds GROUP BY comp HAVING count(*) > 1
-             |ORDER BY keep_vec_id""".stripMargin
-      }
+      "sim_dup_clusters" ->
+        s"""WITH ${dupAssignCtes(DupRounds)}
+           |SELECT comp AS keep_vec_id, count(*) AS n_members
+           |FROM c$DupRounds GROUP BY comp HAVING count(*) > 1
+           |ORDER BY keep_vec_id""".stripMargin
     )
   )
+
+  /** Pair graph + unrolled min-label propagation, ending at the
+    * assignment relation `c<rounds>`(id, comp) — the twin of
+    * Similarity.dupAssignments, shared with the curation tier's
+    * near-dup drop. */
+  private[graft] def dupAssignCtes(rounds: Int): String = {
+    val head =
+      s"""$PairCtes,
+         |und AS MATERIALIZED (SELECT d1, d2 FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs),
+         |c0 AS MATERIALIZED (SELECT DISTINCT d1 AS id, d1 AS comp FROM und)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (
+         |  SELECT id, comp FROM c${i - 1}
+         |  UNION ALL
+         |  SELECT u.d2 AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.d1
+         |) GROUP BY id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
 }

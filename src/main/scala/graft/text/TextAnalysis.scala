@@ -299,4 +299,77 @@ object TextAnalysis {
 
   def lengthHist(spark: SparkSession, dir: String): DataFrame =
     lengthHistOf(Tables.load(spark, dir, "documents"))
+
+  /** Vocabulary construction with coverage: top-k terms by corpus
+    * occurrence count, with the cumulative fraction of ALL token
+    * occurrences the vocabulary prefix covers — the curve a tokenizer
+    * designer reads to size a vocab. Count+total are exact longs
+    * (order-independent sums); the coverage division happens once per
+    * emitted row. The term count is one map-side-combine shuffle; the
+    * cumulative window runs over the k SURVIVING rows only (TakeOrdered
+    * then a bounded single-partition window — k rows, not corpus rows). */
+  def vocabCoverageOf(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(explode(tokens).as("term"))
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    val top = counts.orderBy(desc("cnt"), asc("term")).limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("cnt"), asc("term"))))
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_cnt", sum("cnt").over(
+        Window.orderBy("rk").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("rk").cast("bigint").as("rk"), col("term"), col("cnt"),
+        col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total")).as("cum_frac"))
+      .orderBy("rk")
+  }
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(Tables.load(spark, dir, "documents"))
+
+  /** Benchmark doc_ids whose leading 8-token window defines the
+    * decontamination fingerprint set (a stand-in for a held-out eval
+    * set's n-grams). */
+  val BenchmarkDocIds: Seq[Long] = Seq(0L, 10L, 20L, 30L, 40L)
+
+  /** Benchmark decontamination: flag every document containing any
+    * benchmark 8-token-window fingerprint (the n-gram-overlap test a
+    * training pipeline runs against eval sets before release). Window
+    * fingerprints reuse the Rabin–Karp fold of [[rollingHashes]]; the
+    * benchmark side reduces to a tiny distinct hash set → broadcast
+    * semi-join against the in-scan window relation. Never n²; the 100 TB
+    * side is one scan. Benchmark docs flag themselves — the built-in
+    * sanity check (asserted in TextSpec). */
+  def contaminationOf(docs: DataFrame,
+                      benchmarkIds: Seq[Long] = BenchmarkDocIds): DataFrame = {
+    val withHashes = docs.withColumn("hs", transform(tokens, tokenHash))
+    val windows = withHashes.select(col("doc_id"),
+      explode(when(size(col("hs")) >= RollWindow,
+        transform(sequence(lit(1), size(col("hs")) - (RollWindow - 1)),
+          i => rollFold(slice(col("hs"), i, lit(RollWindow)))))
+        .otherwise(array().cast("array<bigint>"))).as("wh"))
+    val bench = withHashes
+      .filter(col("doc_id").isin(benchmarkIds: _*))
+      .filter(size(col("hs")) >= RollWindow)
+      .select(rollFold(slice(col("hs"), 1, RollWindow)).as("wh"))
+      .distinct()
+    val hits = windows.join(broadcast(bench), "wh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.load(spark, dir, "documents"))
+
+  /** Clean doc_ids (no benchmark window hit) — the gate curate_full
+    * composes. */
+  def cleanDocIds(spark: SparkSession, dir: String): DataFrame =
+    contamination(spark, dir).filter(!col("is_contaminated"))
+      .select("doc_id")
 }

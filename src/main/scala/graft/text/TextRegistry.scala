@@ -36,7 +36,9 @@ object TextRegistry {
       "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
       "text_pii_counts" -> ((s, d) => TextAnalysis.piiCounts(s, d)),
       "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
-      "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d))
+      "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d)),
+      "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+      "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->
@@ -179,7 +181,48 @@ object TextRegistry {
           |  CAST(min(n_chars) AS BIGINT) AS min_chars,
           |  CAST(max(n_chars) AS BIGINT) AS max_chars,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "text_vocab_coverage" ->
+        s"""WITH t AS (SELECT unnest($Toks) AS term FROM documents),
+           |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+           |tot AS (SELECT count(*) AS total FROM t),
+           |top AS (SELECT term, cnt,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rk
+           |  FROM c QUALIFY rk <= 100)
+           |SELECT rk, term, cnt,
+           |  CAST(sum(cnt) OVER (ORDER BY rk) AS BIGINT) AS cum_cnt,
+           |  CAST(CAST(sum(cnt) OVER (ORDER BY rk) AS BIGINT) AS DOUBLE)
+           |    / (SELECT total FROM tot) AS cum_frac
+           |FROM top ORDER BY rk""".stripMargin,
+      "text_contamination" ->
+        s"""WITH $ContaminationCtes
+           |SELECT d.doc_id, coalesce(n, 0) AS n_contaminated,
+           |  coalesce(n, 0) > 0 AS is_contaminated
+           |FROM documents d LEFT JOIN hits USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
     )
   )
+
+  /** Window-fingerprint contamination CTEs ending at `hits`(doc_id, n) —
+    * the twin of TextAnalysis.contaminationOf, shared with the curation
+    * tier's decontamination gate. */
+  private[graft] lazy val ContaminationCtes: String = {
+    def fold(l: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, $l), (a, x) -> (a * ${TextAnalysis.RollB} + x) % ${TextAnalysis.RollM})"
+    val hashList =
+      s"list_transform($Toks, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+    val ids = TextAnalysis.BenchmarkDocIds.mkString(", ")
+    val w = TextAnalysis.RollWindow
+    // ct_-prefixed names so the block composes into larger oracles
+    // (curate_full) without CTE-name collisions.
+    s"""ct_h AS (SELECT doc_id, $hashList AS hs FROM documents),
+       |ct_w AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= $w THEN
+       |    list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |      i -> ${fold(s"hs[i:i+${w - 1}]")})
+       |  ELSE CAST([] AS BIGINT[]) END) AS wh FROM ct_h),
+       |ct_b AS (SELECT DISTINCT ${fold(s"hs[1:$w]")} AS wh FROM ct_h
+       |      WHERE doc_id IN ($ids) AND len(hs) >= $w),
+       |hits AS (SELECT doc_id, count(*) AS n FROM ct_w JOIN ct_b USING (wh)
+       |         GROUP BY doc_id)""".stripMargin
+  }
 }

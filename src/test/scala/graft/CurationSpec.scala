@@ -48,4 +48,24 @@ class CurationSpec extends SparkTestBase {
       .select(col("keep_doc_id")).collect().map(_.getLong(0)).toSet
     assert(curated.forall(c => keeps.contains(c._1)))
   }
+
+  test("full release gate is curate minus near-dup members and contaminated docs") {
+    import org.apache.spark.sql.functions.col
+    val base = Curation.curate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val full = Curation.curateFull(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(full.subsetOf(base))
+    // exactly the two extra gates explain the difference
+    val ndMembers = graft.similarity.Similarity.dupAssignments(spark, dir)
+      .filter(col("id") =!= col("comp")).collect()
+      .map(_.getLong(0)).toSet
+    val dirty = graft.text.TextAnalysis.contamination(spark, dir)
+      .filter(col("is_contaminated")).collect()
+      .map(_.getLong(0)).toSet
+    assert(base -- full === base.intersect(ndMembers ++ dirty))
+    // benchmark prefix docs can never survive the gate
+    assert(full.intersect(
+      graft.text.TextAnalysis.BenchmarkDocIds.toSet).isEmpty)
+  }
 }

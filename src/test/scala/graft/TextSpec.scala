@@ -59,6 +59,28 @@ class TextSpec extends SparkTestBase {
     assert(out(4).getDouble(3) === 2.0)
   }
 
+  test("vocab coverage ranks terms and accumulates exact coverage") {
+    // counts: b=4, a=3, c=1 of 8 total
+    val out = TextAnalysis.vocabCoverageOf(docs(
+      1 -> "a b b", 2 -> "b a c a b"), k = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq((1L, "b", 4L, 4L), (2L, "a", 3L, 7L)))
+    assert(out(1).getDouble(4) === 7.0 / 8)
+  }
+
+  test("contamination flags docs sharing a benchmark 8-token window") {
+    val phrase = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val out = TextAnalysis.contaminationOf(docs(
+      0 -> s"$phrase tail tail",            // benchmark doc: flags itself
+      1 -> s"lead in words then $phrase",   // contains the phrase → flagged
+      2 -> "an entirely different document with plenty of words here"
+    ), benchmarkIds = Seq(0L)).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getBoolean(2) && out(0).getLong(1) >= 1)
+    assert(out(1).getBoolean(2))
+    assert(!out(2).getBoolean(2) && out(2).getLong(1) === 0)
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
