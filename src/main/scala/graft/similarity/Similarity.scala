@@ -86,6 +86,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization report — the embedding-compression
+    * pass a vector store runs before serving (scale = 127 / max|x|,
+    * q = floor(x·scale + 0.5), dequantized error per element). Every
+    * step is IEEE-754 double multiply/divide/floor, deterministic and
+    * identical in DuckDB (no engine-specific round() half-mode — the
+    * explicit floor(+0.5) IS the rounding rule); the MSE sum is the
+    * canonical sorted fold. One codegen'd scan, zero shuffles. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8Of(emb(spark, dir))
+
+  def quantizeInt8Of(embDf: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    embDf
+      .withColumn("e", e)
+      .withColumn("max_abs", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("max_abs") > 0) // zero vectors have nothing to quantize
+      .withColumn("scale", lit(127.0) / col("max_abs"))
+      .withColumn("err", transform(col("e"),
+        x => x - floor(x * col("scale") + lit(0.5)) / col("scale")))
+      .select(col("vec_id"), col("max_abs"),
+        (aggregate(sort_array(transform(col("err"), x => x * x)), lit(0.0),
+          (s, v) => s + v) / size(col("err"))).as("mse"),
+        array_max(transform(col("err"), x => abs(x))).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   /** 32-bit SRP signature of an embedding column. */
   def srpSignature(e: Column): Column =
     (0 until NumPlanes).map { j =>

@@ -66,7 +66,8 @@ object SimilarityRegistry {
       "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, SeedVec)),
       "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
       "sim_dup_clusters" -> ((s, d) => Similarity.dupClusters(s, d)),
-      "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec))
+      "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec)),
+      "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
     ),
     oracles = Map(
       "sim_norms" ->
@@ -107,7 +108,26 @@ object SimilarityRegistry {
         s"""WITH ${dupAssignCtes(DupRounds)}
            |SELECT comp AS keep_vec_id, count(*) AS n_members
            |FROM c$DupRounds GROUP BY comp HAVING count(*) > 1
-           |ORDER BY keep_vec_id""".stripMargin
+           |ORDER BY keep_vec_id""".stripMargin,
+      // floor(x*scale + 0.5) is the explicit rounding rule on both sides —
+      // never round(), whose half-mode is engine-specific.
+      "sim_quantize_int8" ->
+        """WITH v AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |m AS (SELECT vec_id, e,
+          |    list_max(list_transform(e, x -> abs(x))) AS max_abs FROM v),
+          |s AS (SELECT vec_id, e, max_abs,
+          |    CAST(127.0 AS DOUBLE) / max_abs AS scale
+          |  FROM m WHERE max_abs > 0),
+          |q AS (SELECT vec_id, max_abs,
+          |    list_transform(e, x -> x - floor(x * scale + 0.5) / scale) AS err
+          |  FROM s)
+          |SELECT vec_id, max_abs,
+          |  list_sum(list_sort(list_transform(err, x -> x * x)))
+          |    / len(err) AS mse,
+          |  list_max(list_transform(err, x -> abs(x))) AS max_err
+          |FROM q ORDER BY vec_id""".stripMargin
     )
   )
 

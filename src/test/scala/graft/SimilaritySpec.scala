@@ -12,6 +12,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(l2.forall(v => v > 0.9 && v < 1.1))
   }
 
+  test("int8 quantization: scale, rounding rule, and error are exact on a hand case") {
+    import spark.implicits._
+    // scale = 127/1; q = floor(x*127 + 0.5): 1.0→127 (err 0),
+    // -0.5→-63 (err -0.5/127), 0.25→32 (err -0.25/127).
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8Of(df).collect()(0)
+    assert(r.getDouble(1) === 1.0)
+    val e1 = 0.5 / 127
+    val e2 = 0.25 / 127
+    assert(math.abs(r.getDouble(3) - e1) < 1e-15) // max_err
+    assert(math.abs(r.getDouble(2) - (e1 * e1 + e2 * e2) / 3) < 1e-15) // mse
+  }
+
   test("brute-force cosine top-k is sorted, bounded, and excludes the seed") {
     val rows = Similarity.cosineTopK(spark, dir, 0L, k = 20).collect()
     assert(rows.length == 20)
