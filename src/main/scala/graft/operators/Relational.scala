@@ -137,6 +137,40 @@ object Relational {
         (centsSum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE over (returnflag, linestatus) — all four grouping granularities
+    * in one pass (completes the grouping-sets family next to
+    * [[rollupPricing]]); Spark expands to a single exchange with a
+    * grouping-id, not four scans. Exact-cents sums as everywhere. */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (centsSum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** The declared event-type vocabulary (01_schema.sql:37's CHECK set
+    * plus the testdata's extra types). */
+  val EventTypes: Seq[String] =
+    Seq("view", "click", "add_to_cart", "purchase", "signup", "error")
+
+  /** PIVOT: user-cohort × event-type count matrix. The pivot values are
+    * the DECLARED vocabulary, not discovered — pivot without an explicit
+    * value list costs an extra distinct pass over the fact table and
+    * produces a schema the planner can't know up front (the 100 TB
+    * rule). Absent combinations surface as 0, matching the oracle's
+    * conditional counts. */
+  def pivotEventMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .withColumn("cohort", (col("user_id") % 10).cast("bigint"))
+      .withColumn("et", lower(col("event_type")))
+      .groupBy("cohort")
+      .pivot("et", EventTypes)
+      .agg(count(lit(1)))
+    p.select(col("cohort") +: EventTypes.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
+      .orderBy("cohort")
+  }
+
   /** HLL approximate distinct next to the exact count — the sketch tier
     * for 100 TB cardinalities where exact distinct means a full shuffle.
     * No DuckDB oracle (sketches differ across engines); the ±5% accuracy

@@ -22,6 +22,8 @@ object RelationalRegistry {
       "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
       "json_props_extract" -> ((s, d) => Json.propsExtract(s, d)),
       "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
+      "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
+      "pivot_event_matrix" -> ((s, d) => Relational.pivotEventMatrix(s, d)),
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
       "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
@@ -102,6 +104,21 @@ object RelationalRegistry {
           |FROM lineitem
           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "cube_pricing" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+          |    / CAST(100 AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "pivot_event_matrix" -> {
+        val conds = Relational.EventTypes.map(t =>
+          s"count(CASE WHEN lower(event_type) = '$t' THEN 1 END) AS \"$t\"")
+          .mkString(",\n|  ")
+        s"""SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+           |  $conds
+           |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+      },
       // approx_distinct: rows-only (HLL sketches differ across engines)
       "asof_event_order" ->
         """WITH ord AS (

@@ -65,4 +65,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
       s"no partial aggregation in:\n$plan")
   }
+
+  test("per-document text scans shuffle only for their output order") {
+    // the metric computation is one codegen'd scan: the sole exchange
+    // allowed is the rangepartitioning of the deterministic ORDER BY
+    for (name <- Seq("text_repetition", "text_pii_counts",
+        "sim_quantize_int8", "text_token_counts", "text_quality")) {
+      val plan = planOf(name)
+      assert(!plan.contains("hashpartitioning"),
+        s"$name grew a hash shuffle:\n$plan")
+    }
+  }
+
+  test("contamination joins the benchmark fingerprints by broadcast") {
+    val plan = planOf("text_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark hash set not broadcast:\n$plan")
+  }
+
+  test("vocab coverage takes top-k without a corpus-wide global sort") {
+    assert(planOf("text_vocab_coverage").contains("TakeOrderedAndProject"))
+  }
 }

@@ -42,6 +42,24 @@ class RelationalSpec extends SparkTestBase {
     assert(perFlag.map(_.getLong(2)).sum == 6000)
   }
 
+  test("cube adds the per-status margin rollup lacks; totals agree") {
+    val rows = Relational.cubePricing(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val perStatus = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getLong(2) == 6000)
+    assert(perStatus.nonEmpty) // the grouping set ROLLUP cannot produce
+    assert(perStatus.map(_.getLong(2)).sum == 6000)
+  }
+
+  test("pivot matrix cells sum to the event count; absent combos are 0") {
+    val rows = Relational.pivotEventMatrix(spark, dir).collect()
+    val total = rows.map(r =>
+      (1 to Relational.EventTypes.length).map(r.getLong).sum).sum
+    assert(total == graft.Tables.load(spark, dir, "events").count())
+    assert(rows.forall(r =>
+      (1 to Relational.EventTypes.length).forall(i => r.getLong(i) >= 0)))
+  }
+
   test("top terms: scores are tf-monotone within a doc, k per doc, ranked") {
     val rows = TextAnalysis.topTerms(spark, dir, k = 3).collect()
     val byDoc = rows.groupBy(_.getLong(0))
