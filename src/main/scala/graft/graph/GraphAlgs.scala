@@ -246,20 +246,22 @@ object GraphAlgs {
   val MaxBasketSize = 1000
 
   /** G5 all-pairs variant — materialized co-occurrence: top-k product pairs
-    * by shared orders. One shuffle on order_id; per-order fan-out bounded
+    * by shared orders. ONE shuffle gathers each basket, the pair fan-out
+    * happens in-partition via higher-order functions (no self-join — the
+    * join formulation shuffled the item relation three times), and the
+    * pair aggregation is the second and last shuffle. Oversized baskets
+    * are dropped inside the same aggregation; per-row memory is bounded
     * by MaxBasketSize². */
   def allPairsCoOccurrence(spark: SparkSession, dir: String,
                            k: Int = 20): DataFrame = {
     val items = graft.operators.Recs.containsEdges(spark, dir)
-    val sane = items.groupBy("order_id")
-      .agg(count(lit(1)).as("basket_n"))
-      .filter(col("basket_n") <= MaxBasketSize)
-      .select("order_id")
-    val bounded = items.join(sane, "order_id")
-    val a = bounded.select(col("order_id"), col("product_id").as("p1"))
-    val b = bounded.select(col("order_id"), col("product_id").as("p2"))
-    a.join(b, "order_id")
-      .filter(col("p1") < col("p2"))
+    val baskets = items.groupBy("order_id")
+      .agg(collect_list(col("product_id")).as("ps"))
+      .filter(size(col("ps")) <= MaxBasketSize)
+    val pairs = baskets.select(explode(flatten(transform(col("ps"),
+      p1 => transform(filter(col("ps"), p2 => p2 > p1),
+        p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
+    pairs.select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(desc("n_orders"), asc("p1"), asc("p2"))
