@@ -16,6 +16,7 @@ object GraftFunctions {
 
   val cosineF32Id: FunctionIdentifier = FunctionIdentifier("cosine_f32")
   val simHash64Id: FunctionIdentifier = FunctionIdentifier("simhash64")
+  val srpSigId: FunctionIdentifier = FunctionIdentifier("srp_sig")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -27,6 +28,10 @@ object GraftFunctions {
       reg.registerFunction(simHash64Id, SimHash64.info,
         exprs => SimHash64(exprs(0)))
     }
+    if (!reg.functionExists(srpSigId)) {
+      reg.registerFunction(srpSigId, SrpSig.info,
+        exprs => SrpSig(exprs(0), exprs(1)))
+    }
   }
 
   /** Column-level helpers; require `register` (or the extension) first. */
@@ -34,6 +39,8 @@ object GraftFunctions {
     call_function("cosine_f32", a, b)
   def simHash64(toks: Column): Column =
     call_function("simhash64", toks)
+  def srpSig(e: Column, masks: Array[Long]): Column =
+    call_function("srp_sig", e, org.apache.spark.sql.functions.lit(masks))
 }
 
 /** `spark.sql.extensions`-injectable variant. */
@@ -43,5 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CosineF32(exprs(0), exprs(1))))
     ext.injectFunction((GraftFunctions.simHash64Id, SimHash64.info,
       exprs => SimHash64(exprs(0))))
+    ext.injectFunction((GraftFunctions.srpSigId, SrpSig.info,
+      exprs => SrpSig(exprs(0), exprs(1))))
   }
 }

@@ -112,8 +112,22 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** 32-bit SRP signature of an embedding column. */
+  /** Hyperplanes bit-packed for the native expression: bit i of mask j
+    * set ⇔ planes(j)(i) is −1. */
+  val planeMasks: Array[Long] = planes.map(row =>
+    row.zipWithIndex.collect { case (w, i) if w < 0 => 1L << i }
+      .foldLeft(0L)(_ | _))
+
+  /** 32-bit SRP signature — native codegen'd expression (one pass; the
+    * 32 interpreted higher-order folds of [[srpSignatureFold]] measured
+    * as the dominant cost of the signature scan). Bit-parity with the
+    * fold version asserted in FunctionsSpec. */
   def srpSignature(e: Column): Column =
+    graft.functions.GraftFunctions.srpSig(e, planeMasks)
+
+  /** Composable builtins-only formulation — the reference semantics the
+    * native expression must reproduce bit-for-bit. */
+  def srpSignatureFold(e: Column): Column =
     (0 until NumPlanes).map { j =>
       val w = array(planes(j).map(lit(_)): _*)
       when(dot(e, w) >= 0, lit(1L << j)).otherwise(lit(0L))

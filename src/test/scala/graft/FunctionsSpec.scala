@@ -75,6 +75,20 @@ class FunctionsSpec extends SparkTestBase {
       s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
   }
 
+  test("native srp_sig is bit-identical to the 32-fold formulation") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val both = e.select(col("vec_id"),
+        Similarity.srpSignature(col("embedding")).as("native"),
+        Similarity.srpSignatureFold(col("embedding")).as("fold"))
+      .collect()
+    assert(both.length == 500)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
+    // signatures actually vary (a constant signature would be vacuous)
+    assert(both.map(_.getLong(1)).distinct.length > 10)
+  }
+
   test("null inputs propagate null (BinaryExpression null-safety)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
