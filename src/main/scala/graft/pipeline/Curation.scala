@@ -102,9 +102,11 @@ object Curation {
     * the two cross-tier ones a frontier pipeline adds:
     *
     *  - embedding near-dup drop: a doc whose vector sits in an SRP-LSH
-    *    duplicate cluster survives only as the cluster representative
-    *    (vec_id ↔ doc_id, FIXTURES.md §2) — semantic dedup beyond
-    *    byte-identity;
+    *    duplicate cluster survives only as the cluster representative —
+    *    semantic dedup beyond byte-identity. vec_id keys doc_id; at some
+    *    SFs only a prefix of docs carries a vector (FIXTURES.md §1), and
+    *    a doc WITHOUT a vector keeps: no embedding is no evidence to
+    *    drop (the left-anti join encodes exactly that);
     *  - benchmark decontamination: any doc sharing an 8-token window
     *    fingerprint with the benchmark set is excluded.
     *
