@@ -80,6 +80,24 @@ object Curation {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
 
+  /** Quality-weighted downsampling: each document keeps with probability
+    * proportional to its quality score, decided by the SAME deterministic
+    * md5 bucket as the splits (keep ⇔ bucket < quality·100) — the
+    * importance-sampling step of mixture design, reproducible across
+    * runs/engines/partitionings where a random() draw is not. Output is
+    * the per-language survivor histogram next to the full counts. */
+  def qualityWeightedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    Tables.load(spark, dir, "documents").select("doc_id", "lang")
+      .join(quality, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(hashBucket(col("doc_id")) <
+          col("quality") * lit(100.0), 1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** The curated corpus: English by prediction, quality ≥ minQuality,
     * exact-dup collapsed to the min-doc_id representative. */
   def curate(spark: SparkSession, dir: String,

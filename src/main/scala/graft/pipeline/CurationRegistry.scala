@@ -29,7 +29,9 @@ object CurationRegistry {
       "stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
       "mixture_rebalance_counts" -> ((s, d) => Curation.rebalanceCounts(s, d)),
       "curate_corpus" -> ((s, d) => Curation.curate(s, d)),
-      "curate_full" -> ((s, d) => Curation.curateFull(s, d))
+      "curate_full" -> ((s, d) => Curation.curateFull(s, d)),
+      "mixture_quality_weighted" -> ((s, d) =>
+        Curation.qualityWeightedCounts(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -48,6 +50,21 @@ object CurationRegistry {
         s"""WITH $CurateCtes
            |$CurateSelect
            |ORDER BY doc_id""".stripMargin,
+      // bucket < quality*100.0 compares an exact int against the SAME
+      // rounded-to-6 double both engines compute — no float hazard.
+      "mixture_quality_weighted" ->
+        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+           |FROM documents),
+           |quality AS (SELECT doc_id,
+           |  round(least(n_tokens / 100.0, 1.0) *
+           |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
+           |FROM q)
+           |SELECT lang, count(*) AS n_total,
+           |  count(CASE WHEN $BucketSql < quality * 100.0 THEN 1 END) AS n_kept
+           |FROM documents JOIN quality USING (doc_id)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
       // The full release gate: curate_corpus's three text gates + the
       // near-dup representative drop (SimilarityRegistry's assignment
       // propagation, vec_id ↔ doc_id) + the contamination gate

@@ -49,6 +49,18 @@ class CurationSpec extends SparkTestBase {
     assert(curated.forall(c => keeps.contains(c._1)))
   }
 
+  test("quality-weighted sampling keeps a quality-proportional, deterministic subset") {
+    val rows = Curation.qualityWeightedCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == 500)
+    // kept ⊆ total per language, strictly fewer overall (quality < 1 somewhere)
+    assert(rows.forall { case (_, t, k) => k <= t })
+    assert(rows.map(_._3).sum < 500 && rows.map(_._3).sum > 0)
+    // deterministic: identical on rerun
+    assert(Curation.qualityWeightedCounts(spark, dir).collect().toSeq ==
+      Curation.qualityWeightedCounts(spark, dir).collect().toSeq)
+  }
+
   test("full release gate is curate minus near-dup members and contaminated docs") {
     import org.apache.spark.sql.functions.col
     val base = Curation.curate(spark, dir).collect()
