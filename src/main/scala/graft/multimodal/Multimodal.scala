@@ -178,6 +178,20 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Dimensions after a factor-4 strided resize + re-encode — the full
+    * decode → transform → encode → decode chain through the partition
+    * iterators, against pure integer/sqrt math in the oracle (the resize
+    * keeps ceil(n_px/4) bytes, then GRF1 re-dims them). */
+  def resizeDims(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    decoded(resized(assets(spark, dir), factor = 4))
+      .select(col("asset_id").as("doc_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** Sampled-frame counts per video asset (every 4th frame), vs SQL. */
   def frameSampleCounts(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark

@@ -23,7 +23,8 @@ object MultimodalRegistry {
     queries = Map(
       "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
       "mm_decode_dims" -> ((s, d) => Multimodal.decodeDims(s, d)),
-      "mm_frame_counts" -> ((s, d) => Multimodal.frameSampleCounts(s, d))
+      "mm_frame_counts" -> ((s, d) => Multimodal.frameSampleCounts(s, d)),
+      "mm_resize_dims" -> ((s, d) => Multimodal.resizeDims(s, d))
     ),
     oracles = Map(
       "mm_payload_stats" ->
@@ -41,7 +42,20 @@ object MultimodalRegistry {
            |         w * greatest(1, (n + w - 1) // w) AS n_px FROM dims)
            |SELECT doc_id, ((n_px + 63) // 64 + 3) // 4 AS n_frames
            |FROM px WHERE kind = 'video'
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      // resize keeps every 4th byte of the PADDED body (ceil(n_px/4)),
+      // then the GRF1 re-encode re-derives dims with the same
+      // ceil-sqrt arithmetic as mm_decode_dims.
+      "mm_resize_dims" ->
+        s"""WITH $DimsCte,
+           |px AS (SELECT doc_id, kind,
+           |         w * greatest(1, (n + w - 1) // w) AS n_px FROM dims),
+           |r AS (SELECT doc_id, kind, (n_px + 3) // 4 AS n2 FROM px),
+           |d2 AS (SELECT doc_id, kind, n2,
+           |  greatest(1, CAST(ceil(sqrt(n2)) AS BIGINT)) AS w2 FROM r)
+           |SELECT doc_id, kind, w2 AS width,
+           |  greatest(1, (n2 + w2 - 1) // w2) AS height
+           |FROM d2 ORDER BY doc_id""".stripMargin
     )
   )
 }
