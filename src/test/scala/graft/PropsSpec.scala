@@ -51,4 +51,35 @@ class PropsSpec extends SparkTestBase {
       topk == expected
     })
   }
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "alpha alpha", "x")
+  private val docsGen: Gen[List[String]] =
+    Gen.listOfN(6, Gen.listOfN(12, wordGen).map(_.mkString(" ")))
+
+  test("repetition fractions are bounded in [0, 1] on arbitrary token soups") {
+    import spark.implicits._
+    check(Prop.forAll(docsGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("doc_id", "text")
+      graft.text.TextAnalysis.repetitionOf(df).collect().forall { r =>
+        (2 to 4).forall(c => r.isNullAt(c) ||
+          (r.getDouble(c) >= 0.0 && r.getDouble(c) <= 1.0))
+      }
+    })
+  }
+
+  test("contamination is monotone in the benchmark set") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.someOf(0L to 5L), docsGen) { (ids, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("doc_id", "text")
+      def flagged(bench: Seq[Long]): Set[Int] =
+        graft.text.TextAnalysis.contaminationOf(df, bench)
+          .filter(col("is_contaminated")).collect()
+          .map(_.getInt(0)).toSet
+      // a larger benchmark set can only flag MORE documents
+      flagged(ids.toSeq).subsetOf(flagged((ids ++ Seq(0L, 1L)).distinct.toSeq))
+    })
+  }
 }
