@@ -99,6 +99,41 @@ object EventStreams {
     windowedCounts(Tables.load(spark, dir, "events"))
       .orderBy("window_start_us", "event_type")
 
+  /** Per-window product interaction counts — the streaming PRE-AGGREGATION
+    * of the windowed-top-k pattern: the stream maintains (window, product)
+    * counts incrementally (watermarked, append-mode-safe); the RANK is a
+    * serving-time view over finalized windows, because a per-window top-k
+    * can change until the watermark closes the window — ranking belongs
+    * after finalization, not in the incremental plan. Batch mode runs the
+    * identical plan (the lambda-architecture-free argument, asserted in
+    * StreamingSpec). */
+  def windowProductCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("k").as("product_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("product_id"), col("n"))
+
+  /** Serving-time rank over (finalized) window counts: top `k` products
+    * per hour window, total tie-break. */
+  def rankWindowCounts(counts: DataFrame, k: Int = 3): DataFrame =
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("window_start_us")
+          .orderBy(desc("n"), asc("product_id"))))
+      .filter(col("rk") <= k)
+      .select(col("window_start_us"), col("rk").cast("long").as("rk"),
+        col("product_id"), col("n"))
+      .orderBy("window_start_us", "rk")
+
+  /** Batch twin for the registry. */
+  def windowTopProductsBatch(spark: SparkSession, dir: String,
+                             k: Int = 3): DataFrame =
+    rankWindowCounts(
+      windowProductCounts(Tables.load(spark, dir, "events")), k)
+
   /** Batch sessionization: 30-minute-gap sessions per user via window
     * functions (the lag/cumsum formulation every engine can express —
     * the DuckDB oracle mirrors it 1:1). */

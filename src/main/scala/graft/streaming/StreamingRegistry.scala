@@ -17,7 +17,9 @@ object StreamingRegistry {
       "stream_edge_counts" -> ((s, d) => EventStreams.edgeCounts(s, d)),
       "stream_sessions" -> ((s, d) => EventStreams.sessionsBatch(s, d)),
       "stream_view_to_purchase" -> ((s, d) =>
-        EventStreams.viewToPurchaseBatch(s, d))
+        EventStreams.viewToPurchaseBatch(s, d)),
+      "stream_window_topk" -> ((s, d) =>
+        EventStreams.windowTopProductsBatch(s, d))
     ),
     oracles = Map(
       "stream_window_counts" ->
@@ -41,6 +43,20 @@ object StreamingRegistry {
           |SELECT window_start_us, event_type, count(*) AS n
           |FROM w GROUP BY 1, 2
           |ORDER BY window_start_us, event_type""".stripMargin,
+      "stream_window_topk" ->
+        """WITH c AS (
+          |  SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS window_start_us,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+          |    count(*) AS n
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+          |  GROUP BY 1, 2)
+          |SELECT window_start_us,
+          |  CAST(row_number() OVER (PARTITION BY window_start_us
+          |    ORDER BY n DESC, product_id) AS BIGINT) AS rk,
+          |  product_id, n
+          |FROM c QUALIFY rk <= 3
+          |ORDER BY window_start_us, rk""".stripMargin,
       "stream_edge_counts" ->
         """WITH e AS (
           |  SELECT user_id,

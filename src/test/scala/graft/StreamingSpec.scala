@@ -52,6 +52,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed top-k: stream pre-aggregation + serving-time rank equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeedFixture.Event]
+    mem.addData(SeedFixture.events: _*)
+    val q = EventStreams.windowProductCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_prod_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = EventStreams
+        .rankWindowCounts(spark.table("win_prod_counts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = EventStreams
+        .rankWindowCounts(EventStreams.windowProductCounts(seedEventsDf))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.toSeq == batch.toSeq && batch.nonEmpty)
+      // the 10:00 window holds two product-3 events → rank 1 with n=2
+      assert(batch.exists { case (_, rk, pid, n) => rk == 1 && pid == 3 && n == 2 })
+    } finally q.stop()
+  }
+
   test("streaming dedup maintains one behavioral edge per (user, product, type)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
