@@ -26,6 +26,7 @@ object RelationalRegistry {
       "pivot_event_matrix" -> ((s, d) => Relational.pivotEventMatrix(s, d)),
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
+      "resample_ffill" -> ((s, d) => Resample.eventValuesFfill(s, d)),
       "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
       "set_ops" -> ((s, d) => Relational.setOps(s, d)),
       // Salting must never change an answer: the oracles are the PLAIN
@@ -120,6 +121,24 @@ object RelationalRegistry {
            |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
       },
       // approx_distinct: rows-only (HLL sketches differ across engines)
+      // grid ticks ASOF-joined to the deduped event series; the Spark
+      // side is the merge-union carry-forward of the same semantics.
+      "resample_ffill" ->
+        s"""WITH ev AS (
+           |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value
+           |  FROM events
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY user_id, epoch_ns(ts) // 1000
+           |    ORDER BY event_id DESC) = 1),
+           |s AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+           |      FROM ev GROUP BY 1),
+           |grid AS (SELECT user_id,
+           |  unnest(generate_series(mn - mn % ${Resample.StepUs}, mx,
+           |    ${Resample.StepUs})) AS tick_us FROM s)
+           |SELECT g.user_id, g.tick_us, e.value
+           |FROM grid g ASOF LEFT JOIN ev e
+           |  ON g.user_id = e.user_id AND g.tick_us >= e.ts_us
+           |ORDER BY g.user_id, g.tick_us""".stripMargin,
       "asof_event_order" ->
         """WITH ord AS (
           |  SELECT o_custkey AS user_id,

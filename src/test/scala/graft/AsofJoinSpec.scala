@@ -1,5 +1,23 @@
 package graft
 
+class ResampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("forward fill carries the latest at-or-before value onto each grid tick") {
+    val h = 3600L * 1000000
+    // user 1: v=1.0 at t=0h, v=2.0 at t=7h → ticks 0h and 6h both read 1.0.
+    // user 2: two events at the SAME ts — max event_id (v=9.0) wins.
+    val ev = Seq(
+      (1L, 0L, 10L, 1.0), (1L, 7 * h, 11L, 2.0),
+      (2L, 6 * h, 20L, 5.0), (2L, 6 * h, 21L, 9.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = graft.operators.Resample.eventValuesFfillOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 1.0), (1L, 6 * h, 1.0), (2L, 6 * h, 9.0)))
+  }
+}
+
 import graft.operators.AsofJoin
 
 /** Hand-checkable as-of semantics on the seed fixture:
