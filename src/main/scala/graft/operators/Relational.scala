@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -170,6 +170,44 @@ object Relational {
         coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
       .orderBy("cohort")
   }
+
+  /** Exact lower-median of `value` per `key` — the deterministic
+    * row_number formulation (value at position ⌊(n+1)/2⌋ of the sorted
+    * group): engine-portable where native median()/quantile() functions
+    * differ on interpolation, and a per-group TakeOrdered-shaped window,
+    * never a global sort. `tieBreak` pins row order among equal values;
+    * the SELECTED VALUE is tie-independent. */
+  def lowerMedianBy(df: DataFrame, key: Column, value: Column,
+                    tieBreak: Column): DataFrame =
+    df.select(key.as("key"), value.as("value"), tieBreak.as("tb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy("value", "tb")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("key")))
+      // integer ⌊(n+1)/2⌋ — Column./ is double division, hence the cast
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      .select(col("key"), col("value").as("median"))
+
+  /** Median retail price per brand (exact, deterministic). */
+  def medianPricePerBrand(spark: SparkSession, dir: String): DataFrame =
+    lowerMedianBy(Tables.load(spark, dir, "part"),
+      col("p_brand"), col("p_retailprice"), col("p_partkey"))
+      .withColumnRenamed("key", "brand")
+      .withColumnRenamed("median", "median_price")
+      .orderBy("brand")
+
+  /** Several DISTINCT aggregates in one pass — planned through Spark's
+    * Expand operator (one row replicated per distinct-aggregate group),
+    * the standard multi-distinct shape; a naive approach would run one
+    * job per distinct column. */
+  def multiDistinctStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(countDistinct(col("p_size")).as("n_sizes"),
+        countDistinct(col("p_type")).as("n_types"),
+        count(lit(1)).as("n_parts"),
+        (centsSum(cents(col("p_retailprice"))) / lit(100.0))
+          .as("sum_price"))
+      .orderBy("brand")
 
   /** HLL approximate distinct next to the exact count — the sketch tier
     * for 100 TB cardinalities where exact distinct means a full shuffle.

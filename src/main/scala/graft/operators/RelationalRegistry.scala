@@ -24,6 +24,10 @@ object RelationalRegistry {
       "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
       "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
       "pivot_event_matrix" -> ((s, d) => Relational.pivotEventMatrix(s, d)),
+      "median_price_per_brand" -> ((s, d) =>
+        Relational.medianPricePerBrand(s, d)),
+      "multi_distinct_stats" -> ((s, d) =>
+        Relational.multiDistinctStats(s, d)),
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
       "resample_ffill" -> ((s, d) => Resample.eventValuesFfill(s, d)),
@@ -121,6 +125,23 @@ object RelationalRegistry {
            |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
       },
       // approx_distinct: rows-only (HLL sketches differ across engines)
+      // The same ⌊(n+1)/2⌋ row_number formulation on both sides — native
+      // median()/quantile() interpolation differs across engines.
+      "median_price_per_brand" ->
+        """SELECT p_brand AS brand, p_retailprice AS median_price
+          |FROM part
+          |QUALIFY row_number() OVER (PARTITION BY p_brand
+          |    ORDER BY p_retailprice, p_partkey)
+          |  = (count(*) OVER (PARTITION BY p_brand) + 1) // 2
+          |ORDER BY brand""".stripMargin,
+      "multi_distinct_stats" ->
+        """SELECT p_brand AS brand,
+          |  count(DISTINCT p_size) AS n_sizes,
+          |  count(DISTINCT p_type) AS n_types,
+          |  count(*) AS n_parts,
+          |  sum(CAST(round(p_retailprice * 100) AS BIGINT))
+          |    / CAST(100 AS DOUBLE) AS sum_price
+          |FROM part GROUP BY 1 ORDER BY brand""".stripMargin,
       // grid ticks ASOF-joined to the deduped event series; the Spark
       // side is the merge-union carry-forward of the same semantics.
       "resample_ffill" ->

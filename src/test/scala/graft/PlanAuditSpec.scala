@@ -86,4 +86,8 @@ class PlanAuditSpec extends SparkTestBase {
   test("vocab coverage takes top-k without a corpus-wide global sort") {
     assert(planOf("text_vocab_coverage").contains("TakeOrderedAndProject"))
   }
+
+  test("multi-distinct aggregation plans one Expand, not a job per column") {
+    assert(planOf("multi_distinct_stats").contains("Expand"))
+  }
 }

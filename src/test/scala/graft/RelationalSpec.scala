@@ -51,6 +51,18 @@ class RelationalSpec extends SparkTestBase {
     assert(perStatus.map(_.getLong(2)).sum == 6000)
   }
 
+  test("lower median picks the exact middle element for odd and even groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // odd group {1,2,9} → 2; even group {1,2,3,4} → lower middle 2
+    val df = Seq(("a", 9.0, 1L), ("a", 1.0, 2L), ("a", 2.0, 3L),
+      ("b", 3.0, 4L), ("b", 1.0, 5L), ("b", 4.0, 6L), ("b", 2.0, 7L))
+      .toDF("k", "v", "id")
+    val out = Relational.lowerMedianBy(df, col("k"), col("v"), col("id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("a" -> 2.0, "b" -> 2.0))
+  }
+
   test("pivot matrix cells sum to the event count; absent combos are 0") {
     val rows = Relational.pivotEventMatrix(spark, dir).collect()
     val total = rows.map(r =>
