@@ -40,6 +40,7 @@ object RelationalRegistry {
       "outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
       "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
+      "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -214,6 +215,28 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      // Strictly-after funnel: each step's first time must follow the
+      // user's first completion of the previous step. ev feeds three
+      // branches and s1/s2 are each read twice → MATERIALIZED (the CTE
+      // re-inlining gotcha).
+      "funnel_conversion" ->
+        """WITH ev AS MATERIALIZED (
+          |  SELECT user_id, lower(event_type) AS et,
+          |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+          |s1 AS MATERIALIZED (
+          |  SELECT user_id, min(ts_us) AS t1 FROM ev
+          |  WHERE et = 'view' GROUP BY 1),
+          |s2 AS MATERIALIZED (
+          |  SELECT ev.user_id, min(ts_us) AS t2 FROM ev
+          |  JOIN s1 USING (user_id)
+          |  WHERE et = 'add_to_cart' AND ts_us > t1 GROUP BY 1),
+          |s3 AS (
+          |  SELECT ev.user_id, min(ts_us) AS t3 FROM ev
+          |  JOIN s2 USING (user_id)
+          |  WHERE et = 'purchase' AND ts_us > t2 GROUP BY 1)
+          |SELECT (SELECT count(*) FROM s1) AS n_viewed,
+          |  (SELECT count(*) FROM s2) AS n_carted_after,
+          |  (SELECT count(*) FROM s3) AS n_purchased_after""".stripMargin,
       "set_ops" ->
         """WITH oc AS (SELECT DISTINCT o_custkey AS c FROM orders),
           |ec AS (SELECT DISTINCT user_id AS c FROM events)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Funnel, Relational}
 import graft.text.TextAnalysis
 
 class RelationalSpec extends SparkTestBase {
@@ -70,6 +70,21 @@ class RelationalSpec extends SparkTestBase {
     assert(total == graft.Tables.load(spark, dir, "events").count())
     assert(rows.forall(r =>
       (1 to Relational.EventTypes.length).forall(i => r.getLong(i) >= 0)))
+  }
+
+  test("funnel counts only steps strictly after the previous step's first") {
+    import spark.implicits._
+    // u1: full ordered funnel. u2: cart and purchase both BEFORE the
+    // first view → viewed only. u3: cart before view, re-cart after →
+    // counted, but no purchase. u4: never viewed → excluded everywhere.
+    val ev = Seq(
+      ("u1", "view", 10L), ("u1", "add_to_cart", 20L), ("u1", "purchase", 30L),
+      ("u2", "purchase", 5L), ("u2", "add_to_cart", 8L), ("u2", "view", 10L),
+      ("u3", "add_to_cart", 5L), ("u3", "view", 10L), ("u3", "add_to_cart", 15L),
+      ("u4", "purchase", 10L)
+    ).toDF("user_id", "et", "ts_us")
+    val r = Funnel.conversionCountsOf(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 1L)))
   }
 
   test("top terms: scores are tf-monotone within a doc, k per doc, ranked") {
