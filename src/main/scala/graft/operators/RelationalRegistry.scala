@@ -41,6 +41,7 @@ object RelationalRegistry {
       "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
+      "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -215,6 +216,20 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      // Weekly cohort retention matrix; integer week arithmetic (`div` ↔
+      // `//`, both floor for non-negative epoch-micros) keeps it exact.
+      "cohort_retention" ->
+        s"""WITH ev AS MATERIALIZED (
+           |  SELECT user_id, (epoch_ns(ts) // 1000) // ${Cohorts.WeekUs}
+           |    AS week_w FROM events),
+           |first AS (SELECT user_id, min(week_w) AS cohort_w
+           |          FROM ev GROUP BY 1),
+           |act AS (SELECT DISTINCT ev.user_id, cohort_w,
+           |    week_w - cohort_w AS week_offset
+           |  FROM ev JOIN first USING (user_id)
+           |  WHERE week_w < cohort_w + ${Cohorts.MaxOffsetWeeks})
+           |SELECT cohort_w, week_offset, count(*) AS n_users
+           |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       // Strictly-after funnel: each step's first time must follow the
       // user's first completion of the previous step. ev feeds three
       // branches and s1/s2 are each read twice → MATERIALIZED (the CTE

@@ -87,6 +87,20 @@ class RelationalSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 1L)))
   }
 
+  test("cohort retention counts distinct users per (cohort, offset)") {
+    import spark.implicits._
+    val w = graft.operators.Cohorts.WeekUs
+    // u1 first in week 0, active weeks 0 (twice — dedup), 1.
+    // u2 first in week 1, active weeks 1, 9 (beyond the 8-week horizon).
+    val ev = Seq(
+      ("u1", 10L), ("u1", 20L), ("u1", w + 5L),
+      ("u2", w + 1L), ("u2", 9 * w + 1L)
+    ).toDF("user_id", "ts_us")
+    val out = graft.operators.Cohorts.retentionMatrixOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("top terms: scores are tf-monotone within a doc, k per doc, ranked") {
     val rows = TextAnalysis.topTerms(spark, dir, k = 3).collect()
     val byDoc = rows.groupBy(_.getLong(0))
