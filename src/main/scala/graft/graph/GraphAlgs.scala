@@ -268,6 +268,61 @@ object GraphAlgs {
       .limit(k)
   }
 
+  /** Distinct co-purchase product pairs (p1 < p2), basket-bounded like
+    * [[allPairsCoOccurrence]] and generated the same in-partition way.
+    * Memoized: feeds every consumer of the undirected product graph. */
+  def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "co-purchase-pairs", dir) {
+      val items = graft.operators.Recs.containsEdges(spark, dir)
+      val baskets = items.groupBy("order_id")
+        .agg(collect_list(col("product_id")).as("ps"))
+        .filter(size(col("ps")) <= MaxBasketSize)
+      baskets.select(explode(flatten(transform(col("ps"),
+        p1 => transform(filter(col("ps"), p2 => p2 > p1),
+          p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
+        .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Exact triangle count over the undirected co-purchase graph.
+    *
+    * Edges are re-oriented low-degree → high-degree (ties by id) — the
+    * classic distributed-triangle trick: wedge fan-out is then bounded
+    * by O(m^1.5) instead of sum(deg²), so one celebrity product cannot
+    * dominate the wedge join at 100 TB. The COUNT is orientation-
+    * independent (each triangle appears exactly once under any
+    * consistent total order), so the DuckDB twin may use the plain
+    * id-order a<b<c formulation — same number, simpler SQL. Degree
+    * relation is |products|-sized → broadcast into both orientation
+    * joins; the wedge and closure joins are the only shuffles. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val deg = pairs.select(col("p1").as("p")).unionAll(
+        pairs.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+    val e = pairs
+      .join(broadcast(deg.withColumnRenamed("p", "p1")
+        .withColumnRenamed("d", "d1")), "p1")
+      .join(broadcast(deg.withColumnRenamed("p", "p2")
+        .withColumnRenamed("d", "d2")), "p2")
+      .select(
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")), col("p1"))
+          .otherwise(col("p2")).as("src"),
+        when(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("p1") < col("p2")), col("p2"))
+          .otherwise(col("p1")).as("dst"))
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    wedges.join(e.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** The registry's three fixed-rank rows propagate over THESE seeds in
     * one shared loop: None = global PageRank, Some(id) = personalized.
     * One shuffle per iteration serves every column. */

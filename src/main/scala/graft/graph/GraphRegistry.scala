@@ -195,7 +195,8 @@ object GraphRegistry {
         GraphAlgs.connectedComponentSizes(s, d)),
       "graphx_shortest_paths" -> ((s, d) =>
         GraphAlgs.shortestPathsTo(s, d, "P1")),
-      "graphx_ppr_recs" -> ((s, d) => GraphAlgs.pprRecs(s, d, 1L))
+      "graphx_ppr_recs" -> ((s, d) => GraphAlgs.pprRecs(s, d, 1L)),
+      "graph_triangles" -> ((s, d) => GraphAlgs.triangleCount(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -279,7 +280,26 @@ object GraphRegistry {
            |FROM bounded a JOIN bounded b ON a.order_id = b.order_id
            |WHERE a.product_id < b.product_id
            |GROUP BY 1, 2
-           |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin
+           |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+      // Triangle count is orientation-independent: the Spark side
+      // orients edges by degree for skew-bounded wedges, the oracle
+      // uses plain id order — each triangle counted exactly once in
+      // both. pairs is read three times → MATERIALIZED.
+      "graph_triangles" ->
+        s"""WITH items AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+           |  FROM lineitem),
+           |sane AS (SELECT order_id FROM items GROUP BY order_id
+           |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+           |pairs AS MATERIALIZED (
+           |  SELECT DISTINCT a.product_id AS p1, b.product_id AS p2
+           |  FROM items a JOIN items b ON a.order_id = b.order_id
+           |   AND a.product_id < b.product_id
+           |  JOIN sane ON a.order_id = sane.order_id)
+           |SELECT count(*) AS n_triangles
+           |FROM pairs ab
+           |JOIN pairs bc ON ab.p2 = bc.p1
+           |JOIN pairs ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2""".stripMargin
     )
   )
 }

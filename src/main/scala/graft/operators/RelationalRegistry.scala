@@ -42,6 +42,7 @@ object RelationalRegistry {
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
+      "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -216,6 +217,19 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      // LAG inter-event gaps, minute buckets, closed top bucket; all
+      // integer micros. (ts_us, event_id) is a per-user total order on
+      // both sides.
+      "event_gap_histogram" ->
+        s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+           |    event_id FROM events),
+           |g AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us, event_id) AS gap FROM ev)
+           |SELECT least(gap // ${EventGaps.BucketUs}, ${EventGaps.CapMinutes})
+           |    AS bucket_min,
+           |  count(*) AS n
+           |FROM g WHERE gap IS NOT NULL
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
       // Weekly cohort retention matrix; integer week arithmetic (`div` ↔
       // `//`, both floor for non-negative epoch-micros) keeps it exact.
       "cohort_retention" ->

@@ -144,6 +144,20 @@ class GraphSpec extends SparkTestBase {
     assert(contains.count() == 5)
   }
 
+  test("triangle count: 0 on the acyclic seed; brute-force parity at sf0.001") {
+    assert(GraphAlgs.triangleCount(spark, dir).head().getLong(0) == 0L)
+    val sf = "/root/testdata/sf0.001"
+    val adj = GraphAlgs.coPurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
+        case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
+      }
+    val brute = adj.iterator.map { case (v, ns) =>
+      ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }
+    }.sum / 3L // each triangle seen from all three vertices
+    assert(GraphAlgs.triangleCount(spark, sf).head().getLong(0) == brute)
+  }
+
   test("all-pairs co-occurrence finds exactly the two real pairs") {
     val pairs = GraphAlgs.allPairsCoOccurrence(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

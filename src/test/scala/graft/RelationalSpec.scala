@@ -101,6 +101,19 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("gap histogram buckets per-user lags; cross-user boundaries excluded") {
+    import spark.implicits._
+    val m = graft.operators.EventGaps.BucketUs // one minute
+    // u1: gaps 30s (bucket 0) and 90m (capped to 60). u2: one event, no gap.
+    val ev = Seq(
+      ("u1", 0L, 1L), ("u1", 30L * 1000000L, 2L),
+      ("u1", 30L * 1000000L + 90 * m, 3L), ("u2", 5L, 4L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val out = graft.operators.EventGaps.gapHistogramOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L, 60L -> 1L))
+  }
+
   test("top terms: scores are tf-monotone within a doc, k per doc, ranked") {
     val rows = TextAnalysis.topTerms(spark, dir, k = 3).collect()
     val byDoc = rows.groupBy(_.getLong(0))
