@@ -19,10 +19,34 @@ object Cohorts {
 
   val WeekUs: Long = 7L * 24 * 3600 * 1000000L
   val MaxOffsetWeeks: Int = 8
+  val DayUs: Long = 24L * 3600 * 1000000L
 
   def retentionMatrix(spark: SparkSession, dir: String): DataFrame =
     retentionMatrixOf(Tables.load(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us")))
+
+  def dauCumulative(spark: SparkSession, dir: String): DataFrame =
+    dauCumulativeOf(Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")))
+
+  /** Daily active users + new users + cumulative distinct users, all
+    * exact: cumulative distinct at day d = Σ first-day counts ≤ d (the
+    * first-activity trick — no running distinct state). The only
+    * unpartitioned window runs over the per-DAY frame, whose size is
+    * the calendar span, not the event count — fine at any data scale. */
+  def dauCumulativeOf(ev: DataFrame): DataFrame = {
+    val act = ev.select(col("user_id"),
+      expr(s"ts_us div $DayUs").as("day")).distinct()
+    val daily = act.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val news = act.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.join(news, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .orderBy("day")
+  }
 
   /** Core over a pre-projected (user_id, ts_us) frame — fixture entry.
     * ts_us must be non-negative (integer `div` truncation = floor). */

@@ -302,6 +302,42 @@ object Relational {
     * order-independent — double summation would be nondeterministic across
     * partitionings — and bit-identical to any other engine's exact sum.
     * disc_price = price_cents * (100 - disc_cents) is exact in 1e-4 units. */
+  /** TPC-H Q3-shaped shipping-priority star join: selective dimension
+    * filter (market segment) → orders → lineitem, exact-cents revenue,
+    * top-10. The segment-filtered customer key set is a fraction of one
+    * dimension — AQE's runtime size estimate decides broadcast vs
+    * shuffle (no hand hint: at 100 TB the filtered side may exceed the
+    * broadcast budget, and a forced hint would OOM the driver; the
+    * filters and two-column projections push to every scan either way).
+    * Dates compare as timestamps on both engines; the result carries
+    * epoch-micros (proven hash-stable) rather than raw timestamps. */
+  def q3Shipping(spark: SparkSession, dir: String,
+                 segment: String = "BUILDING",
+                 cutoff: String = "1998-06-01"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+        // cast is value-preserving (same convention as AsofJoin).
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+        col("o_orderpriority"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .withColumn("price_c", cents(col("l_extendedprice")))
+      .withColumn("disc_c", cents(col("l_discount")))
+      .select("l_orderkey", "price_c", "disc_c")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "order_date_us", "o_orderpriority")
+      .agg((sum(col("price_c").cast("decimal(30,0)") *
+        (lit(100L) - col("disc_c"))) / lit(10000.0)).as("revenue"))
+      .orderBy(desc("revenue"), asc("order_date_us"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

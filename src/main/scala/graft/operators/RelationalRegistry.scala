@@ -43,6 +43,8 @@ object RelationalRegistry {
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
+      "dau_cumulative" -> ((s, d) => Cohorts.dauCumulative(s, d)),
+      "q3_shipping_priority" -> ((s, d) => Relational.q3Shipping(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -217,6 +219,38 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      // DAU + cumulative distinct users via the first-activity trick;
+      // DuckDB window sum(BIGINT) is HUGEINT → cast back.
+      "dau_cumulative" ->
+        s"""WITH act AS MATERIALIZED (
+           |  SELECT DISTINCT user_id,
+           |    (epoch_ns(ts) // 1000) // ${Cohorts.DayUs} AS day FROM events),
+           |daily AS (SELECT day, count(*) AS n_active FROM act GROUP BY 1),
+           |news AS (SELECT day, count(*) AS n_new FROM (
+           |    SELECT user_id, min(day) AS day FROM act GROUP BY 1)
+           |  GROUP BY 1)
+           |SELECT day, n_active, coalesce(n_new, 0) AS n_new,
+           |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY day
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+           |FROM daily LEFT JOIN news USING (day)
+           |ORDER BY day""".stripMargin,
+      "q3_shipping_priority" ->
+        """WITH li AS (SELECT l_orderkey,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+          |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+          |  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01')
+          |SELECT l_orderkey,
+          |  epoch_ns(o_orderdate) // 1000 AS order_date_us,
+          |  o_orderpriority,
+          |  sum(price_c * (100 - disc_c)) / CAST(10000 AS DOUBLE) AS revenue
+          |FROM li
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-06-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, order_date_us ASC, l_orderkey ASC
+          |LIMIT 10""".stripMargin,
       // LAG inter-event gaps, minute buckets, closed top bucket; all
       // integer micros. (ts_us, event_id) is a per-user total order on
       // both sides.

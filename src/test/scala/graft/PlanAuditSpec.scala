@@ -90,4 +90,15 @@ class PlanAuditSpec extends SparkTestBase {
   test("multi-distinct aggregation plans one Expand, not a job per column") {
     assert(planOf("multi_distinct_stats").contains("Expand"))
   }
+
+  test("q3 star join pushes its date filters and top-ks without a global sort") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in:\n$plan")
+    // Both fact-side scans carry their date predicate.
+    assert(plan.replaceAll("\\s", "").contains("PushedFilters:[IsNotNull(o_orderdate)") ||
+      plan.replaceAll("\\s", "").contains("LessThan(o_orderdate"),
+      s"o_orderdate not pushed in:\n$plan")
+    assert(plan.replaceAll("\\s", "").contains("GreaterThan(l_shipdate"),
+      s"l_shipdate not pushed in:\n$plan")
+  }
 }

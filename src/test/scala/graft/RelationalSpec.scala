@@ -101,6 +101,18 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("dau: cumulative users is the running sum of first-day users") {
+    import spark.implicits._
+    val d = graft.operators.Cohorts.DayUs
+    // u1 days {0,1}, u2 day {1} (two events dedup), u3 day {2}
+    val ev = Seq(("u1", 5L), ("u1", d + 1), ("u2", d + 2), ("u2", d + 3),
+      ("u3", 2 * d + 1)).toDF("user_id", "ts_us")
+    val rows = graft.operators.Cohorts.dauCumulativeOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((0L, 1L, 1L, 1L), (1L, 2L, 1L, 2L),
+      (2L, 1L, 1L, 3L)))
+  }
+
   test("gap histogram buckets per-user lags; cross-user boundaries excluded") {
     import spark.implicits._
     val m = graft.operators.EventGaps.BucketUs // one minute
