@@ -296,11 +296,19 @@ object GraphAlgs {
     * id-order a<b<c formulation — same number, simpler SQL. Degree
     * relation is |products|-sized → broadcast into both orientation
     * joins; the wedge and closure joins are the only shuffles. */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-vertex degree over the undirected co-purchase graph. */
+  def coPurchaseDegrees(spark: SparkSession, dir: String): DataFrame = {
     val pairs = coPurchasePairs(spark, dir)
-    val deg = pairs.select(col("p1").as("p")).unionAll(
+    pairs.select(col("p1").as("p")).unionAll(
         pairs.select(col("p2").as("p")))
       .groupBy("p").agg(count(lit(1)).as("d"))
+  }
+
+  /** All closed triangles (a,b,c), each exactly once, a ≺ b ≺ c under
+    * the degree-then-id total order. */
+  def closedTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    val deg = coPurchaseDegrees(spark, dir)
     val e = pairs
       .join(broadcast(deg.withColumnRenamed("p", "p1")
         .withColumnRenamed("d", "d1")), "p1")
@@ -320,7 +328,30 @@ object GraphAlgs {
     wedges.join(e.as("e3"),
         col("a") === col("e3.src") && col("c") === col("e3.dst"),
         "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    closedTriangles(spark, dir).agg(count(lit(1)).as("n_triangles"))
+
+  /** Local clustering coefficient, top-k: 2·T(v) / (d(v)·(d(v)−1)) for
+    * d ≥ 2. Both numerator and denominator are exact longs; the single
+    * double division is engine-portable. T(v) folds the closed-triangle
+    * relation — each triangle credits all three corners. */
+  def clusteringCoefficientTop(spark: SparkSession, dir: String,
+                               k: Int = 20): DataFrame = {
+    val tri = closedTriangles(spark, dir)
+    val perVertex = tri.select(col("a").as("p"))
+      .unionAll(tri.select(col("b").as("p")))
+      .unionAll(tri.select(col("c").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("n_tri"))
+    coPurchaseDegrees(spark, dir).filter(col("d") >= 2)
+      .join(perVertex, Seq("p"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .withColumn("coef",
+        (lit(2L) * col("n_tri")).cast("double") / (col("d") * (col("d") - 1)))
+      .orderBy(desc("coef"), desc("d"), asc("p"))
+      .limit(k)
+      .select("p", "d", "n_tri", "coef")
   }
 
   /** The registry's three fixed-rank rows propagate over THESE seeds in

@@ -196,7 +196,9 @@ object GraphRegistry {
       "graphx_shortest_paths" -> ((s, d) =>
         GraphAlgs.shortestPathsTo(s, d, "P1")),
       "graphx_ppr_recs" -> ((s, d) => GraphAlgs.pprRecs(s, d, 1L)),
-      "graph_triangles" -> ((s, d) => GraphAlgs.triangleCount(s, d))
+      "graph_triangles" -> ((s, d) => GraphAlgs.triangleCount(s, d)),
+      "graph_clustering_top" -> ((s, d) =>
+        GraphAlgs.clusteringCoefficientTop(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -299,7 +301,38 @@ object GraphRegistry {
            |SELECT count(*) AS n_triangles
            |FROM pairs ab
            |JOIN pairs bc ON ab.p2 = bc.p1
-           |JOIN pairs ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2""".stripMargin
+           |JOIN pairs ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2""".stripMargin,
+      // Per-vertex triangle credit is orientation-independent, so the
+      // id-ordered triangle listing feeds the same counts the degree-
+      // oriented Spark plan produces.
+      "graph_clustering_top" ->
+        s"""WITH items AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+           |  FROM lineitem),
+           |sane AS (SELECT order_id FROM items GROUP BY order_id
+           |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+           |pairs AS MATERIALIZED (
+           |  SELECT DISTINCT a.product_id AS p1, b.product_id AS p2
+           |  FROM items a JOIN items b ON a.order_id = b.order_id
+           |   AND a.product_id < b.product_id
+           |  JOIN sane ON a.order_id = sane.order_id),
+           |tri AS MATERIALIZED (
+           |  SELECT ab.p1 AS a, ab.p2 AS b, bc.p2 AS c
+           |  FROM pairs ab
+           |  JOIN pairs bc ON ab.p2 = bc.p1
+           |  JOIN pairs ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2),
+           |pv AS (SELECT p, count(*) AS n_tri FROM (
+           |    SELECT a AS p FROM tri UNION ALL SELECT b FROM tri
+           |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+           |deg AS (SELECT p, count(*) AS d FROM (
+           |    SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs)
+           |  GROUP BY 1)
+           |SELECT deg.p, d, coalesce(n_tri, 0) AS n_tri,
+           |  CAST(2 * coalesce(n_tri, 0) AS DOUBLE) / (d * (d - 1)) AS coef
+           |FROM deg LEFT JOIN pv ON deg.p = pv.p
+           |WHERE d >= 2
+           |ORDER BY coef DESC, d DESC, deg.p ASC
+           |LIMIT 20""".stripMargin
     )
   )
 }

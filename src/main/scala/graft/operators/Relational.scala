@@ -338,6 +338,23 @@ object Relational {
       .limit(10)
   }
 
+  /** Correlated-scalar-subquery shape ("orders above their customer's
+    * average"), hand-decorrelated to the scalable plan: one grouped
+    * aggregate per customer joined back on the same key. The comparison
+    * is integer cross-multiplication (price·n > Σprice) — no division,
+    * no float, exact on both engines. */
+  def ordersAboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+    val s = o.groupBy("o_custkey")
+      .agg(centsSum(col("price_c")).as("sum_c"), count(lit(1)).as("cnt"))
+    o.join(s, "o_custkey")
+      .filter(col("price_c").cast("decimal(30,0)") * col("cnt") > col("sum_c"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_above"))
+      .orderBy("o_orderpriority")
+  }
+
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

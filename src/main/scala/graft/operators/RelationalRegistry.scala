@@ -45,6 +45,8 @@ object RelationalRegistry {
       "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
       "dau_cumulative" -> ((s, d) => Cohorts.dauCumulative(s, d)),
       "q3_shipping_priority" -> ((s, d) => Relational.q3Shipping(s, d)),
+      "orders_above_cust_avg" -> ((s, d) =>
+        Relational.ordersAboveCustomerAvg(s, d)),
       "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
     ),
     oracles = Map(
@@ -219,6 +221,18 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      // Decorrelated "above own group average": integer cross-multiply,
+      // no division. DuckDB sum(BIGINT)=HUGEINT compares exactly.
+      "orders_above_cust_avg" ->
+        """WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          |  FROM orders),
+          |s AS (SELECT o_custkey, sum(price_c) AS sum_c, count(*) AS cnt
+          |      FROM o GROUP BY 1)
+          |SELECT o_orderpriority, count(*) AS n_above
+          |FROM o JOIN s USING (o_custkey)
+          |WHERE price_c * cnt > sum_c
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // DAU + cumulative distinct users via the first-activity trick;
       // DuckDB window sum(BIGINT) is HUGEINT → cast back.
       "dau_cumulative" ->

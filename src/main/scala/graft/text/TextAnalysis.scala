@@ -93,6 +93,33 @@ object TextAnalysis {
     * division is bit-identical across engines where `ln` is not (libm
     * last-ulp differences would break the oracle hash). Two shuffles:
     * term-count and df; the rank is a per-doc window over ≤ |vocab| rows. */
+  /** Bigram language-model counts: top-k adjacent token pairs with the
+    * conditional probability P(w2|w1) = n12 / n1. Bigram fan-out happens
+    * in-partition (zip of two slices — no self-join, no explode² ); both
+    * aggregations are map-side-combinable counts, and the n1 join is
+    * w1-keyed. n1 counts bigram LEFT slots (tokens with a successor), so
+    * Σ P(·|w1) = 1 exactly. */
+  def bigramTop(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bigramTopOf(Tables.load(spark, dir, "documents"), k)
+
+  /** Core over any frame with a `text` column — fixture entry. */
+  def bigramTopOf(docs: DataFrame, k: Int): DataFrame = {
+    val bi = docs.select(tokens.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val n12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val n1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+    n12.join(n1, "w1")
+      .withColumn("p_cond", col("n12").cast("double") / col("n1"))
+      .orderBy(desc("n12"), asc("w1"), asc("w2"))
+      .limit(k)
+      .select("w1", "w2", "n12", "n1", "p_cond")
+  }
+
   def topTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, dir, "documents")

@@ -38,7 +38,8 @@ object TextRegistry {
       "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
       "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d)),
       "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
-      "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d))
+      "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
+      "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->
@@ -199,7 +200,23 @@ object TextRegistry {
            |SELECT d.doc_id, coalesce(n, 0) AS n_contaminated,
            |  coalesce(n, 0) > 0 AS is_contaminated
            |FROM documents d LEFT JOIN hits USING (doc_id)
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      // Adjacent-pair zip over the shared tokenizer; n1 counts bigram
+      // left slots so P(·|w1) sums to 1. Lists are 1-based on both
+      // engines; the single double division is engine-portable.
+      "text_bigrams" ->
+        s"""WITH t AS (SELECT $Toks AS ts FROM documents),
+           |bi AS MATERIALIZED (
+           |  SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM (
+           |    SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+           |    FROM t WHERE len(ts) >= 2)),
+           |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+           |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1)
+           |SELECT w1, w2, n12, n1,
+           |  CAST(n12 AS DOUBLE) / n1 AS p_cond
+           |FROM n12 JOIN n1 USING (w1)
+           |ORDER BY n12 DESC, w1 ASC, w2 ASC
+           |LIMIT 20""".stripMargin
     )
   )
 

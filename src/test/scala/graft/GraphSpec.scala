@@ -152,10 +152,21 @@ class GraphSpec extends SparkTestBase {
       .foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
         case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
       }
-    val brute = adj.iterator.map { case (v, ns) =>
-      ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }
-    }.sum / 3L // each triangle seen from all three vertices
+    val perVertex = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }
+    }
+    val brute = perVertex.values.map(_.toLong).sum / 3L // 3 corners each
     assert(GraphAlgs.triangleCount(spark, sf).head().getLong(0) == brute)
+    // clustering coefficient rows agree with the brute per-vertex counts
+    val rows = GraphAlgs.clusteringCoefficientTop(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, d, t, c) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      assert(d == adj(p).size.toLong)
+      assert(t == perVertex(p).toLong)
+      assert(c == 2.0 * t / (d * (d - 1)) && c >= 0.0 && c <= 1.0)
+    }
   }
 
   test("all-pairs co-occurrence finds exactly the two real pairs") {

@@ -81,6 +81,20 @@ class TextSpec extends SparkTestBase {
     assert(!out(2).getBoolean(2) && out(2).getLong(1) === 0)
   }
 
+  test("bigram counts: conditional probabilities per left token sum to 1") {
+    // doc1: "a b a b a" → bigrams ab, ba, ab, ba; doc2: "a c" → ac.
+    // n1(a)=3 (two ab + one ac), n1(b)=2. No cross-doc bigrams.
+    val out = TextAnalysis.bigramTopOf(docs(1 -> "a b a b a", 2 -> "a c"), 20)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSet === Set(
+      ("a", "b", 2L, 3L, 2.0 / 3), ("b", "a", 2L, 2L, 1.0),
+      ("a", "c", 1L, 3L, 1.0 / 3)))
+    // single-token docs contribute nothing
+    assert(TextAnalysis.bigramTopOf(docs(1 -> "solo"), 20).count() === 0)
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
