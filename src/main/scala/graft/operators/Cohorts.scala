@@ -48,6 +48,32 @@ object Cohorts {
       .orderBy("day")
   }
 
+  /** Audience overlap between event types: |A∩B|, |A|, |B| and Jaccard
+    * for every OBSERVED type pair (inner semantics — disjoint audiences
+    * don't emit, mirrored in the oracle). The self-join is user-keyed;
+    * per-user fan-out is bounded by the type-vocabulary choose 2 (≤15),
+    * so the pair relation is O(users), never quadratic. Sizes are a
+    * type-vocabulary-sized relation → broadcast. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(spark, dir, "events")
+      .select(lower(col("event_type")).as("et"), col("user_id"))
+      .distinct()
+    val sizes = a.groupBy("et").agg(count(lit(1)).as("n"))
+    val both = a.as("x").join(a.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.et") < col("y.et"))
+      .groupBy(col("x.et").as("et1"), col("y.et").as("et2"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select(col("et").as("et1"), col("n").as("n1"))),
+        "et1")
+      .join(broadcast(sizes.select(col("et").as("et2"), col("n").as("n2"))),
+        "et2")
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n1") + col("n2") - col("n_both")))
+      .select("et1", "et2", "n_both", "n1", "n2", "jaccard")
+      .orderBy("et1", "et2")
+  }
+
   /** Core over a pre-projected (user_id, ts_us) frame — fixture entry.
     * ts_us must be non-negative (integer `div` truncation = floor). */
   def retentionMatrixOf(ev: DataFrame): DataFrame = {

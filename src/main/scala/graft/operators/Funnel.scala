@@ -25,6 +25,31 @@ object Funnel {
       .select(col("user_id"), lower(col("event_type")).as("et"),
         unix_micros(col("ts")).as("ts_us")))
 
+  val HourUs: Long = 3600L * 1000000L
+  val CapHours: Long = 72L
+
+  /** Time-to-convert distribution: hours from each user's FIRST view to
+    * the first purchase strictly after it, bucketed with a closed top
+    * bucket — the funnel's "how fast", shaped like EventGaps (map-side-
+    * combinable histogram; no global window, so no quantile sort). */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame =
+    timeToConvertOf(Tables.load(spark, dir, "events")
+      .select(col("user_id"), lower(col("event_type")).as("et"),
+        unix_micros(col("ts")).as("ts_us")))
+
+  /** Core over a pre-projected (user_id, et, ts_us) frame. */
+  def timeToConvertOf(ev: DataFrame): DataFrame = {
+    val s1 = ev.filter(col("et") === Steps(0))
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    ev.filter(col("et") === Steps(2))
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us") - col("t1")).as("delta_us"))
+      .select(least(expr(s"delta_us div $HourUs"), lit(CapHours))
+        .as("bucket_hr"))
+      .groupBy("bucket_hr").agg(count(lit(1)).as("n_users"))
+      .orderBy("bucket_hr")
+  }
+
   /** Core over a pre-projected (user_id, et, ts_us) frame — fixture entry. */
   def conversionCountsOf(ev: DataFrame): DataFrame = {
     val s1 = ev.filter(col("et") === Steps(0))

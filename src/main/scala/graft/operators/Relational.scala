@@ -302,6 +302,29 @@ object Relational {
     * order-independent — double summation would be nondeterministic across
     * partitionings — and bit-identical to any other engine's exact sum.
     * disc_price = price_cents * (100 - disc_cents) is exact in 1e-4 units. */
+  /** Incremental-view-maintenance shape: aggregate an "old" partition
+    * and an appended "new" partition SEPARATELY, then merge the partials
+    * — count and sum are mergeable, so the merged result is exactly the
+    * direct aggregate (the oracle computes it directly; hash-match IS
+    * the mergeability proof). This is the algebraic core of every
+    * incremental pipeline at 100 TB: never rescan history, merge
+    * partials. Both partials are map-side-combinable. */
+  def incrementalAggMerge(spark: SparkSession, dir: String,
+                          cutoff: String = "2024-01-15"): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), cents(col("value")).as("v_c"))
+    val cut = lit(cutoff).cast("timestamp")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), centsSum(col("v_c")).as("sum_c"))
+    partial(ev.filter(col("ts") < cut))
+      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        (sum(col("sum_c")) / lit(100.0)).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q3-shaped shipping-priority star join: selective dimension
     * filter (market segment) → orders → lineitem, exact-cents revenue,
     * top-10. The segment-filtered customer key set is a fraction of one

@@ -41,7 +41,11 @@ object RelationalRegistry {
       "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
+      "funnel_time_to_convert" -> ((s, d) => Funnel.timeToConvert(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
+      "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
+      "incremental_agg_merge" -> ((s, d) =>
+        Relational.incrementalAggMerge(s, d)),
       "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
       "dau_cumulative" -> ((s, d) => Cohorts.dauCumulative(s, d)),
       "q3_shipping_priority" -> ((s, d) => Relational.q3Shipping(s, d)),
@@ -292,6 +296,42 @@ object RelationalRegistry {
            |  WHERE week_w < cohort_w + ${Cohorts.MaxOffsetWeeks})
            |SELECT cohort_w, week_offset, count(*) AS n_users
            |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // First-view → first-later-purchase latency histogram (hours,
+      // closed top bucket). Integer micros end to end.
+      "funnel_time_to_convert" ->
+        s"""WITH ev AS MATERIALIZED (
+           |  SELECT user_id, lower(event_type) AS et,
+           |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+           |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+           |       WHERE et = 'view' GROUP BY 1),
+           |conv AS (SELECT ev.user_id, min(ts_us - t1) AS delta_us
+           |  FROM ev JOIN s1 USING (user_id)
+           |  WHERE et = 'purchase' AND ts_us > t1 GROUP BY 1)
+           |SELECT least(delta_us // ${Funnel.HourUs}, ${Funnel.CapHours})
+           |    AS bucket_hr,
+           |  count(*) AS n_users
+           |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Observed-pair audience overlap; the one double division is
+      // engine-portable.
+      "audience_overlap" ->
+        """WITH a AS MATERIALIZED (
+          |  SELECT DISTINCT lower(event_type) AS et, user_id FROM events),
+          |sizes AS (SELECT et, count(*) AS n FROM a GROUP BY 1),
+          |ov AS (SELECT x.et AS et1, y.et AS et2, count(*) AS n_both
+          |  FROM a x JOIN a y ON x.user_id = y.user_id AND x.et < y.et
+          |  GROUP BY 1, 2)
+          |SELECT et1, et2, n_both, s1.n AS n1, s2.n AS n2,
+          |  CAST(n_both AS DOUBLE) / (s1.n + s2.n - n_both) AS jaccard
+          |FROM ov JOIN sizes s1 ON et1 = s1.et
+          |JOIN sizes s2 ON et2 = s2.et
+          |ORDER BY et1, et2""".stripMargin,
+      // The oracle aggregates DIRECTLY; the Spark side merges two
+      // partials — hash-match is the mergeability proof.
+      "incremental_agg_merge" ->
+        """SELECT event_type, count(*) AS n,
+          |  sum(CAST(round(value * 100) AS BIGINT))
+          |    / CAST(100 AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       // Strictly-after funnel: each step's first time must follow the
       // user's first completion of the previous step. ev feeds three
       // branches and s1/s2 are each read twice → MATERIALIZED (the CTE

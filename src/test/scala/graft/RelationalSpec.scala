@@ -126,6 +126,44 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Map(0L -> 1L, 60L -> 1L))
   }
 
+  test("time-to-convert buckets first-view→first-later-purchase hours") {
+    import spark.implicits._
+    val h = graft.operators.Funnel.HourUs
+    // u1 converts 30 min after first view (bucket 0); a later purchase
+    // is ignored (min delta). u2's purchase precedes its view → never.
+    val ev = Seq(
+      ("u1", "view", 0L), ("u1", "purchase", h / 2), ("u1", "purchase", 3 * h),
+      ("u2", "purchase", 10L), ("u2", "view", 20L)
+    ).toDF("user_id", "et", "ts_us")
+    val out = graft.operators.Funnel.timeToConvertOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L))
+  }
+
+  test("audience overlap: intersection bounded by set sizes, jaccard in (0,1]") {
+    val rows = graft.operators.Cohorts.audienceOverlap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, n1, n2, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nb >= 1 && nb <= math.min(n1, n2))
+      assert(j > 0.0 && j <= 1.0)
+      assert(j == nb.toDouble / (n1 + n2 - nb))
+    }
+  }
+
+  test("incremental partial merge equals the direct aggregate") {
+    val inc = graft.operators.Relational.incrementalAggMerge(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = graft.Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inc.nonEmpty)
+    inc.foreach { case (et, n, _) => assert(direct(et) == n) }
+  }
+
   test("top terms: scores are tf-monotone within a doc, k per doc, ranked") {
     val rows = TextAnalysis.topTerms(spark, dir, k = 3).collect()
     val byDoc = rows.groupBy(_.getLong(0))
