@@ -372,6 +372,59 @@ object GraphAlgs {
       .select("p", "d", "n_tri", "coef")
   }
 
+  /** Association rules over baskets: confidence P(cons|ante) and lift
+    * for the top-k rules by lift. Every input is an exact count —
+    * support from the basket-bounded pair fan-out, antecedent/consequent
+    * sizes from the distinct CONTAINS edge set, N a 1-row broadcast —
+    * and each output ratio is a single engine-portable double division.
+    * Both orientations of each unordered pair become candidate rules.
+    * Item counts are |products|-sized → the joins stay keyed (AQE may
+    * broadcast); nothing here is quadratic beyond the bounded pair set. */
+  def associationRules(spark: SparkSession, dir: String,
+                       k: Int = 20, minSupport: Long = 2): DataFrame = {
+    val pairs12 = coPurchasePairsCounted(spark, dir)
+      .filter(col("n12") >= minSupport)
+    val rules = pairs12.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("n12"))
+      .unionAll(pairs12.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("n12")))
+    val items = graft.operators.Recs.containsEdges(spark, dir)
+      .groupBy("product_id").agg(count(lit(1)).as("n_item"))
+    val nOrders = graft.operators.Recs.containsEdges(spark, dir)
+      .select(countDistinct(col("order_id")).as("n_orders"))
+    rules
+      .join(items.select(col("product_id").as("ante"),
+        col("n_item").as("n_ante")), "ante")
+      .join(items.select(col("product_id").as("cons"),
+        col("n_item").as("n_cons")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("n12"),
+        col("n_ante"), col("n_cons"),
+        (col("n12").cast("double") / col("n_ante")).as("confidence"),
+        // Floats BEFORE multiplying: long·long overflows around 1e18,
+        // reachable at the design scale. Same op order in the oracle →
+        // bit-identical IEEE results.
+        (col("n12").cast("double") * col("n_orders") /
+          (col("n_ante").cast("double") * col("n_cons"))).as("lift"))
+      .orderBy(desc("lift"), asc("ante"), asc("cons"))
+      .limit(k)
+  }
+
+  /** Co-purchase pairs WITH their order support (p1 < p2) — the counted
+    * sibling of [[coPurchasePairs]], same in-partition fan-out. */
+  def coPurchasePairsCounted(spark: SparkSession, dir: String): DataFrame = {
+    val items = graft.operators.Recs.containsEdges(spark, dir)
+    val baskets = items.groupBy("order_id")
+      .agg(collect_list(col("product_id")).as("ps"))
+      .filter(size(col("ps")) <= MaxBasketSize)
+    baskets.select(explode(flatten(transform(col("ps"),
+      p1 => transform(filter(col("ps"), p2 => p2 > p1),
+        p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
+      .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n12"))
+  }
+
   /** The registry's three fixed-rank rows propagate over THESE seeds in
     * one shared loop: None = global PageRank, Some(id) = personalized.
     * One shuffle per iteration serves every column. */

@@ -198,7 +198,8 @@ object GraphRegistry {
       "graphx_ppr_recs" -> ((s, d) => GraphAlgs.pprRecs(s, d, 1L)),
       "graph_triangles" -> ((s, d) => GraphAlgs.triangleCount(s, d)),
       "graph_clustering_top" -> ((s, d) =>
-        GraphAlgs.clusteringCoefficientTop(s, d))
+        GraphAlgs.clusteringCoefficientTop(s, d)),
+      "association_rules" -> ((s, d) => GraphAlgs.associationRules(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -332,6 +333,37 @@ object GraphRegistry {
            |FROM deg LEFT JOIN pv ON deg.p = pv.p
            |WHERE d >= 2
            |ORDER BY coef DESC, d DESC, deg.p ASC
+           |LIMIT 20""".stripMargin,
+      // Pair support comes from basket-BOUNDED orders (the documented
+      // fan-out guard); item totals and N from the full edge set — the
+      // same deliberate asymmetry as the Spark side. Float ops in the
+      // same order as Spark (cast-then-multiply) for bit parity.
+      "association_rules" ->
+        s"""WITH items AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+           |  FROM lineitem),
+           |sane AS (SELECT order_id FROM items GROUP BY order_id
+           |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+           |bounded AS MATERIALIZED (
+           |  SELECT i.* FROM items i JOIN sane USING (order_id)),
+           |p12 AS MATERIALIZED (
+           |  SELECT a.product_id AS p1, b.product_id AS p2, count(*) AS n12
+           |  FROM bounded a JOIN bounded b ON a.order_id = b.order_id
+           |   AND a.product_id < b.product_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |rules AS (SELECT p1 AS ante, p2 AS cons, n12 FROM p12
+           |  UNION ALL SELECT p2, p1, n12 FROM p12),
+           |it AS (SELECT product_id, count(*) AS n_item
+           |       FROM items GROUP BY 1),
+           |n AS (SELECT count(DISTINCT order_id) AS n_orders FROM items)
+           |SELECT ante, cons, n12, a.n_item AS n_ante, c.n_item AS n_cons,
+           |  CAST(n12 AS DOUBLE) / a.n_item AS confidence,
+           |  CAST(n12 AS DOUBLE) * n_orders /
+           |    (CAST(a.n_item AS DOUBLE) * c.n_item) AS lift
+           |FROM rules
+           |JOIN it a ON ante = a.product_id
+           |JOIN it c ON cons = c.product_id, n
+           |ORDER BY lift DESC, ante ASC, cons ASC
            |LIMIT 20""".stripMargin
     )
   )

@@ -302,6 +302,27 @@ object Relational {
     * order-independent — double summation would be nondeterministic across
     * partitionings — and bit-identical to any other engine's exact sum.
     * disc_price = price_cents * (100 - disc_cents) is exact in 1e-4 units. */
+  /** Data-profiling pass over `orders`: per-column null and exact
+    * distinct counts in ONE scan — the multi-DISTINCT Expand plan (one
+    * shuffle, map-side partial) rather than a job per column — then a
+    * tiny unpivot of the single summary row. */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val cols = o.columns.toSeq
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"distinct_$c")))
+    val row = o.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map(c =>
+      s"'$c', nulls_$c, distinct_$c").mkString(", ")
+    row.selectExpr("n_rows", s"stack(${cols.length}, $perCol) " +
+        "as (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+      .orderBy("col_name")
+  }
+
   /** Incremental-view-maintenance shape: aggregate an "old" partition
     * and an appended "new" partition SEPARATELY, then merge the partials
     * — count and sum are mergeable, so the merged result is exactly the

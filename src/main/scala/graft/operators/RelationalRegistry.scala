@@ -46,6 +46,7 @@ object RelationalRegistry {
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
       "incremental_agg_merge" -> ((s, d) =>
         Relational.incrementalAggMerge(s, d)),
+      "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
       "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
       "dau_cumulative" -> ((s, d) => Cohorts.dauCumulative(s, d)),
       "q3_shipping_priority" -> ((s, d) => Relational.q3Shipping(s, d)),
@@ -325,6 +326,16 @@ object RelationalRegistry {
           |FROM ov JOIN sizes s1 ON et1 = s1.et
           |JOIN sizes s2 ON et2 = s2.et
           |ORDER BY et1, et2""".stripMargin,
+      // One profiling scan unpivoted; the oracle is the per-column UNION.
+      "profile_orders" -> {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
       // The oracle aggregates DIRECTLY; the Spark side merges two
       // partials — hash-match is the mergeability proof.
       "incremental_agg_merge" ->

@@ -169,6 +169,21 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("association rules: seed supports below minSupport emit nothing; " +
+      "sf0.001 rules hold their count and ratio invariants") {
+    assert(GraphAlgs.associationRules(spark, dir).isEmpty)
+    val rows = GraphAlgs.associationRules(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n12, nA, nC) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (conf, lift) = (r.getDouble(5), r.getDouble(6))
+      assert(n12 >= 2 && n12 <= math.min(nA, nC))
+      assert(conf == n12.toDouble / nA && conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+  }
+
   test("all-pairs co-occurrence finds exactly the two real pairs") {
     val pairs = GraphAlgs.allPairsCoOccurrence(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

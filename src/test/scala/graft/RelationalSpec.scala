@@ -152,6 +152,17 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("profiling: one row per column, distincts bounded by non-null rows") {
+    val rows = graft.operators.Relational.profileOrders(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      graft.Tables.load(spark, dir, "orders").columns.sorted.toSeq)
+    val nRows = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nRows)
+      assert(r.getLong(3) <= nRows - r.getLong(2))
+    }
+  }
+
   test("incremental partial merge equals the direct aggregate") {
     val inc = graft.operators.Relational.incrementalAggMerge(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
