@@ -372,6 +372,47 @@ object GraphAlgs {
       .select("p", "d", "n_tri", "coef")
   }
 
+  val KCoreK: Int = 60
+  val KCoreRounds: Int = 5
+
+  /** Fixed-round k-core peeling over the co-purchase graph: each round
+    * drops vertices whose degree WITHIN the surviving subgraph is < k.
+    * Peeling is monotone (a no-op round is the fixed point), so the
+    * early exit returns exactly what the oracle's full unrolling
+    * computes. Per round: one keyed semi-restriction of the static pair
+    * set + one count — the edge relation itself is never rewritten.
+    * Emits the surviving-core summary (1 row, exact longs). */
+  def kCoreSummary(spark: SparkSession, dir: String,
+                   k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
+    val pairs = coPurchasePairs(spark, dir)
+    var alive = coPurchaseDegrees(spark, dir).select("p")
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val kept = pairs
+        .join(alive.withColumnRenamed("p", "p1"), "p1")
+        .join(alive.withColumnRenamed("p", "p2"), "p2")
+      val next = kept.select(col("p1").as("p"))
+        .unionAll(kept.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("p")
+        .localCheckpoint(true)
+      if (r < rounds)
+        converged = next.count() == alive.count()
+      alive = next
+    }
+    val coreEdges = pairs
+      .join(alive.withColumnRenamed("p", "p1"), "p1")
+      .join(alive.withColumnRenamed("p", "p2"), "p2")
+    alive.agg(count(lit(1)).as("n_core_vertices"))
+      .crossJoin(broadcast(coreEdges.agg(count(lit(1)).as("n_core_edges"))))
+      .select(lit(k.toLong).as("k"), col("n_core_vertices"),
+        col("n_core_edges"))
+  }
+
   /** Association rules over baskets: confidence P(cons|ante) and lift
     * for the top-k rules by lift. Every input is an exact count —
     * support from the basket-bounded pair fan-out, antecedent/consequent

@@ -140,6 +140,46 @@ object GraphRegistry {
          |) GROUP BY size ORDER BY size""".stripMargin
   }
 
+  /** Unrolled k-core peeling twin. Every CTE is MATERIALIZED: each round
+    * reads the previous survivor set twice (both endpoints) and the pair
+    * set once — inlining would blow up exponentially (the components
+    * lesson). Fixed rounds mirror GraphAlgs.kCoreSummary's early exit
+    * exactly because peeling is monotone. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+         |  FROM lineitem),
+         |sane AS (SELECT order_id FROM items GROUP BY order_id
+         |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+         |pairs AS MATERIALIZED (
+         |  SELECT DISTINCT a.product_id AS p1, b.product_id AS p2
+         |  FROM items a JOIN items b ON a.order_id = b.order_id
+         |   AND a.product_id < b.product_id
+         |  JOIN sane ON a.order_id = sane.order_id),
+         |v0 AS MATERIALIZED (SELECT DISTINCT p FROM
+         |  (SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs))"""
+        .stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT p FROM (
+         |    SELECT u.p, count(*) AS d FROM (
+         |      SELECT e.p1 AS p FROM pairs e
+         |        JOIN v${i - 1} a ON e.p1 = a.p JOIN v${i - 1} b ON e.p2 = b.p
+         |      UNION ALL
+         |      SELECT e.p2 FROM pairs e
+         |        JOIN v${i - 1} a ON e.p1 = a.p JOIN v${i - 1} b ON e.p2 = b.p
+         |    ) u GROUP BY 1)
+         |  WHERE d >= $k)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"""\nSELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT count(*) FROM v$rounds) AS n_core_vertices,
+         |  (SELECT count(*) FROM pairs e
+         |     JOIN v$rounds a ON e.p1 = a.p
+         |     JOIN v$rounds b ON e.p2 = b.p) AS n_core_edges""".stripMargin
+  }
+
   val registry: Registry = Registry(
     queries = Map(
       // The three fixed-rank rows share one memoized propagation
@@ -199,7 +239,8 @@ object GraphRegistry {
       "graph_triangles" -> ((s, d) => GraphAlgs.triangleCount(s, d)),
       "graph_clustering_top" -> ((s, d) =>
         GraphAlgs.clusteringCoefficientTop(s, d)),
-      "association_rules" -> ((s, d) => GraphAlgs.associationRules(s, d))
+      "association_rules" -> ((s, d) => GraphAlgs.associationRules(s, d)),
+      "graph_kcore" -> ((s, d) => GraphAlgs.kCoreSummary(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -364,7 +405,8 @@ object GraphRegistry {
            |JOIN it a ON ante = a.product_id
            |JOIN it c ON cons = c.product_id, n
            |ORDER BY lift DESC, ante ASC, cons ASC
-           |LIMIT 20""".stripMargin
+           |LIMIT 20""".stripMargin,
+      "graph_kcore" -> kCoreSql(GraphAlgs.KCoreK, GraphAlgs.KCoreRounds)
     )
   )
 }

@@ -169,6 +169,24 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("k-core summary matches a literal 5-round peel at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = GraphAlgs.coPurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var alive = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    for (_ <- 1 to GraphAlgs.KCoreRounds) {
+      val kept = pairs.filter(p => alive(p._1) && alive(p._2))
+      val deg = kept.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.length)
+      alive = deg.filter(_._2 >= GraphAlgs.KCoreK).keySet.toSet
+    }
+    val nEdges = pairs.count(p => alive(p._1) && alive(p._2))
+    val r = GraphAlgs.kCoreSummary(spark, sf).head()
+    assert(r.getLong(0) == GraphAlgs.KCoreK.toLong)
+    assert(r.getLong(1) == alive.size.toLong)
+    assert(r.getLong(2) == nEdges.toLong)
+  }
+
   test("association rules: seed supports below minSupport emit nothing; " +
       "sf0.001 rules hold their count and ratio invariants") {
     assert(GraphAlgs.associationRules(spark, dir).isEmpty)
