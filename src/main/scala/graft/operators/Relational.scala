@@ -399,6 +399,32 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** The SQL front door: the same Q1 aggregation submitted as ANSI SQL
+    * text through `spark.sql` over a registered view — proving a user
+    * can drive this engine with SQL strings, not just the DataFrame
+    * API. Catalyst compiles both to the same plan; the oracle is the
+    * identical DuckDB formulation q1 uses. */
+  def sqlApiQ1(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |  FROM lineitem_v WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(qty_c AS DECIMAL(30,0))) / CAST(100 AS DOUBLE) AS sum_qty,
+        |  sum(CAST(price_c AS DECIMAL(30,0))) / CAST(100 AS DOUBLE)
+        |    AS sum_base_price,
+        |  sum(CAST(price_c AS DECIMAL(30,0)) * (100 - disc_c))
+        |    / CAST(10000 AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM li
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

@@ -20,6 +20,7 @@ object RelationalRegistry {
       "event_relabel" -> ((s, d) => Relational.eventRelabel(s, d)),
       "health" -> ((s, d) => Relational.health(s, d)),
       "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+      "sql_api_q1" -> ((s, d) => Relational.sqlApiQ1(s, d)),
       "json_props_extract" -> ((s, d) => Json.propsExtract(s, d)),
       "rollup_pricing" -> ((s, d) => Relational.rollupPricing(s, d)),
       "cube_pricing" -> ((s, d) => Relational.cubePricing(s, d)),
@@ -93,6 +94,23 @@ object RelationalRegistry {
       "health" ->
         "SELECT CAST(1 AS BIGINT) AS ok",
       "q1_pricing_summary" ->
+        """WITH li AS (SELECT l_returnflag, l_linestatus,
+          |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+          |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+          |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+          |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+          |SELECT l_returnflag, l_linestatus,
+          |  sum(qty_c) / CAST(100 AS DOUBLE) AS sum_qty,
+          |  sum(price_c) / CAST(100 AS DOUBLE) AS sum_base_price,
+          |  sum(price_c * (100 - disc_c)) / CAST(10000 AS DOUBLE)
+          |    AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM li
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      // Same DuckDB twin as q1 — the Spark side differs only in entering
+      // through spark.sql text instead of the DataFrame API.
+      "sql_api_q1" ->
         """WITH li AS (SELECT l_returnflag, l_linestatus,
           |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,

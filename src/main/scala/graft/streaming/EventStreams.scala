@@ -323,6 +323,43 @@ object EventStreams {
 
   // ---- Streaming-only stateful sessionization (flatMapGroupsWithState) ----
 
+  case class FunnelEvent(user_id: Long, et: String, ts_us: Long)
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class StageReached(user_id: Long, stage: Int)
+
+  /** Streaming twin of the ordered-step funnel (operators/Funnel): one
+    * tiny (t1,t2,t3) state row per user, emitting a StageReached
+    * transition the first time a user attains each step. Downstream
+    * counts of these transitions equal the batch conversionCounts —
+    * EXACT under per-user event-time-ordered delivery (then "first seen"
+    * = min), which is the stated contract; the batch twin remains the
+    * oracle under arbitrary disorder. Works identically in batch and
+    * stream (asserted in StreamingSpec). */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[StageReached]
+          evs.toSeq.sortBy(_.ts_us).foreach { e =>
+            if (e.et == "view" && s.t1 < 0) {
+              s = s.copy(t1 = e.ts_us); out += StageReached(uid, 1)
+            } else if (e.et == "add_to_cart" && s.t1 >= 0 && s.t2 < 0 &&
+                e.ts_us > s.t1) {
+              s = s.copy(t2 = e.ts_us); out += StageReached(uid, 2)
+            } else if (e.et == "purchase" && s.t2 >= 0 && s.t3 < 0 &&
+                e.ts_us > s.t2) {
+              s = s.copy(t3 = e.ts_us); out += StageReached(uid, 3)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start_us: Long,

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream funnel stages across microbatches equal the batch funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Real sf0.001 events replayed in ts order, split across microbatches.
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("event_type")).as("et"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts_us"))
+    val rows = ev.as[EventStreams.FunnelEvent].collect().sortBy(_.ts_us)
+    val mem = MemoryStream[EventStreams.FunnelEvent]
+    val q = EventStreams.funnelStages(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val byStage = spark.table("funnel_stages").collect()
+        .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+      val b = graft.operators.Funnel.conversionCountsOf(ev).head()
+      assert(byStage.getOrElse(1, 0L) == b.getLong(0))
+      assert(byStage.getOrElse(2, 0L) == b.getLong(1))
+      assert(byStage.getOrElse(3, 0L) == b.getLong(2))
+      assert(b.getLong(0) > 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
