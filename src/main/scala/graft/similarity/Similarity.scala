@@ -315,10 +315,16 @@ object Similarity {
     * so the bits stay identical. posexplode keeps the unpivot in one
     * codegen pass. */
   def labelCentroids(spark: SparkSession, dir: String,
-                     chunkBits: Seq[Int] = Seq(5, 10)): DataFrame = {
+                     chunkBits: Seq[Int] = Seq(5, 10)): DataFrame =
+    centroidsOf(emb(spark, dir), chunkBits)
+
+  /** The fixed-fan-in centroid fold over any (vec_id, label, embedding)
+    * frame — shared by the full-corpus centroids and the drift halves. */
+  private def centroidsOf(embFrame: DataFrame,
+                          chunkBits: Seq[Int] = Seq(5, 10)): DataFrame = {
     def foldSum(c: Column): Column =
       aggregate(sort_array(c), lit(0.0), (s, x) => s + x)
-    val leaf = emb(spark, dir)
+    val leaf = embFrame
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
     var acc = leaf
@@ -335,6 +341,29 @@ object Similarity {
     acc.groupBy("label", "dim")
       .agg((foldSum(collect_list(col("ps"))) / sum("c")).as("mean"))
       .orderBy("label", "dim")
+  }
+
+  /** Embedding drift report: per-label L2 distance between the centroid
+    * of the even-vec_id half and the odd half — the deterministic
+    * split-and-compare a pipeline runs to detect distribution shift
+    * between two snapshots. Every mean comes from the same fixed-fan-in
+    * fold tree as [[labelCentroids]], and the cross-dimension sum of
+    * squared differences is itself a sorted fold → the final double is
+    * bit-identical across engines. */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(c), lit(0.0), (s, x) => s + x)
+    val e = emb(spark, dir)
+    val a = centroidsOf(e.filter(col("vec_id") % 2 === 0))
+      .withColumnRenamed("mean", "mean_a")
+    val b = centroidsOf(e.filter(col("vec_id") % 2 === 1))
+      .withColumnRenamed("mean", "mean_b")
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sqrt(foldSum(collect_list(
+        (col("mean_a") - col("mean_b")) * (col("mean_a") - col("mean_b")))))
+        .as("l2_shift"))
+      .orderBy("label")
   }
 
   /** Per-vector L2 norms — cheap scan coverage of the vector arithmetic. */

@@ -67,7 +67,8 @@ object SimilarityRegistry {
       "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
       "sim_dup_clusters" -> ((s, d) => Similarity.dupClusters(s, d)),
       "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec)),
-      "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d))
+      "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+      "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d))
     ),
     oracles = Map(
       "sim_norms" ->
@@ -89,6 +90,30 @@ object SimilarityRegistry {
           |  list_sum(list_sort(list(ps))) / sum(c) AS mean
           |FROM l1 GROUP BY label, dim
           |ORDER BY label, dim""".stripMargin,
+      // Both halves run the same fold tree; the cross-dim Σdiff² is a
+      // sorted fold too, so the final sqrt is bit-identical.
+      "sim_centroid_shift" ->
+        """WITH u AS MATERIALIZED (SELECT vec_id, label,
+          |  unnest(embedding) AS x,
+          |  unnest(generate_series(1, len(embedding))) AS ord
+          |FROM embeddings),
+          |l0 AS (SELECT vec_id % 2 AS half, label, ord - 1 AS dim,
+          |  vec_id // 32 AS chunk,
+          |  list_sum(list_sort(list(CAST(x AS DOUBLE)))) AS ps, count(*) AS c
+          |FROM u GROUP BY 1, 2, 3, 4),
+          |l1 AS (SELECT half, label, dim, chunk // 32 AS chunk,
+          |  list_sum(list_sort(list(ps))) AS ps, sum(c) AS c
+          |FROM l0 GROUP BY 1, 2, 3, 4),
+          |m AS (SELECT half, label, dim,
+          |  list_sum(list_sort(list(ps))) / sum(c) AS mean
+          |FROM l1 GROUP BY 1, 2, 3)
+          |SELECT a.label,
+          |  sqrt(list_sum(list_sort(list(
+          |    (a.mean - b.mean) * (a.mean - b.mean))))) AS l2_shift
+          |FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+          |  AND a.half = 0 AND b.half = 1
+          |GROUP BY a.label
+          |ORDER BY a.label""".stripMargin,
       "sim_cosine_topk" ->
         s"""WITH s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = $SeedVec)
            |SELECT vec_id, label, ${cosSql("embedding", "se")} AS cos

@@ -71,6 +71,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(l0.length > 1)
   }
 
+  test("centroid shift: matches the brute half-split L2 within fp error") {
+    val rows = Similarity.centroidShift(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    assert(rows.nonEmpty)
+    for ((label, vs) <- emb.groupBy(_._2)) {
+      val (ev, od) = vs.partition(_._1 % 2 == 0)
+      val dims = vs.head._3.indices
+      val d2 = dims.map { d =>
+        val ma = ev.map(_._3(d)).sum / ev.length
+        val mb = od.map(_._3(d)).sum / od.length
+        (ma - mb) * (ma - mb)
+      }.sum
+      assert(math.abs(rows(label) - math.sqrt(d2)) < 1e-9, s"label $label")
+      assert(rows(label) > 0.0)
+    }
+  }
+
   test("SRP-LSH pairs: verified cosines respect the threshold and ordering") {
     val pairs = Similarity.srpLshPairs(spark, dir, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
