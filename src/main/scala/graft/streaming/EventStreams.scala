@@ -333,31 +333,62 @@ object EventStreams {
     * counts of these transitions equal the batch conversionCounts —
     * EXACT under per-user event-time-ordered delivery (then "first seen"
     * = min), which is the stated contract; the batch twin remains the
-    * oracle under arbitrary disorder. Works identically in batch and
-    * stream (asserted in StreamingSpec). */
-  def funnelStages(events: Dataset[FunnelEvent]): Dataset[StageReached] = {
+    * oracle under arbitrary disorder.
+    *
+    * State bound: stage 3 is TERMINAL (every guard requires an unset
+    * slot), so converted users' rows are evicted by an EventTimeTimeout
+    * once the watermark passes their conversion — semantics-preserving
+    * eviction. What remains is one 24-byte row per not-yet-converted
+    * user: inherent to funnel semantics (any user may still convert);
+    * a deployment that wants less holds a TTL in the same timeout. */
+  def funnelStages(events: Dataset[FunnelEvent],
+                   watermarkDelay: String = "10 minutes")
+      : Dataset[StageReached] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
-        (uid: Long, evs: Iterator[FunnelEvent],
-         state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val out = Seq.newBuilder[StageReached]
-          evs.toSeq.sortBy(_.ts_us).foreach { e =>
-            if (e.et == "view" && s.t1 < 0) {
-              s = s.copy(t1 = e.ts_us); out += StageReached(uid, 1)
-            } else if (e.et == "add_to_cart" && s.t1 >= 0 && s.t2 < 0 &&
-                e.ts_us > s.t1) {
-              s = s.copy(t2 = e.ts_us); out += StageReached(uid, 2)
-            } else if (e.et == "purchase" && s.t2 >= 0 && s.t3 < 0 &&
-                e.ts_us > s.t2) {
-              s = s.copy(t3 = e.ts_us); out += StageReached(uid, 3)
-            }
+    val streaming = events.isStreaming
+
+    def update(uid: Long, evs: Iterator[FunnelEvent],
+               state: GroupState[FunnelState]): Iterator[StageReached] = {
+      if (state.hasTimedOut) {
+        state.remove() // converted user: no further transition possible
+        Iterator.empty
+      } else {
+        var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+        val out = Seq.newBuilder[StageReached]
+        evs.toSeq.sortBy(_.ts_us).foreach { e =>
+          if (e.et == "view" && s.t1 < 0) {
+            s = s.copy(t1 = e.ts_us); out += StageReached(uid, 1)
+          } else if (e.et == "add_to_cart" && s.t1 >= 0 && s.t2 < 0 &&
+              e.ts_us > s.t1) {
+            s = s.copy(t2 = e.ts_us); out += StageReached(uid, 2)
+          } else if (e.et == "purchase" && s.t2 >= 0 && s.t3 < 0 &&
+              e.ts_us > s.t2) {
+            s = s.copy(t3 = e.ts_us); out += StageReached(uid, 3)
           }
-          state.update(s)
-          out.result().iterator
+        }
+        state.update(s)
+        if (streaming && s.t3 >= 0)
+          state.setTimeoutTimestamp(math.max(s.t3 / 1000L,
+            state.getCurrentWatermarkMs() + 1))
+        out.result().iterator
       }
+    }
+
+    if (streaming)
+      events.withColumn("ets", timestamp_micros(col("ts_us")))
+        .withWatermark("ets", watermarkDelay)
+        .as[(Long, String, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, evs: Iterator[(Long, String, Long, java.sql.Timestamp)],
+           state: GroupState[FunnelState]) =>
+            update(uid, evs.map(t => FunnelEvent(t._1, t._2, t._3)), state)
+        }
+    else
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
   }
 
   case class SessionEvent(user_id: Long, ts_us: Long)
