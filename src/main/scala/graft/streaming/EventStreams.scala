@@ -391,6 +391,38 @@ object EventStreams {
           GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class GapEvent(user_id: Long, ts_us: Long)
+  case class GapState(last_us: Long)
+  case class GapBucket(bucket_min: Long)
+
+  /** Streaming twin of EventGaps.gapHistogramOf: per-user last-event
+    * timestamp (8 bytes of state), each arriving event emitting its gap
+    * bucket; a downstream count per bucket equals the batch histogram —
+    * exact under per-user event-time-ordered delivery. State cannot be
+    * TTL-evicted without changing semantics (an arbitrarily late next
+    * event still defines a gap), so the bound is one row per user seen
+    * — the same domain bound the batch twin's shuffle carries. */
+  def gapBuckets(events: Dataset[GapEvent]): Dataset[GapBucket] = {
+    import events.sparkSession.implicits._
+    val bucketUs = graft.operators.EventGaps.BucketUs
+    val cap = graft.operators.EventGaps.CapMinutes
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[GapEvent], state: GroupState[GapState]) =>
+          var last = state.getOption.map(_.last_us)
+          val out = Seq.newBuilder[GapBucket]
+          evs.toSeq.sortBy(_.ts_us).foreach { e =>
+            last.foreach { l =>
+              out += GapBucket(math.min((e.ts_us - l) / bucketUs, cap))
+            }
+            last = Some(e.ts_us)
+          }
+          last.foreach(l => state.update(GapState(l)))
+          out.result().iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start_us: Long,

@@ -128,6 +128,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream gap buckets across microbatches equal the batch histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"))
+    val rows = ev.as[(Long, Long, Long)].collect().sortBy(_._2)
+      .map(t => EventStreams.GapEvent(t._1, t._2))
+    val mem = MemoryStream[EventStreams.GapEvent]
+    val q = EventStreams.gapBuckets(mem.toDS())
+      .writeStream.format("memory").queryName("gap_buckets")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("gap_buckets").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.EventGaps.gapHistogramOf(ev).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
