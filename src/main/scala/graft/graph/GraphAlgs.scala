@@ -533,6 +533,49 @@ object GraphAlgs {
       ranks
     }
 
+  /** Static weighted edge relation (integer-cent weights — CONTAINS
+    * carries quantity, every other family 1.00) with per-src total
+    * outgoing weight; dst-partitioned and persisted like [[rankEdges]]. */
+  private def weightedRankEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "w-rank-edges", dir) {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val e = GraphBuilder.edges(spark, dir).select(col("src"), col("dst"),
+        graft.operators.Relational.cents(col("weight")).as("w_c"))
+      e.join(e.groupBy("src").agg(sum("w_c").as("wout_c")), "src")
+        .repartition(n, col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Fixed-iteration WEIGHTED PageRank: contribution r·w/Σw along each
+    * edge, weights the exact integer cents of the edge relation (so the
+    * only float ops are the same r·w_c/wout_c and the sorted per-dst
+    * fold the oracle mirrors — bit-identical doubles). Same no-exchange
+    * iteration shape as [[fixedRanks]]: state broadcasts onto the
+    * dst-partitioned static edges. 5 iterations (not 10): one extra
+    * propagation family shouldn't double the bench's iterative budget,
+    * and the oracle unrolls the same 5. */
+  def weightedPageRankTop(spark: SparkSession, dir: String,
+                          iters: Int = 5, k: Int = 20): DataFrame = {
+    val e = weightedRankEdges(spark, dir)
+    val nodes = nodesById(spark, dir)
+    var ranks = nodes.select(col("id"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id"),
+          (col("r") * col("w_c") / col("wout_c")).as("c"))
+      val summed = contribs.groupBy("id")
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+          (s, x) => s + x).as("inr"))
+      ranks = nodes.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank"))
+      .orderBy(desc("rank"), asc("id")).limit(k)
+  }
+
   /** Global-column finisher: GraphX renormalizes final ranks to sum to
     * |V| (SPARK-18847 sink handling); mirror it with an exact
     * canonical-order total so the doubles stay oracle-identical. */

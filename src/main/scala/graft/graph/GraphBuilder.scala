@@ -97,10 +97,14 @@ object GraphBuilder {
       .dropDuplicates("id")
   }
 
-  /** CONTAINS with `SET r.quantity` last-write-wins per (order, product). */
+  /** CONTAINS with `SET r.quantity` last-write-wins per (order, product).
+    * The testdata carries duplicate (order, part, linenumber) rows with
+    * DIFFERENT quantities, so linenumber alone is not a total order —
+    * quantity is the deterministic final tie-break (mirrored in every
+    * oracle twin; without it the row_number pick is engine-arbitrary). */
   def containsWithQuantity(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey", "l_partkey")
-      .orderBy(desc("l_linenumber"))
+      .orderBy(desc("l_linenumber"), desc("l_quantity"))
     Tables.load(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
       .withColumn("rn", row_number().over(w))

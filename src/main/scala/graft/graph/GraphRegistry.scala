@@ -69,6 +69,47 @@ object GraphRegistry {
          |FROM r$iters ORDER BY rank DESC, id LIMIT $k""".stripMargin
   }
 
+  /** Weighted edge list with integer-cent weights: CONTAINS carries the
+    * last-write quantity (endpoint-validated like the Spark build), all
+    * other families 1.00. */
+  private val WeightedEdgesSql =
+    s"""SELECT src, dst, CAST(100 AS BIGINT) AS w_c FROM ($EdgesSql)
+       |WHERE rel_type <> 'CONTAINS'
+       |UNION ALL
+       |SELECT 'O'||CAST(cw.l_orderkey AS VARCHAR),
+       |  'P'||CAST(cw.l_partkey AS VARCHAR),
+       |  CAST(round(cw.l_quantity * 100) AS BIGINT)
+       |FROM (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+       |      QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey
+       |        ORDER BY l_linenumber DESC, l_quantity DESC) = 1) cw
+       |JOIN orders ON cw.l_orderkey = o_orderkey
+       |JOIN part ON cw.l_partkey = p_partkey""".stripMargin
+
+  /** Twin of GraphAlgs.weightedPageRankTop: same unrolled iterations,
+    * same r·w_c/wout_c op order, same sorted per-dst folds. */
+  private def weightedPageRankSql(iters: Int, k: Int): String = {
+    val head =
+      s"""WITH nodes AS ($NodeIdsSql),
+         |we AS MATERIALIZED ($WeightedEdgesSql),
+         |wout AS (SELECT src, CAST(sum(w_c) AS BIGINT) AS wout_c
+         |         FROM we GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT we.dst AS id,
+         |  list_sum(list_sort(list(r.rank * we.w_c / o.wout_c))) AS inr
+         |  FROM we JOIN r${i - 1} r ON r.id = we.src
+         |         JOIN wout o ON o.src = we.src
+         |  GROUP BY we.dst),
+         |r$i AS MATERIALIZED (SELECT n.id,
+         |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c.inr, 0.0) AS rank
+         |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"""\nSELECT id, rank FROM r$iters
+         |ORDER BY rank DESC, id LIMIT $k""".stripMargin
+  }
+
   /** Seed-pinned damped propagation CTE chain (twin of
     * GraphAlgs.pprFixedRanks), ending at r`iters`. */
   private def pprRanksSql(seed: String, iters: Int): String = {
@@ -240,7 +281,9 @@ object GraphRegistry {
       "graph_clustering_top" -> ((s, d) =>
         GraphAlgs.clusteringCoefficientTop(s, d)),
       "association_rules" -> ((s, d) => GraphAlgs.associationRules(s, d)),
-      "graph_kcore" -> ((s, d) => GraphAlgs.kCoreSummary(s, d))
+      "graph_kcore" -> ((s, d) => GraphAlgs.kCoreSummary(s, d)),
+      "weighted_pagerank_top" -> ((s, d) =>
+        GraphAlgs.weightedPageRankTop(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -303,7 +346,7 @@ object GraphRegistry {
         """WITH cw AS (
           |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
           |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey
-          |    ORDER BY l_linenumber DESC) = 1)
+          |    ORDER BY l_linenumber DESC, l_quantity DESC) = 1)
           |SELECT 'P'||CAST(l_partkey AS VARCHAR) AS dst,
           |  sum(CAST(round(l_quantity * 100) AS BIGINT))
           |    / CAST(100 AS DOUBLE) AS total_qty,
@@ -406,7 +449,8 @@ object GraphRegistry {
            |JOIN it c ON cons = c.product_id, n
            |ORDER BY lift DESC, ante ASC, cons ASC
            |LIMIT 20""".stripMargin,
-      "graph_kcore" -> kCoreSql(GraphAlgs.KCoreK, GraphAlgs.KCoreRounds)
+      "graph_kcore" -> kCoreSql(GraphAlgs.KCoreK, GraphAlgs.KCoreRounds),
+      "weighted_pagerank_top" -> weightedPageRankSql(5, 20)
     )
   )
 }
