@@ -79,6 +79,7 @@ object GraphAlgs {
     nodesById(spark, dir).count()
     rankEdges(spark, dir).count()
     undirectedEdges(spark, dir).count()
+    weightedRankEdges(spark, dir).count()
     ()
   }
 
