@@ -25,6 +25,27 @@ object EventGaps {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id")))
 
+  /** SCD2 intervalization of the behavioral log: each (user, product)
+    * interaction becomes a validity interval [ts, next interaction ts)
+    * — LEAD over the per-key sequence, null valid_to marking the
+    * current state. The window is keyed by (user, product): per-key
+    * state only, no global sort; event_id makes equal-timestamp
+    * sequences a total order on both engines. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "k").orderBy("ts_us", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        lower(col("event_type")).as("state"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .filter(col("k").isNotNull)
+      .withColumn("ts_us", col("valid_from_us"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("k").as("product_id"), col("event_id"),
+        col("state"), col("valid_from_us"), col("valid_to_us"))
+      .orderBy("user_id", "product_id", "valid_from_us", "event_id")
+  }
+
   /** Core over a pre-projected (user_id, ts_us, event_id) frame. */
   def gapHistogramOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -49,6 +49,7 @@ object RelationalRegistry {
         Relational.incrementalAggMerge(s, d)),
       "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
       "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
+      "scd2_intervals" -> ((s, d) => EventGaps.scd2Intervals(s, d)),
       "dau_cumulative" -> ((s, d) => Cohorts.dauCumulative(s, d)),
       "q3_shipping_priority" -> ((s, d) => Relational.q3Shipping(s, d)),
       "orders_above_cust_avg" -> ((s, d) =>
@@ -288,6 +289,20 @@ object RelationalRegistry {
           |GROUP BY 1, 2, 3
           |ORDER BY revenue DESC, order_date_us ASC, l_orderkey ASC
           |LIMIT 10""".stripMargin,
+      // SCD2 intervalization: LEAD per (user, product); event_id makes
+      // equal-ts sequences total on both engines.
+      "scd2_intervals" ->
+        """WITH ch AS (SELECT user_id, event_id,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    lower(event_type) AS state,
+          |    epoch_ns(ts) // 1000 AS ts_us
+          |  FROM events)
+          |SELECT user_id, k AS product_id, event_id, state,
+          |  ts_us AS valid_from_us,
+          |  lead(ts_us) OVER (PARTITION BY user_id, k
+          |    ORDER BY ts_us, event_id) AS valid_to_us
+          |FROM ch WHERE k IS NOT NULL
+          |ORDER BY user_id, product_id, valid_from_us, event_id""".stripMargin,
       // LAG inter-event gaps, minute buckets, closed top bucket; all
       // integer micros. (ts_us, event_id) is a per-user total order on
       // both sides.

@@ -152,6 +152,22 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("scd2 intervals chain per key: each valid_to is the next valid_from") {
+    val rows = graft.operators.EventGaps.scd2Intervals(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(4), r.getLong(2), // (valid_from, event_id) = window order
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val iv = g.map(_._2).sortBy(t => (t._1, t._2))
+      iv.zip(iv.tail).foreach { case ((_, _, to), (from2, _, _)) =>
+        assert(to.contains(from2)) // closed chain
+      }
+      assert(iv.last._3.isEmpty) // exactly the last interval is open
+      assert(iv.init.forall(_._3.nonEmpty))
+    }
+  }
+
   test("profiling: one row per column, distincts bounded by non-null rows") {
     val rows = graft.operators.Relational.profileOrders(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSeq ==
