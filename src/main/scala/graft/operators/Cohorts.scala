@@ -48,6 +48,29 @@ object Cohorts {
       .orderBy("day")
   }
 
+  /** Hourly-count anomalies per event type: rows where the count is
+    * more than 3 standard deviations from that type's mean — with the
+    * entire z-test done in INTEGER cross-multiplication:
+    *   |x − S/n| > 3·σ  ⟺  (n·x − S)² > 9·(n·Q − S²),  Q = Σx².
+    * No division, no sqrt, no float anywhere — the comparison is exact
+    * on both engines by construction. (Long arithmetic: products stay
+    * under 2⁶³ while n·x < ~3·10⁹, i.e. any realistic per-type hourly
+    * count at the design scale; beyond that, widen to decimals.) */
+  def hourlyCountAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "events")
+      .select(lower(col("event_type")).as("et"),
+        expr(s"unix_micros(ts) div ${3600L * 1000000L}").as("hr"))
+      .groupBy("et", "hr").agg(count(lit(1)).as("x"))
+    val s = c.groupBy("et").agg(sum("x").as("s"),
+      sum(col("x") * col("x")).as("q"), count(lit(1)).as("n"))
+    c.join(s, "et")
+      .filter((col("n") * col("x") - col("s")) *
+        (col("n") * col("x") - col("s")) >
+        lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select("et", "hr", "x")
+      .orderBy("et", "hr")
+  }
+
   /** Audience overlap between event types: |A∩B|, |A|, |B| and Jaccard
     * for every OBSERVED type pair (inner semantics — disjoint audiences
     * don't emit, mirrored in the oracle). The self-join is user-keyed;

@@ -45,6 +45,8 @@ object RelationalRegistry {
       "funnel_time_to_convert" -> ((s, d) => Funnel.timeToConvert(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
+      "hourly_count_anomalies" -> ((s, d) =>
+        Cohorts.hourlyCountAnomalies(s, d)),
       "incremental_agg_merge" -> ((s, d) =>
         Relational.incrementalAggMerge(s, d)),
       "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
@@ -345,6 +347,20 @@ object RelationalRegistry {
            |    AS bucket_hr,
            |  count(*) AS n_users
            |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+      // 3σ z-test by integer cross-multiplication — no float anywhere.
+      // DuckDB's sums are HUGEINT; cast back so both engines compare
+      // the same 64-bit products.
+      "hourly_count_anomalies" ->
+        s"""WITH c AS (SELECT lower(event_type) AS et,
+           |    (epoch_ns(ts) // 1000) // ${3600L * 1000000L} AS hr,
+           |    count(*) AS x
+           |  FROM events GROUP BY 1, 2),
+           |s AS (SELECT et, CAST(sum(x) AS BIGINT) AS s,
+           |    CAST(sum(x * x) AS BIGINT) AS q, count(*) AS n
+           |  FROM c GROUP BY 1)
+           |SELECT c.et, hr, x FROM c JOIN s ON c.et = s.et
+           |WHERE (n * x - s.s) * (n * x - s.s) > 9 * (n * q - s.s * s.s)
+           |ORDER BY c.et, hr""".stripMargin,
       // Observed-pair audience overlap; the one double division is
       // engine-portable.
       "audience_overlap" ->

@@ -152,6 +152,27 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("hourly anomalies match a brute-force 3-sigma test exactly") {
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.load(spark, dir, "events")
+      .select(lower(col("event_type")).as("et"),
+        expr(s"unix_micros(ts) div ${3600L * 1000000L}").as("hr"))
+      .groupBy("et", "hr").agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val flagged = graft.operators.Cohorts.hourlyCountAnomalies(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    c.groupBy(_._1).foreach { case (et, g) =>
+      val n = g.length.toLong
+      val s = g.map(_._3).sum
+      val q = g.map(t => t._3 * t._3).sum
+      g.foreach { case (_, hr, x) =>
+        val brute = (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        assert(flagged.contains((et, hr)) == brute, s"$et $hr")
+      }
+    }
+    assert(flagged.nonEmpty)
+  }
+
   test("scd2 intervals chain per key: each valid_to is the next valid_from") {
     val rows = graft.operators.EventGaps.scd2Intervals(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),
