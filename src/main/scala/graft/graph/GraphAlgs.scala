@@ -426,10 +426,15 @@ object GraphAlgs {
                        k: Int = 20, minSupport: Long = 2): DataFrame = {
     val pairs12 = coPurchasePairsCounted(spark, dir)
       .filter(col("n12") >= minSupport)
-    val rules = pairs12.select(col("p1").as("ante"), col("p2").as("cons"),
-        col("n12"))
-      .unionAll(pairs12.select(col("p2").as("ante"), col("p1").as("cons"),
-        col("n12")))
+    // Both orientations from ONE pass over the pair aggregate — a
+    // unionAll of two selects re-executes the whole basket fan-out per
+    // branch (the same 3×-recompute trap the clustering union hit).
+    val rules = pairs12.select(explode(array(
+        struct(col("p1").as("ante"), col("p2").as("cons"), col("n12")),
+        struct(col("p2").as("ante"), col("p1").as("cons"), col("n12"))))
+        .as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.n12").as("n12"))
     val items = graft.operators.Recs.containsEdges(spark, dir)
       .groupBy("product_id").agg(count(lit(1)).as("n_item"))
     val nOrders = graft.operators.Recs.containsEdges(spark, dir)

@@ -78,13 +78,21 @@ object Cohorts {
     * so the pair relation is O(users), never quadratic. Sizes are a
     * type-vocabulary-sized relation → broadcast. */
   def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val a = Tables.load(spark, dir, "events")
+    // One pipeline, no self-join: per-user type SETS (bounded by the
+    // type vocabulary), pair fan-out in-partition — the basket trick.
+    // The previous formulation recomputed the distinct relation three
+    // times (sizes + both self-join sides).
+    val sets = Tables.load(spark, dir, "events")
       .select(lower(col("event_type")).as("et"), col("user_id"))
       .distinct()
-    val sizes = a.groupBy("et").agg(count(lit(1)).as("n"))
-    val both = a.as("x").join(a.as("y"),
-        col("x.user_id") === col("y.user_id") && col("x.et") < col("y.et"))
-      .groupBy(col("x.et").as("et1"), col("y.et").as("et2"))
+      .groupBy("user_id").agg(sort_array(collect_set(col("et"))).as("ets"))
+      .localCheckpoint(true) // two consumers below — scan events once
+    val sizes = sets.select(explode(col("ets")).as("et"))
+      .groupBy("et").agg(count(lit(1)).as("n"))
+    val both = sets.select(explode(flatten(transform(col("ets"),
+        e1 => transform(filter(col("ets"), e2 => e2 > e1),
+          e2 => struct(e1.as("et1"), e2.as("et2")))))).as("pr"))
+      .groupBy(col("pr.et1").as("et1"), col("pr.et2").as("et2"))
       .agg(count(lit(1)).as("n_both"))
     both
       .join(broadcast(sizes.select(col("et").as("et1"), col("n").as("n1"))),
