@@ -37,6 +37,7 @@ object Cohorts {
   def dauCumulativeOf(ev: DataFrame): DataFrame = {
     val act = ev.select(col("user_id"),
       expr(s"ts_us div $DayUs").as("day")).distinct()
+      .localCheckpoint(true) // daily + news both fold this — scan once
     val daily = act.groupBy("day").agg(count(lit(1)).as("n_active"))
     val news = act.groupBy("user_id").agg(min("day").as("day"))
       .groupBy("day").agg(count(lit(1)).as("n_new"))
@@ -61,6 +62,7 @@ object Cohorts {
       .select(lower(col("event_type")).as("et"),
         expr(s"unix_micros(ts) div ${3600L * 1000000L}").as("hr"))
       .groupBy("et", "hr").agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // tiny (hours × types); read by s AND the join
     val s = c.groupBy("et").agg(sum("x").as("s"),
       sum(col("x") * col("x")).as("q"), count(lit(1)).as("n"))
     c.join(s, "et")
@@ -108,10 +110,12 @@ object Cohorts {
   /** Core over a pre-projected (user_id, ts_us) frame — fixture entry.
     * ts_us must be non-negative (integer `div` truncation = floor). */
   def retentionMatrixOf(ev: DataFrame): DataFrame = {
-    val week = ev.select(col("user_id"),
-      expr(s"ts_us div $WeekUs").as("week_w"))
-    val first = week.groupBy("user_id").agg(min("week_w").as("cohort_w"))
-    week.join(first, "user_id")
+    // Per-user first week via an unbounded window min: ONE scan and one
+    // user-keyed shuffle (the groupBy-then-join-back twin reads the
+    // source twice — the oracle keeps that formulation, same result).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    ev.select(col("user_id"), expr(s"ts_us div $WeekUs").as("week_w"))
+      .withColumn("cohort_w", min("week_w").over(w))
       .filter(col("week_w") < col("cohort_w") + MaxOffsetWeeks)
       .select(col("user_id"), col("cohort_w"),
         (col("week_w") - col("cohort_w")).as("week_offset"))
