@@ -144,4 +144,44 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** Right-to-be-forgotten cascade report: a deterministic deletion
+    * cohort (md5 bucket < pct of customers) propagated through every
+    * table that references them — orders directly, lineitem through its
+    * order. One scan per table: LEFT JOIN the victim keys and count the
+    * misses (no before/after double pass). The victim and victim-order
+    * key sets are checkpointed once and reused by every branch; at
+    * deployment scale they are the deletion queue, orders of magnitude
+    * smaller than the fact tables they prune. */
+  def forgetCascadeReport(spark: SparkSession, dir: String,
+                          pct: Int = 5): DataFrame = {
+    val victims = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("uid"))
+      .filter(hashBucket(col("uid")) < pct)
+      .localCheckpoint(true)
+    val vorders = Tables.load(spark, dir, "orders")
+      .join(victims, col("o_custkey") === col("uid"))
+      .select(col("o_orderkey").as("vok"))
+      .localCheckpoint(true)
+    def report(tbl: String, df: DataFrame, mark: Column): DataFrame =
+      df.agg(lit(tbl).as("tbl"), count(lit(1)).as("n_before"),
+        count(when(mark.isNull, 1L)).as("n_after"))
+    report("customer",
+        Tables.load(spark, dir, "customer")
+          .join(victims, col("c_custkey") === col("uid"), "left"),
+        col("uid"))
+      .unionByName(report("orders",
+        Tables.load(spark, dir, "orders")
+          .join(victims, col("o_custkey") === col("uid"), "left"),
+        col("uid")))
+      .unionByName(report("lineitem",
+        Tables.load(spark, dir, "lineitem")
+          .join(vorders, col("l_orderkey") === col("vok"), "left"),
+        col("vok")))
+      .unionByName(report("events",
+        Tables.load(spark, dir, "events")
+          .join(victims, col("user_id") === col("uid"), "left"),
+        col("uid")))
+      .orderBy("tbl")
+  }
 }

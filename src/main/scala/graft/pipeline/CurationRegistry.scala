@@ -30,6 +30,7 @@ object CurationRegistry {
       "mixture_rebalance_counts" -> ((s, d) => Curation.rebalanceCounts(s, d)),
       "curate_corpus" -> ((s, d) => Curation.curate(s, d)),
       "curate_full" -> ((s, d) => Curation.curateFull(s, d)),
+      "forget_cascade" -> ((s, d) => Curation.forgetCascadeReport(s, d)),
       "mixture_quality_weighted" -> ((s, d) =>
         Curation.qualityWeightedCounts(s, d))
     ),
@@ -69,6 +70,36 @@ object CurationRegistry {
       // near-dup representative drop (SimilarityRegistry's assignment
       // propagation, vec_id ↔ doc_id) + the contamination gate
       // (TextRegistry's window-fingerprint CTEs).
+      // Deletion-cohort cascade; one LEFT-JOIN-and-count-misses pass per
+      // table, the same md5-bucket arithmetic as the split twins.
+      "forget_cascade" -> {
+        val bucket = {
+          val h = "md5(CAST(c_custkey AS VARCHAR))"
+          (0 until 4).map(i => s"${digitSql(h, i + 1)} * ${1 << (4 * (3 - i))}")
+            .mkString("(", " + ", ") % 100")
+        }
+        s"""WITH victims AS MATERIALIZED (
+           |  SELECT c_custkey AS uid FROM customer WHERE $bucket < 5),
+           |vorders AS MATERIALIZED (
+           |  SELECT o_orderkey AS vok FROM orders
+           |  JOIN victims ON o_custkey = uid)
+           |SELECT 'customer' AS tbl, count(*) AS n_before,
+           |  count(CASE WHEN v.uid IS NULL THEN 1 END) AS n_after
+           |FROM customer LEFT JOIN victims v ON c_custkey = v.uid
+           |UNION ALL
+           |SELECT 'orders', count(*),
+           |  count(CASE WHEN v.uid IS NULL THEN 1 END)
+           |FROM orders LEFT JOIN victims v ON o_custkey = v.uid
+           |UNION ALL
+           |SELECT 'lineitem', count(*),
+           |  count(CASE WHEN vo.vok IS NULL THEN 1 END)
+           |FROM lineitem LEFT JOIN vorders vo ON l_orderkey = vo.vok
+           |UNION ALL
+           |SELECT 'events', count(*),
+           |  count(CASE WHEN v.uid IS NULL THEN 1 END)
+           |FROM events LEFT JOIN victims v ON user_id = v.uid
+           |ORDER BY tbl""".stripMargin
+      },
       "curate_full" ->
         s"""WITH $CurateCtes,
            |${graft.similarity.SimilarityRegistry.dupAssignCtes(

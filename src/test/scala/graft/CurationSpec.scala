@@ -61,6 +61,22 @@ class CurationSpec extends SparkTestBase {
       Curation.qualityWeightedCounts(spark, dir).collect().toSeq)
   }
 
+  test("forget cascade: victim rows vanish from every table, count-consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.pipeline.Curation.forgetCascadeReport(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem", "events"))
+    rows.values.foreach { case (before, after) =>
+      assert(after <= before && after > 0)
+    }
+    // customer drop count equals the independently-computed cohort size
+    val nVictims = graft.Tables.load(spark, dir, "customer")
+      .filter(graft.pipeline.Curation.hashBucket(col("c_custkey")) < 5)
+      .count()
+    assert(rows("customer")._1 - rows("customer")._2 == nVictims)
+    assert(nVictims > 0)
+  }
+
   test("full release gate is curate minus near-dup members and contaminated docs") {
     import org.apache.spark.sql.functions.col
     val base = Curation.curate(spark, dir).collect()
