@@ -187,6 +187,32 @@ object Relational {
       .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
       .select(col("key"), col("value").as("median"))
 
+  /** Exact p10/p50/p90 per group in ONE window pass — rank picks at
+    * ⌈p·n⌉ (discrete, no interpolation → engine-portable), conditional
+    * max over the three pinned ranks. Same per-group-window scale shape
+    * as [[lowerMedianBy]]. */
+  def percentilesBy(df: DataFrame, key: Column, value: Column,
+                    tieBreak: Column): DataFrame = {
+    val rn = row_number().over(Window.partitionBy("key")
+      .orderBy("value", "tb"))
+    val n = count(lit(1)).over(Window.partitionBy("key"))
+    def rankOf(p: Int): org.apache.spark.sql.Column =
+      expr(s"(n * $p + 99) div 100") // ⌈p·n/100⌉, pure integer math
+    df.select(key.as("key"), value.as("value"), tieBreak.as("tb"))
+      .withColumn("rn", rn).withColumn("n", n)
+      .groupBy("key")
+      .agg(max(when(col("rn") === rankOf(10), col("value"))).as("p10"),
+        max(when(col("rn") === rankOf(50), col("value"))).as("p50"),
+        max(when(col("rn") === rankOf(90), col("value"))).as("p90"))
+  }
+
+  /** Retail-price percentile bands per brand (exact, deterministic). */
+  def pricePercentilesPerBrand(spark: SparkSession, dir: String): DataFrame =
+    percentilesBy(Tables.load(spark, dir, "part"),
+      col("p_brand"), col("p_retailprice"), col("p_partkey"))
+      .withColumnRenamed("key", "brand")
+      .orderBy("brand")
+
   /** Median retail price per brand (exact, deterministic). */
   def medianPricePerBrand(spark: SparkSession, dir: String): DataFrame =
     lowerMedianBy(Tables.load(spark, dir, "part"),

@@ -27,6 +27,8 @@ object RelationalRegistry {
       "pivot_event_matrix" -> ((s, d) => Relational.pivotEventMatrix(s, d)),
       "median_price_per_brand" -> ((s, d) =>
         Relational.medianPricePerBrand(s, d)),
+      "percentiles_price_per_brand" -> ((s, d) =>
+        Relational.pricePercentilesPerBrand(s, d)),
       "multi_distinct_stats" -> ((s, d) =>
         Relational.multiDistinctStats(s, d)),
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
@@ -167,6 +169,18 @@ object RelationalRegistry {
           |    ORDER BY p_retailprice, p_partkey)
           |  = (count(*) OVER (PARTITION BY p_brand) + 1) // 2
           |ORDER BY brand""".stripMargin,
+      // Discrete ⌈p·n⌉ rank picks — no interpolation, engine-portable.
+      "percentiles_price_per_brand" ->
+        """WITH r AS (SELECT p_brand AS brand, p_retailprice AS v,
+          |    row_number() OVER (PARTITION BY p_brand
+          |      ORDER BY p_retailprice, p_partkey) AS rn,
+          |    count(*) OVER (PARTITION BY p_brand) AS n
+          |  FROM part)
+          |SELECT brand,
+          |  max(CASE WHEN rn = (n * 10 + 99) // 100 THEN v END) AS p10,
+          |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+          |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS p90
+          |FROM r GROUP BY brand ORDER BY brand""".stripMargin,
       "multi_distinct_stats" ->
         """SELECT p_brand AS brand,
           |  count(DISTINCT p_size) AS n_sizes,

@@ -63,6 +63,19 @@ class RelationalSpec extends SparkTestBase {
     assert(out === Map("a" -> 2.0, "b" -> 2.0))
   }
 
+  test("percentile picks land on exact ⌈p·n⌉ order statistics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 values 1..10 → ranks 1/5/9; group of 1 → all three are it
+    val df = ((1 to 10).map(i => ("a", i.toDouble, i.toLong)) :+
+      (("b", 7.0, 99L))).toDF("k", "v", "id")
+    val out = Relational.percentilesBy(df, col("k"), col("v"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("a") === ((1.0, 5.0, 9.0)))
+    assert(out("b") === ((7.0, 7.0, 7.0)))
+  }
+
   test("pivot matrix cells sum to the event count; absent combos are 0") {
     val rows = Relational.pivotEventMatrix(spark, dir).collect()
     val total = rows.map(r =>
