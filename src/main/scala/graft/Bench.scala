@@ -42,11 +42,15 @@ object Bench {
     // like a speedup), so machine consumers need the failure count IN the
     // JSON, not just on stderr.
     val total = results.filter(_._2 >= 0).map(_._2).sum
+    // Locale-pinned: default-locale %f emits comma decimals on e.g. de_DE,
+    // which would make the one stdout JSON line unparseable.
+    def fmt(v: Double, decimals: Int) =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def line(qs: Seq[(String, Double)], decimals: Int, extra: String) = {
       val body = qs.map { case (k, v) =>
-        "\"" + k + "\":" + s"%.${decimals}f".format(v)
+        "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","failed":$failed$extra,"queries":$body,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed$extra,"queries":$body,"sf":"$sfDir"}"""
     }
     // Full-precision per-query record → a repo file (the harness only
     // captures a bounded stdout tail, which the full map overflows).

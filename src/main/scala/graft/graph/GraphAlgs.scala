@@ -67,19 +67,18 @@ object GraphAlgs {
       (g.cache(), vm)
     }
 
-  /** Materialize the long-lived-service state (canonical frames + GraphX
-    * view + the static co-partitioned edge layouts the propagation loops
-    * read) outside any measured query — what a deployed engine holds hot
-    * (VERDICT r2 task 9 names this warm-up as the sanctioned shape). The
-    * propagations themselves stay measured. */
+  /** Warm-up contract (auditable): prewarm touches ONLY the raw
+    * canonical frames (nodes/edges — shared input of every graph query)
+    * and the GraphX view built directly from them. Query-specific
+    * derived state — outdegree-joined rank edges, weighted out-sums,
+    * the undirected distinct edge set, per-id layouts — is NOT warmed
+    * here: each is computed inside the first measured query that needs
+    * it (then memoized, as a long-lived service would hold it hot). So
+    * the bench's first graph query pays its own derived-layout build. */
   def prewarm(spark: SparkSession, dir: String): Unit = {
     GraphBuilder.nodes(spark, dir).count()
     GraphBuilder.edges(spark, dir).count()
     builtGraph(spark, dir)._1.triplets.count()
-    nodesById(spark, dir).count()
-    rankEdges(spark, dir).count()
-    undirectedEdges(spark, dir).count()
-    weightedRankEdges(spark, dir).count()
     ()
   }
 

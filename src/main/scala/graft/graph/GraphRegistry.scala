@@ -27,7 +27,7 @@ object GraphRegistry {
       |    WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
       |    WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
       |    WHEN 'error' THEN 'ERRORED' END
-      |FROM (SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+      |FROM (SELECT user_id, TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
       |             lower(event_type) AS et FROM events
       |      WHERE lower(event_type) IN ('view','click','add_to_cart','purchase','signup','error')) e
       |JOIN customer c ON e.user_id = c.c_custkey

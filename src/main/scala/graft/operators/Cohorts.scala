@@ -54,21 +54,26 @@ object Cohorts {
     * entire z-test done in INTEGER cross-multiplication:
     *   |x − S/n| > 3·σ  ⟺  (n·x − S)² > 9·(n·Q − S²),  Q = Σx².
     * No division, no sqrt, no float anywhere — the comparison is exact
-    * on both engines by construction. (Long arithmetic: products stay
-    * under 2⁶³ while n·x < ~3·10⁹, i.e. any realistic per-type hourly
-    * count at the design scale; beyond that, widen to decimals.) */
+    * on both engines by construction. All products run in decimal(38,0)
+    * (DuckDB computes the same test in HUGEINT): Long arithmetic would
+    * silently wrap past n·x ≈ 3·10⁹ per-type hourly mass while the
+    * oracle errors — a DIVERGENT failure mode; decimals keep both
+    * engines exact through ~10³⁸. */
   def hourlyCountAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(19,0)" // per-column widen BEFORE any multiply
     val c = Tables.load(spark, dir, "events")
       .select(lower(col("event_type")).as("et"),
         expr(s"unix_micros(ts) div ${3600L * 1000000L}").as("hr"))
       .groupBy("et", "hr").agg(count(lit(1)).as("x"))
       .localCheckpoint(true) // tiny (hours × types); read by s AND the join
-    val s = c.groupBy("et").agg(sum("x").as("s"),
-      sum(col("x") * col("x")).as("q"), count(lit(1)).as("n"))
+    val s = c.groupBy("et").agg(
+      sum(col("x").cast(dec)).as("s"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("q"),
+      count(lit(1)).cast(dec).as("n"))
+    val d = col("n") * col("x").cast(dec) - col("s") // decimal(38,0)
     c.join(s, "et")
-      .filter((col("n") * col("x") - col("s")) *
-        (col("n") * col("x") - col("s")) >
-        lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .filter(d * d > lit(9).cast(dec) * (col("n") * col("q") -
+        col("s") * col("s")))
       .select("et", "hr", "x")
       .orderBy("et", "hr")
   }

@@ -132,7 +132,7 @@ object RelationalRegistry {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "json_props_extract" ->
         """WITH e AS (SELECT event_type,
-          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events)
           |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
           |  min(k) AS min_k, max(k) AS max_k
@@ -256,7 +256,7 @@ object RelationalRegistry {
         """SELECT event_type, count(*) AS n FROM events
           |GROUP BY event_type ORDER BY event_type""".stripMargin,
       "skew_salted_join_counts" ->
-        """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        """WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |           FROM events)
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
@@ -309,7 +309,7 @@ object RelationalRegistry {
       // equal-ts sequences total on both engines.
       "scd2_intervals" ->
         """WITH ch AS (SELECT user_id, event_id,
-          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
           |    lower(event_type) AS state,
           |    epoch_ns(ts) // 1000 AS ts_us
           |  FROM events)

@@ -38,25 +38,31 @@ object Resample {
   def eventValuesFfillOf(events: DataFrame): DataFrame = {
     // One row per (user, ts): last-writer (max event_id) wins — without
     // this, equal-timestamp events make the fill nondeterministic.
+    // Carry a non-null STRUCT per event row (grid rows carry null), so
+    // last(ignoreNulls) picks the latest EVENT even when its value is
+    // genuinely NULL — matching the ASOF oracle, which returns the
+    // matched row's null rather than skipping back to an older value.
     val ev = events
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id", "ts_us").orderBy(desc("event_id"))))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("ts_us"), lit(0).as("tag"), col("value"))
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        struct(col("value").cast("double").as("v")).as("carry"))
     val grid = ev.groupBy("user_id")
       .agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
       .select(col("user_id"),
         explode(sequence(col("mn") - col("mn") % StepUs, col("mx"),
           lit(StepUs))).as("ts_us"),
-        lit(1).as("tag"), lit(null).cast("double").as("value"))
+        lit(1).as("tag"),
+        lit(null).cast("struct<v:double>").as("carry"))
     val w = Window.partitionBy("user_id")
       .orderBy("ts_us", "tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.unionByName(grid)
-      .withColumn("filled", last("value", ignoreNulls = true).over(w))
+      .withColumn("filled", last("carry", ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("user_id"), col("ts_us").as("tick_us"),
-        col("filled").as("value"))
+        col("filled.v").as("value"))
       .orderBy("user_id", "tick_us")
   }
 }

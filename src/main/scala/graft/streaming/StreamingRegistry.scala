@@ -46,10 +46,10 @@ object StreamingRegistry {
       "stream_window_topk" ->
         """WITH c AS (
           |  SELECT epoch_ns(date_trunc('hour', ts)) // 1000 AS window_start_us,
-          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
           |    count(*) AS n
           |  FROM events
-          |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+          |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
           |  GROUP BY 1, 2)
           |SELECT window_start_us,
           |  CAST(row_number() OVER (PARTITION BY window_start_us
@@ -60,7 +60,7 @@ object StreamingRegistry {
       "stream_edge_counts" ->
         """WITH e AS (
           |  SELECT user_id,
-          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
           |    CASE lower(event_type)
           |      WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
           |      WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
@@ -74,10 +74,10 @@ object StreamingRegistry {
           |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
       "stream_view_to_purchase" ->
         """WITH e AS (SELECT user_id, lower(event_type) AS et,
-          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
           |    epoch_ns(ts) // 1000 AS ts_us
           |  FROM events
-          |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+          |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
           |v AS (SELECT user_id, k, ts_us FROM e WHERE et = 'view'),
           |p AS (SELECT user_id, k, ts_us FROM e WHERE et = 'purchase')
           |SELECT p.k AS product_id, count(*) AS n_attributed

@@ -16,6 +16,21 @@ class ResampleSpec extends SparkTestBase {
     assert(out.toSeq === Seq(
       (1L, 0L, 1.0), (1L, 6 * h, 1.0), (2L, 6 * h, 9.0)))
   }
+
+  test("a genuinely NULL latest value is carried as null, not skipped") {
+    val h = 3600L * 1000000
+    // ASOF semantics: the tick reads the MATCHED row's value even when
+    // that value is null — it must NOT fall back to the older 1.0.
+    val ev = Seq(
+      (1L, 0L, 10L, Some(1.0)), (1L, 5 * h, 11L, None),
+      (1L, 13 * h, 12L, Some(3.0)))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = graft.operators.Resample.eventValuesFfillOf(ev).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq === Seq(
+      (0L, Some(1.0)), (6 * h, None), (12 * h, None)))
+  }
 }
 
 import graft.operators.AsofJoin
