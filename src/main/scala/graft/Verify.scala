@@ -47,9 +47,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Fixture-adaptive oracles (schema-dependent SQL) overlay the static
+    // fallbacks — mirrors the Spark side's runtime schema adaptivity.
+    val adaptive = SparkEntry.oracleSql ++
+      (try graph.GraphRegistry.adaptiveOracles(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[verify] adaptive oracle probe failed: $e")
+         Map.empty[String, String]
+       })
     val oracles =
-      if (only.isEmpty) SparkEntry.oracleSql
-      else SparkEntry.oracleSql.filter { case (n, _) => only(n) }
+      if (only.isEmpty) adaptive
+      else adaptive.filter { case (n, _) => only(n) }
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -4,10 +4,13 @@ import graft.Registry
 
 /** Registry + DuckDB oracle twins for the dedup tier (north-star
   * training-data operators, BASELINE.json). The md5-based MinHash makes
-  * even the LSH pipeline exactly oracle-checkable; the SimHash rows run
-  * the md5-derived fingerprint variant (Dedup.simhashesMd5) for the same
-  * reason, while the xxhash64 native expression stays the production
-  * path (FunctionsSpec bit-parity).
+  * even the LSH pipeline exactly oracle-checkable. SimHash splits in
+  * two rows so the bench measures the ENGINE, not the oracle shim:
+  * `dedup_simhash` runs the production codegen'd xxhash64 expression
+  * (rows-only — DuckDB has no xxhash64, so no SQL twin can exist;
+  * FunctionsSpec asserts bit-parity against the builtin-fold
+  * formulation), while `dedup_simhash_md5` is the md5-derived exact
+  * oracle twin of the same vote/sign pipeline, hash-checked end-to-end.
   *
   * The oracle SQL re-derives the same shingles / signatures / band keys
   * with DuckDB list functions, so every intermediate (min-hash string,
@@ -82,7 +85,8 @@ object DedupRegistry {
       "dedup_token_set" -> ((s, d) => Dedup.tokenSetDups(s, d)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
       "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
-      "dedup_simhash" -> ((s, d) => Dedup.simhashesMd5(s, d)),
+      "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
+      "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d))
     ),
     oracles = Map(
@@ -119,7 +123,7 @@ object DedupRegistry {
            |           ON b1.band = b2.band AND b1.key = b2.key
            |          AND b1.doc_id < b2.doc_id),
            |${verifySql(0.8)}""".stripMargin,
-      "dedup_simhash" ->
+      "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
       "dedup_simhash_pairs" ->

@@ -221,6 +221,44 @@ object GraphRegistry {
          |     JOIN v$rounds b ON e.p2 = b.p) AS n_core_edges""".stripMargin
   }
 
+  /** graph_node_props oracle, parameterized on whether the customer
+    * fixture carries c_join_date — the same schema adaptivity the Spark
+    * side applies in GraphBuilder.nodes (cast to DATE, then VARCHAR). */
+  private def nodePropsSql(hasJoinDate: Boolean): String = {
+    val joinDate =
+      if (hasJoinDate) "CAST(CAST(c_join_date AS DATE) AS VARCHAR)"
+      else "CAST(NULL AS VARCHAR)"
+    s"""SELECT * FROM (
+       |  SELECT 'C'||CAST(c_custkey AS VARCHAR) AS id, 'Customer' AS label,
+       |    c_name AS name, CAST(NULL AS BIGINT) AS ts_us,
+       |    CAST(NULL AS VARCHAR) AS category_id,
+       |    $joinDate AS join_date
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'P'||CAST(p_partkey AS VARCHAR), 'Product', p_name,
+       |    NULL, p_brand, NULL
+       |  FROM part
+       |  UNION ALL
+       |  SELECT 'O'||CAST(o_orderkey AS VARCHAR), 'Order', NULL,
+       |    epoch_us(o_orderdate), NULL, NULL
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT DISTINCT 'B'||p_brand, 'Category', p_brand,
+       |    NULL, NULL, NULL
+       |  FROM part
+       |) ORDER BY id""".stripMargin
+  }
+
+  /** Fixture-adaptive oracle overlay: Verify calls this with the actual
+    * data dir and dumps these strings INSTEAD of the static fallbacks,
+    * so the oracle adapts exactly where the Spark query does. */
+  def adaptiveOracles(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Map[String, String] = {
+    val hasJoinDate = graft.Tables.load(spark, dir, "customer")
+      .columns.contains("c_join_date")
+    Map("graph_node_props" -> nodePropsSql(hasJoinDate))
+  }
+
   val registry: Registry = Registry(
     queries = Map(
       // The three fixed-rank rows share one memoized propagation
@@ -316,32 +354,11 @@ object GraphRegistry {
            |)
            |SELECT id, min(dist) AS dist FROM walk GROUP BY id
            |ORDER BY dist, id LIMIT 50""".stripMargin,
-      // join_date is hardcoded NULL for customers: the driver's TPC-H
-      // testdata never carries c_join_date (FIXTURES.md §1), so the Spark
-      // side's adaptive read resolves to null there too. The adaptive
-      // branch (a fixture WITH c_join_date) is exercised by GraphSpec on
-      // the seed micro-fixture, not by this oracle — if testdata ever
-      // grows that column, mirror it here.
-      "graph_node_props" ->
-        """SELECT * FROM (
-          |  SELECT 'C'||CAST(c_custkey AS VARCHAR) AS id, 'Customer' AS label,
-          |    c_name AS name, CAST(NULL AS BIGINT) AS ts_us,
-          |    CAST(NULL AS VARCHAR) AS category_id,
-          |    CAST(NULL AS VARCHAR) AS join_date
-          |  FROM customer
-          |  UNION ALL
-          |  SELECT 'P'||CAST(p_partkey AS VARCHAR), 'Product', p_name,
-          |    NULL, p_brand, NULL
-          |  FROM part
-          |  UNION ALL
-          |  SELECT 'O'||CAST(o_orderkey AS VARCHAR), 'Order', NULL,
-          |    epoch_us(o_orderdate), NULL, NULL
-          |  FROM orders
-          |  UNION ALL
-          |  SELECT DISTINCT 'B'||p_brand, 'Category', p_brand,
-          |    NULL, NULL, NULL
-          |  FROM part
-          |) ORDER BY id""".stripMargin,
+      // Static fallback assumes no c_join_date (the driver's TPC-H
+      // testdata today); Verify overlays [[adaptiveOracles]], which
+      // mirrors the Spark side's schema adaptivity against the actual
+      // fixture, so a future testdata WITH the column stays green.
+      "graph_node_props" -> nodePropsSql(hasJoinDate = false),
       "graph_contains_weights" ->
         """WITH cw AS (
           |  SELECT l_orderkey, l_partkey, l_quantity FROM lineitem

@@ -31,4 +31,16 @@ class RegistrySpec extends SparkTestBase {
   test("the flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("graph_node_props oracle adapts to the fixture's customer schema") {
+    // Seed fixture HAS c_join_date → the oracle must project it; the
+    // driver's testdata does not → the static fallback keeps NULL.
+    val withCol = graph.GraphRegistry
+      .adaptiveOracles(spark, SeedFixture.dir)("graph_node_props")
+    assert(withCol.contains("c_join_date AS DATE"))
+    val without = graph.GraphRegistry
+      .adaptiveOracles(spark, "/root/testdata/sf0.001")("graph_node_props")
+    assert(!without.contains("c_join_date"))
+    assert(without == SparkEntry.oracleSql("graph_node_props"))
+  }
 }
