@@ -82,41 +82,52 @@ object GraphAlgs {
     ()
   }
 
-  /** Node-id relation hash-partitioned by id and persisted — the shared
-    * "left side" of every per-node state join below. Pinning the layout
-    * once means each propagation round's state join needs no exchange. */
-  private def nodesById(spark: SparkSession, dir: String): DataFrame =
+  /** Node-id relation hash-partitioned by id and materialized via
+    * localCheckpoint — the shared "left side" of every per-node state
+    * join below. localCheckpoint, NOT persist: under AQE a cached
+    * plan's partitioning is opaque to later queries (InMemoryRelation
+    * wraps a not-yet-final AdaptiveSparkPlan), so EnsureRequirements
+    * re-shuffles consumers; the checkpointed LogicalRDD reports its
+    * hashpartitioning (and sort order) faithfully, which is what makes
+    * every propagation round's state join exchange-free. */
+  private[graft] def nodesById(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "nodes-by-id", dir) {
       val n = spark.sessionState.conf.numShufflePartitions
       GraphBuilder.nodes(spark, dir).select("id")
         .repartition(n, col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     }
 
-  /** Static edge relation with per-src outdegree, hash-partitioned by
-    * dst and persisted: the rank state arrives by broadcast on src, so a
-    * dst layout makes the per-dst fold a NO-exchange aggregation — the
-    * edges (the 100 TB side) never move, per iteration or ever. This is
-    * the local twin of a bucketed-by-dst warehouse table. */
-  private def rankEdges(spark: SparkSession, dir: String): DataFrame =
+  /** Static edge relation with per-src outdegree, hash-partitioned AND
+    * sorted by src, persisted: the per-iteration state join is then an
+    * exchange-free sort-merge join (state arrives hash-partitioned by
+    * id from the previous round's groupBy — neither side moves, and the
+    * cached sort order means only the small state side re-sorts). This
+    * is the local twin of a bucketed-by-src warehouse table. The 100 TB
+    * side never reshuffles across iterations; the one per-iteration
+    * exchange is the contributions fold keyed by dst — the unavoidable
+    * shuffle every scalable PageRank pays. */
+  private[graft] def rankEdges(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "fixed-ranks-edges", dir) {
       val n = spark.sessionState.conf.numShufflePartitions
       val raw = GraphBuilder.edges(spark, dir).select("src", "dst")
       raw.join(raw.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(n, col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(n, col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(true) // LogicalRDD keeps layout visible (see nodesById)
     }
 
-  /** Static undirected distinct edge set, dst-partitioned like
-    * [[rankEdges]] (min-label propagation groups by dst). */
+  /** Static undirected distinct edge set, src-partitioned + sorted like
+    * [[rankEdges]] (min-label propagation joins its state on src). */
   private def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "und-edges", dir) {
       val n = spark.sessionState.conf.numShufflePartitions
       val e = GraphBuilder.edges(spark, dir).select("src", "dst")
       e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-        .repartition(n, col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(n, col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(true) // LogicalRDD keeps layout visible (see nodesById)
     }
 
   /** G4 — total degree per node, top-k, computed relationally: each edge
@@ -488,21 +499,29 @@ object GraphAlgs {
     * exact 0.0 (every op preserves it — `rank > 0` is a clean
     * cross-engine filter).
     *
-    * Scale shape: the |V|-sized state ships to the static dst-partitioned
-    * edge relation ([[rankEdges]]; broadcast here, bucketed co-partition
-    * at warehouse scale — the big side moves ZERO times per iteration,
-    * and the per-dst fold aggregates in place with no exchange); per-dst
-    * collect_list is bounded by in-degree, with the fixed-fan-in fold
-    * tree as the hot-sink escape hatch. localCheckpoint between
-    * iterations keeps the broadcast subtrees concrete — a fully lazy
-    * chain re-executes each broadcast's lineage per level (measured
-    * pathological). Memoized: every query on the same (dir, seeds,
-    * iters) reads one propagation. Bit-parity with the oracle is
-    * layout-independent (the sorted fold fixes the summation order), so
-    * this plan change is invisible to the hashes — asserted by the
-    * oracle rows staying green. */
-  private def fixedRanks(spark: SparkSession, dir: String,
-                         seeds: Seq[Option[String]], iters: Int): DataFrame =
+    * Scale shape: NO broadcast of the |V|-sized state anywhere. The
+    * state join is an exchange-free sort-merge join — rank state is
+    * hash-partitioned by id (the previous round's groupBy layout,
+    * preserved through localCheckpoint) and the static edge relation
+    * ([[rankEdges]]) is partitioned + sorted by src once, so neither
+    * side moves and only the state side re-sorts (|V| rows, in
+    * partition). The `merge` hint pins that plan: at 10⁹–10¹⁰ vertices
+    * a broadcast of the rank vector OOMs every executor, so the size
+    * heuristics must not pick it at ANY scale. The one per-iteration
+    * exchange is the |E|-sized contributions fold keyed by dst — the
+    * honest shuffle every scalable PageRank pays. Per-dst collect_list
+    * is bounded by in-degree, with the fixed-fan-in fold tree as the
+    * hot-sink escape hatch. localCheckpoint between iterations keeps
+    * the state concrete (a fully lazy chain re-executes the whole
+    * lineage per level — measured pathological) AND preserves its
+    * partitioning for the next round's joins. Memoized: every query on
+    * the same (dir, seeds, iters) reads one propagation. Bit-parity
+    * with the oracle is layout-independent (the sorted fold fixes the
+    * summation order), so this plan change is invisible to the hashes —
+    * asserted by the oracle rows staying green; the no-broadcast shape
+    * is asserted in PlanAuditSpec. */
+  private[graft] def fixedRanks(spark: SparkSession, dir: String,
+                                seeds: Seq[Option[String]], iters: Int): DataFrame =
     graft.Memo.get(spark, "fixed-ranks", (dir, seeds, iters)) {
       val e = rankEdges(spark, dir)
       val nodes = nodesById(spark, dir)
@@ -512,53 +531,63 @@ object GraphAlgs {
           when(col("id") === s, lit(1.0)).otherwise(lit(0.0)).as(s"r$j")
       }
       var ranks = nodes.select(col("id") +: inits: _*)
-      for (_ <- 1 to iters) {
-        val contribs = e
-          .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
-          .select(col("dst").as("id") +: seeds.indices.map(j =>
-            (col(s"r$j") / col("outdeg")).as(s"c$j")): _*)
-        val folds = seeds.indices.map(j =>
-          aggregate(sort_array(collect_list(col(s"c$j"))), lit(0.0),
-            (s, x) => s + x).as(s"in$j"))
-        val summed = contribs.groupBy("id").agg(folds.head, folds.tail: _*)
-        val updates = seeds.zipWithIndex.map {
-          case (sd, j) =>
-            val reset = sd match {
-              case None => lit(0.15)
-              case Some(s) =>
-                when(col("id") === s, lit(0.15)).otherwise(lit(0.0))
-            }
-            (reset + lit(0.85) * coalesce(col(s"in$j"), lit(0.0)))
-              .as(s"r$j")
-        }
-        ranks = nodes.join(summed, Seq("id"), "left")
-          .select(col("id") +: updates: _*)
-          .localCheckpoint(true)
-      }
+      for (_ <- 1 to iters)
+        ranks = rankStep(e, nodes, ranks, seeds).localCheckpoint(true)
       ranks
     }
 
+  /** One propagation round, UNcheckpointed — split out so PlanAuditSpec
+    * can assert the no-broadcast join shape on exactly the plan the loop
+    * executes. */
+  private[graft] def rankStep(e: DataFrame, nodes: DataFrame,
+                              ranks: DataFrame,
+                              seeds: Seq[Option[String]]): DataFrame = {
+    val contribs = e
+      .join(ranks.withColumnRenamed("id", "src").hint("merge"), "src")
+      .select(col("dst").as("id") +: seeds.indices.map(j =>
+        (col(s"r$j") / col("outdeg")).as(s"c$j")): _*)
+    val folds = seeds.indices.map(j =>
+      aggregate(sort_array(collect_list(col(s"c$j"))), lit(0.0),
+        (s, x) => s + x).as(s"in$j"))
+    val summed = contribs.groupBy("id").agg(folds.head, folds.tail: _*)
+    val updates = seeds.zipWithIndex.map {
+      case (sd, j) =>
+        val reset = sd match {
+          case None => lit(0.15)
+          case Some(s) =>
+            when(col("id") === s, lit(0.15)).otherwise(lit(0.0))
+        }
+        (reset + lit(0.85) * coalesce(col(s"in$j"), lit(0.0)))
+          .as(s"r$j")
+    }
+    nodes.join(summed, Seq("id"), "left")
+      .select(col("id") +: updates: _*)
+  }
+
   /** Static weighted edge relation (integer-cent weights — CONTAINS
     * carries quantity, every other family 1.00) with per-src total
-    * outgoing weight; dst-partitioned and persisted like [[rankEdges]]. */
+    * outgoing weight; src-partitioned + sorted and persisted like
+    * [[rankEdges]]. */
   private def weightedRankEdges(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "w-rank-edges", dir) {
       val n = spark.sessionState.conf.numShufflePartitions
       val e = GraphBuilder.edges(spark, dir).select(col("src"), col("dst"),
         graft.operators.Relational.cents(col("weight")).as("w_c"))
       e.join(e.groupBy("src").agg(sum("w_c").as("wout_c")), "src")
-        .repartition(n, col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(n, col("src"))
+        .sortWithinPartitions("src")
+        .localCheckpoint(true) // LogicalRDD keeps layout visible (see nodesById)
     }
 
   /** Fixed-iteration WEIGHTED PageRank: contribution r·w/Σw along each
     * edge, weights the exact integer cents of the edge relation (so the
     * only float ops are the same r·w_c/wout_c and the sorted per-dst
-    * fold the oracle mirrors — bit-identical doubles). Same no-exchange
-    * iteration shape as [[fixedRanks]]: state broadcasts onto the
-    * dst-partitioned static edges. 5 iterations (not 10): one extra
-    * propagation family shouldn't double the bench's iterative budget,
-    * and the oracle unrolls the same 5. */
+    * fold the oracle mirrors — bit-identical doubles). Same
+    * broadcast-free iteration shape as [[fixedRanks]]: the state joins
+    * the src-partitioned static edges by exchange-free sort-merge join.
+    * 5 iterations (not 10): one extra propagation family shouldn't
+    * double the bench's iterative budget, and the oracle unrolls the
+    * same 5. */
   def weightedPageRankTop(spark: SparkSession, dir: String,
                           iters: Int = 5, k: Int = 20): DataFrame = {
     val e = weightedRankEdges(spark, dir)
@@ -566,7 +595,7 @@ object GraphAlgs {
     var ranks = nodes.select(col("id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
+        .join(ranks.withColumnRenamed("id", "src").hint("merge"), "src")
         .select(col("dst").as("id"),
           (col("r") * col("w_c") / col("wout_c")).as("c"))
       val summed = contribs.groupBy("id")
@@ -663,12 +692,14 @@ object GraphAlgs {
     * histogram, the connectedComponentSizes shape. */
   def componentsFixedSizes(spark: SparkSession, dir: String,
                            rounds: Int = 10): DataFrame = {
-    // Static undirected dst-partitioned edge set ([[undirectedEdges]]):
-    // label state ships by broadcast on src, the per-dst min aggregates
-    // in place, and the state join below is id↔id co-partitioned — no
-    // exchange anywhere in the round. min(own ∪ nbrs) ≡
-    // least(own, min(nbrs)) on strings (exact, no float order issues),
-    // so the formulation change is invisible to the oracle hash.
+    // Static undirected src-partitioned + sorted edge set
+    // ([[undirectedEdges]]): label state arrives hash-partitioned by id,
+    // so the state join is an exchange-free sort-merge join (no |V|
+    // broadcast — the fixedRanks scale posture), the per-dst min is the
+    // one |E|-sized exchange of the round, and the id↔id state join
+    // below is co-partitioned. min(own ∪ nbrs) ≡ least(own, min(nbrs))
+    // on strings (exact, no float order issues), so the formulation
+    // change is invisible to the oracle hash.
     val und = undirectedEdges(spark, dir)
     var comp = nodesById(spark, dir)
       .select(col("id"), col("id").as("comp"))
@@ -677,7 +708,7 @@ object GraphAlgs {
     while (r < rounds && !converged) {
       r += 1
       val minNbrs = und
-        .join(broadcast(comp.withColumnRenamed("id", "src")), "src")
+        .join(comp.withColumnRenamed("id", "src").hint("merge"), "src")
         .select(col("dst").as("id"), col("comp").as("ncomp"))
         .groupBy("id").agg(min("ncomp").as("nbr"))
       // least() skips nulls: an isolated node (no row in minNbrs) keeps

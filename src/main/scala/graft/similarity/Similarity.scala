@@ -196,17 +196,26 @@ object Similarity {
   def dupAssignments(spark: SparkSession, dir: String,
                      threshold: Double = 0.4, rounds: Int = 5): DataFrame =
     graft.Memo.get(spark, "srp-dup-assign", (dir, threshold, rounds)) {
+      val n = spark.sessionState.conf.numShufflePartitions
       val pairs = srpLshPairsCore(spark, dir, threshold).select("d1", "d2")
+      // Static undirected pair set, partitioned + sorted by d1 once:
+      // each round's state join is then an exchange-free sort-merge
+      // join (state arrives hash-partitioned by id from distinct/
+      // groupBy). No |V|-state broadcast — at corpus scale the dup-pair
+      // member set is itself huge (componentsFixedSizes' posture).
       val und = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .repartition(n, col("d1"))
+        .sortWithinPartitions("d1")
+        .localCheckpoint(true)
       var comp = und.select(col("d1").as("id")).distinct()
         .withColumn("comp", col("id"))
       for (_ <- 1 to rounds) {
-        // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs, with
-        // the per-d2 min aggregating against the pair relation in place —
-        // the no-exchange round shape shared with componentsFixedSizes.
+        // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs; the
+        // per-d2 min fold is the round's one pair-relation-sized
+        // exchange, shared shape with componentsFixedSizes.
         val minNbrs = und
-          .join(broadcast(comp.withColumnRenamed("id", "d1")), "d1")
+          .join(comp.withColumnRenamed("id", "d1").hint("merge"), "d1")
           .select(col("d2").as("id"), col("comp").as("ncomp"))
           .groupBy("id").agg(min("ncomp").as("nbr"))
         comp = comp.join(minNbrs, Seq("id"), "left")

@@ -101,4 +101,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.replaceAll("\\s", "").contains("GreaterThan(l_shipdate"),
       s"l_shipdate not pushed in:\n$plan")
   }
+
+  test("rank-state iteration never broadcasts the |V| state") {
+    // The scale-killer audit: at 10⁹ vertices a per-iteration broadcast
+    // of the rank vector OOMs every executor. Audit exactly the plan the
+    // loop executes (rankStep, pre-checkpoint): the state join must be a
+    // sort-merge join with NO BroadcastExchange anywhere in the round.
+    import org.apache.spark.sql.functions.lit
+    val e = graph.GraphAlgs.rankEdges(spark, dir)
+    val nodes = graph.GraphAlgs.nodesById(spark, dir)
+    val init = nodes.select(col("id"), lit(1.0).as("r0"))
+    val step = graph.GraphAlgs.rankStep(e, nodes, init, Seq(None))
+    val plan = step.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"state join is not a sort-merge join:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"rank state is broadcast:\n$plan")
+  }
 }
