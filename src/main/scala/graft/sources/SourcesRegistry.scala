@@ -8,7 +8,9 @@ import graft.Registry
 object SourcesRegistry {
   val registry: Registry = Registry(
     queries = Map(
-      "source_roundtrip_counts" -> ((s, d) => Formats.roundTripCounts(s, d))
+      "source_roundtrip_counts" -> ((s, d) => Formats.roundTripCounts(s, d)),
+      "source_jdbc_counts" -> ((s, d) => Jdbc.ordersJdbcCounts(s, d)),
+      "source_jdbc_lookup" -> ((s, d) => Jdbc.ordersJdbcLookup(s, d))
     ),
     oracles = Map(
       "source_roundtrip_counts" ->
@@ -20,7 +22,21 @@ object SourcesRegistry {
           |  SELECT 'csv' AS fmt, event_type, n, sum_value FROM a
           |  UNION ALL
           |  SELECT 'jsonl', event_type, n, sum_value FROM a
-          |) ORDER BY fmt, event_type""".stripMargin
+          |) ORDER BY fmt, event_type""".stripMargin,
+      // The JDBC read must reproduce the parquet original exactly: same
+      // aggregate, computed by DuckDB over the parquet orders table.
+      "source_jdbc_counts" ->
+        """SELECT o_orderstatus, count(*) AS n,
+          |  count(DISTINCT o_custkey) AS n_cust,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |    / CAST(100 AS DOUBLE) AS sum_value
+          |FROM orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin,
+      "source_jdbc_lookup" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  CAST(round(o_totalprice * 100) AS BIGINT)
+          |    / CAST(100 AS DOUBLE) AS o_totalprice
+          |FROM orders WHERE o_orderkey = 1""".stripMargin
     )
   )
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -198,58 +199,101 @@ object EventStreams {
 
   /** Incrementally maintain the behavioral edge store from the event
     * stream with MERGE-upsert semantics (A6), as a versioned,
-    * rel_type-partitioned parquet table:
+    * rel_type-partitioned parquet table addressed ONLY through the Hadoop
+    * `FileSystem` API — `java.io.File`, hard links, and POSIX rename
+    * don't exist on HDFS/S3, the only places 100 TB lives:
     *
-    *   storeDir/_CURRENT          → "v7"  (the only mutable thing)
-    *   storeDir/v7/rel_type=VIEWED/part-*.parquet
+    *   storeDir/v7/_MANIFEST                 commit marker + snapshot:
+    *                                         "VIEWED <tab> …/v5/rel_type=VIEWED"
+    *   storeDir/v7/rel_type=ADDED_TO_CART/…  only partitions batch 7 touched
     *
     * Each microbatch builds generation N+1 by merging ONLY the rel_type
     * partitions the batch touches (work is O(touched partitions), not
-    * O(store)); untouched partitions are hard-linked from generation N
-    * (a metadata-only operation — what a Delta/Iceberg MERGE records in
-    * its manifest). The single-file atomic-rename of _CURRENT publishes
-    * the generation: a crash at ANY point before it leaves the previous
-    * generation live and complete (no window where the store is absent),
-    * and the orphaned build is garbage-collected by the next successful
-    * publish. Read the store through `edgeStore`, never the raw dir. */
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete(); ()
-  }
-
-  private val Pointer = "_CURRENT"
+    * O(store)); untouched partitions are neither copied nor linked — the
+    * new generation's manifest references their existing data directories
+    * in place, exactly what a Delta/Iceberg MERGE records in its snapshot.
+    * Publishing is the create-then-rename of the _MANIFEST inside the new
+    * generation (dst never pre-exists → plain `FileSystem.rename`, atomic
+    * on HDFS; object stores swap this for a conditional PUT): readers
+    * resolve "the store" as the highest generation WITH a manifest, so a
+    * crash at any earlier point leaves the previous generation live and
+    * complete — there is no window where the store is absent — and the
+    * unpublished partial build is rebuilt by the next merge. GC retains
+    * the manifest closures of the new AND previous generations (one
+    * publish cycle of snapshot expiry for in-flight readers); a data
+    * directory lives exactly as long as a retained manifest references
+    * it. Read the store through `edgeStore`, never the raw dir. */
+  private val Manifest = "_MANIFEST"
   private val GenName = "v(\\d+)".r
 
-  /** The live generation directory, if the store has ever published. */
-  def currentGen(storeDir: String): Option[java.io.File] = {
-    val p = new java.io.File(storeDir, Pointer)
-    if (!p.exists()) None
-    else {
-      val name = new String(
-        java.nio.file.Files.readAllBytes(p.toPath), "UTF-8").trim
-      Some(new java.io.File(storeDir, name)).filter(_.isDirectory)
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** The live (= highest committed) generation, if any merge has ever
+    * published. Listing cost is O(generations), bounded by GC. */
+  def currentGen(storeDir: String): Option[Path] = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(hconf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .collect { case p @ GenPath(n) if fs.exists(new Path(p, Manifest)) =>
+        (n, p) }
+      .maxByOption(_._1).map(_._2)
+  }
+
+  private object GenPath {
+    def unapply(p: Path): Option[Int] = p.getName match {
+      case GenName(n) => Some(n.toInt)
+      case _ => None
     }
   }
 
-  /** Read the live edge store (empty-but-typed frame before first publish —
-    * the graceful-degradation convention of Tables.loadSafe). */
-  def edgeStore(spark: SparkSession, storeDir: String): DataFrame =
+  /** The live snapshot: rel_type → data directory (possibly in an older
+    * generation — manifest entries are carried forward in place). */
+  def manifest(storeDir: String): Map[String, Path] =
     currentGen(storeDir) match {
-      case Some(gen) => spark.read.parquet(gen.getPath)
-        .select(col("user_id").cast("long"), col("product_id").cast("long"),
-          col("rel_type").cast("string"))
-      case None =>
-        import spark.implicits._
-        Seq.empty[(Long, Long, String)]
-          .toDF("user_id", "product_id", "rel_type")
+      case None => Map.empty
+      case Some(gen) =>
+        val fs = gen.getFileSystem(hconf())
+        val mp = new Path(gen, Manifest)
+        val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+        val in = fs.open(mp)
+        val body = try { in.readFully(buf); new String(buf, "UTF-8") }
+        finally in.close()
+        body.split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val Array(t, p) = line.split("\t", 2)
+          t -> new Path(p)
+        }.toMap
     }
+
+  /** Read the live edge store (empty-but-typed frame before first publish —
+    * the graceful-degradation convention of Tables.loadSafe). The union is
+    * bounded by the rel_type vocabulary, not the data. */
+  def edgeStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val snap = manifest(storeDir)
+    if (snap.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, String)]
+        .toDF("user_id", "product_id", "rel_type")
+    } else snap.toSeq.sortBy(_._1).map { case (t, p) =>
+      spark.read.parquet(p.toString)
+        .select(col("user_id").cast("long"), col("product_id").cast("long"),
+          lit(t).as("rel_type"))
+    }.reduce(_.unionByName(_))
+  }
 
   /** Merge one batch of edges into the versioned store (the foreachBatch
     * body; also directly callable for batch backfill). */
   def mergeEdgeBatch(incoming: DataFrame, storeDir: String): Unit = {
     val spark = incoming.sparkSession
-    val root = new java.io.File(storeDir)
-    root.mkdirs()
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
     val inc = incoming.select("user_id", "product_id", "rel_type")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -258,57 +302,52 @@ object EventStreams {
         .map(_.getString(0)).toSet
       if (touched.isEmpty) return
       val cur = currentGen(storeDir)
+      val curMan = manifest(storeDir)
       val curN = cur.map(_.getName match { case GenName(n) => n.toInt })
         .getOrElse(0)
-      val next = new java.io.File(root, s"v${curN + 1}")
-      // A crash mid-build leaves an unpublished partial generation with
-      // this name; it was never visible to readers — rebuild it.
-      if (next.exists()) deleteRec(next)
-      // Untouched partitions: hard-link every file of the old generation's
-      // partition dir — byte-identical, no read, no write.
-      for (curDir <- cur; sub <- Option(curDir.listFiles()).getOrElse(Array())
-           if sub.isDirectory) {
-        val value = sub.getName.stripPrefix("rel_type=")
-        if (!touched.contains(value)) {
-          val dst = new java.io.File(next, sub.getName)
-          dst.mkdirs()
-          for (f <- sub.listFiles() if f.isFile)
-            java.nio.file.Files.createLink(
-              new java.io.File(dst, f.getName).toPath, f.toPath)
-        }
-      }
+      val next = new Path(root, s"v${curN + 1}")
+      // A crash mid-build leaves an unpublished (manifest-less, so never
+      // visible to readers) partial generation with this name — rebuild it.
+      if (fs.exists(next)) fs.delete(next, true)
       // Touched partitions: existing ∪ incoming → dedup, one partition at
-      // a time; the rel_type value lives in the directory name.
+      // a time, written into the new generation. Untouched partitions:
+      // manifest entries carried forward verbatim — zero I/O.
+      val entries = scala.collection.mutable.Map.empty[String, Path] ++
+        curMan.view.filterKeys(!touched.contains(_)).toMap
       for (t <- touched) {
         val mine = inc.filter(col("rel_type") === t)
           .select("user_id", "product_id")
-        val existing = cur.map(d => new java.io.File(d, s"rel_type=$t"))
-          .filter(_.isDirectory)
-          .map(d => spark.read.parquet(d.getPath)
+        val existing = curMan.get(t)
+          .map(p => spark.read.parquet(p.toString)
             .select("user_id", "product_id"))
         val merged = existing.fold(mine)(mine.unionByName(_))
           .dropDuplicates("user_id", "product_id")
-        merged.write.mode("overwrite")
-          .parquet(new java.io.File(next, s"rel_type=$t").getPath)
+        val dst = new Path(next, s"rel_type=$t")
+        merged.write.mode("overwrite").parquet(dst.toString)
+        entries(t) = dst
       }
-      // Publish: single atomic rename of the pointer file.
-      val tmp = new java.io.File(root, Pointer + ".tmp")
-      java.nio.file.Files.write(tmp.toPath, next.getName.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(root, Pointer).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // GC superseded and orphaned (crashed-build) generations, RETAINING
-      // generation N-1: a reader that resolved _CURRENT just before the
-      // publish may still be mid-read in it (hard links only cover its
-      // untouched partitions — touched ones were rewritten). One
-      // generation of retention is the snapshot-expiry window; anything
-      // older has survived a full publish cycle with no possible reader.
-      val retained = Set(next.getName) ++ cur.map(_.getName)
-      for (f <- Option(root.listFiles()).getOrElse(Array())
-           if f.isDirectory && !retained.contains(f.getName)
-             && GenName.pattern.matcher(f.getName).matches())
-        deleteRec(f)
+      // Publish: write the manifest beside the data, then one atomic
+      // rename to its final name (which never pre-exists in a fresh
+      // generation dir — the portable FileSystem.rename contract).
+      val body = entries.toSeq.sortBy(_._1)
+        .map { case (t, p) => s"$t\t$p" }.mkString("\n")
+      val tmp = new Path(next, Manifest + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, new Path(next, Manifest)))
+        throw new java.io.IOException(s"manifest publish failed for $next")
+      // GC: drop generation dirs referenced by NEITHER the new nor the
+      // previous snapshot. The previous closure is the snapshot-expiry
+      // window — a reader that resolved it just before this publish may
+      // still be mid-read; anything older has survived a full publish
+      // cycle with no possible reader.
+      val retained = (Set(next.getName) ++ cur.map(_.getName) ++
+        entries.values.map(_.getParent.getName) ++
+        curMan.values.map(_.getParent.getName))
+      for (st <- fs.listStatus(root)
+           if st.isDirectory && !retained.contains(st.getPath.getName)
+             && GenName.pattern.matcher(st.getPath.getName).matches())
+        fs.delete(st.getPath, true)
     } finally { inc.unpersist(); () }
   }
 

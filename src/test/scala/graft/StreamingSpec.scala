@@ -289,7 +289,7 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("edge store merges only touched partitions; untouched files are byte-identical") {
+  test("edge store merges only touched partitions; untouched dirs are referenced in place") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft-edges-part")
@@ -301,19 +301,25 @@ class StreamingSpec extends SparkTestBase {
       mem.addData(SeedFixture.events.take(2): _*)
       q.processAllAvailable()
       val gen1 = EventStreams.currentGen(store).get
-      def fileBytes(dir: java.io.File): Map[String, Seq[Byte]] =
-        dir.listFiles().filter(_.isFile)
+      val man1 = EventStreams.manifest(store)
+      def fileBytes(p: org.apache.hadoop.fs.Path): Map[String, Seq[Byte]] =
+        new java.io.File(p.toUri.getPath).listFiles().filter(_.isFile)
           .map(f => f.getName ->
             java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
-      val viewedBefore = fileBytes(new java.io.File(gen1, "rel_type=VIEWED"))
+      val viewedBefore = fileBytes(man1("VIEWED"))
       // batch 2 touches only ADDED_TO_CART
       mem.addData(SeedFixture.events(4))
       q.processAllAvailable()
       val gen2 = EventStreams.currentGen(store).get
       assert(gen2.getName != gen1.getName)
-      val viewedAfter = fileBytes(new java.io.File(gen2, "rel_type=VIEWED"))
-      assert(viewedAfter == viewedBefore) // hard-linked, not rewritten
-      assert(new java.io.File(gen2, "rel_type=ADDED_TO_CART").isDirectory)
+      val man2 = EventStreams.manifest(store)
+      // Untouched partition: neither copied nor rewritten — the new
+      // snapshot references the SAME data directory (zero-I/O carry-over)
+      // and its bytes are untouched.
+      assert(man2("VIEWED") == man1("VIEWED"))
+      assert(fileBytes(man2("VIEWED")) == viewedBefore)
+      // Touched partition: its data lives in the new generation.
+      assert(man2("ADDED_TO_CART").getParent.getName == gen2.getName)
     } finally q.stop()
   }
 
