@@ -11,19 +11,24 @@ import graft.Tables
   * typed Dataset — the JVM analog of `mapInPandas`: one iterator per
   * partition, no per-row shuffling, no driver collect).
   *
-  * Real media codecs aren't available in this environment, so the decode
-  * boundary is STUBBED with a deterministic container format, GRF1:
+  * The decode boundary dispatches on the container's magic bytes:
   *
-  *   magic "GRF1" | kind u8 | width i32 BE | height i32 BE | payload
+  *   - **image** assets are REAL PNGs (encoded and decoded with
+  *     `javax.imageio` — pure JDK, no native libs): an 8-bit grayscale
+  *     raster whose pixels are the document's UTF-8 bytes zero-padded to
+  *     width×height. Every image query exercises an actual format parser
+  *     on actual compressed bytes (signature, IHDR, zlib-inflated
+  *     scanlines), not a synthetic header.
+  *   - **audio/video** assets remain STUBBED with the deterministic GRF1
+  *     container (no pure-JDK codec exists for them):
+  *       magic "GRF1" | kind u8 | width i32 BE | height i32 BE | payload
+  *     Swap `decodePayload`'s GRF1 arm for an actual codec (JavaCV,
+  *     ffmpeg-over-pipe) and nothing else changes.
   *
-  * Everything around the stub — binary schema, header parsing, partition
-  * iterators, feature extraction, frame sampling, strided resize — is real
-  * Spark plumbing and is tested; swap `decodePayload` for an actual codec
-  * (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) and nothing else changes.
-  *
-  * Assets are synthesized deterministically from `documents` (payload =
-  * UTF-8 bytes zero-padded to width×height), which keeps the dimension
-  * arithmetic oracle-checkable in plain SQL.
+  * Both containers carry the same raster bytes at the same dimensions
+  * (width = ceil(√n)), which keeps the dimension arithmetic
+  * oracle-checkable in plain SQL even though the PNG bytes themselves are
+  * opaque to DuckDB.
   */
 object Multimodal {
 
@@ -49,25 +54,81 @@ object Multimodal {
     (w, h)
   }
 
-  /** GRF1-encode a byte buffer (the "media file writer"). */
-  def encodePayload(kind: String, data: Array[Byte]): Array[Byte] = {
+  /** Media file writer: image → real PNG, audio/video → GRF1 stub. */
+  def encodePayload(kind: String, data: Array[Byte]): Array[Byte] =
+    if (kind == "image") encodePng(data)
+    else {
+      val (w, h) = dimsFor(data.length)
+      val buf = java.nio.ByteBuffer.allocate(Magic.length + 1 + 8 + w * h)
+      buf.put(Magic)
+      buf.put(kinds.indexOf(kind).toByte)
+      buf.putInt(w)
+      buf.putInt(h)
+      buf.put(data)          // zero-padded to w*h by allocate()
+      buf.array()
+    }
+
+  private val PngMagic: Array[Byte] = Array(0x89.toByte, 'P'.toByte,
+    'N'.toByte, 'G'.toByte, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  // ImageIO's default scratch-file cache turns every in-memory decode
+  // into tmp-dir I/O inside executor tasks; keep codec work on-heap.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode a byte buffer as a REAL grayscale PNG: width = ceil(√n) (the
+    * shared dims formula), pixels = the bytes zero-padded to w×h. PNG
+    * grayscale is lossless, so decode returns exactly these bytes. */
+  def encodePng(data: Array[Byte]): Array[Byte] = {
     val (w, h) = dimsFor(data.length)
-    val buf = java.nio.ByteBuffer.allocate(Magic.length + 1 + 8 + w * h)
-    buf.put(Magic)
-    buf.put(kinds.indexOf(kind).toByte)
-    buf.putInt(w)
-    buf.putInt(h)
-    buf.put(data)          // zero-padded to w*h by allocate()
-    buf.array()
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h,
+      java.util.Arrays.copyOf(data, w * h))
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** The decode STUB boundary: parses GRF1. A production build replaces
-    * this one function with a real codec; signature and everything
-    * downstream stay fixed. Returns None on malformed input (corrupt
-    * media is data, not an exception, at 100 TB). */
+  /** Real PNG decode via javax.imageio (new reader instance per call —
+    * thread-safe inside partition iterators). Non-gray inputs are
+    * converted so the downstream body is always one byte per pixel. */
+  private def decodePng(payload: Array[Byte])
+      : Option[(String, Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gr = g.createGraphics()
+            try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+            g
+          }
+        val body = new Array[Byte](w * h)
+        gray.getRaster.getDataElements(0, 0, w, h, body)
+        Some(("image", w, h, body))
+      }
+    } catch {
+      // Corrupt-but-signed PNGs surface as IIOException, EOF, or decoder
+      // runtime errors depending on where the stream breaks; all of them
+      // mean "not a decodable asset", never "kill the task".
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** The decode boundary: dispatch on magic bytes — real PNG parse for
+    * images, GRF1 stub for audio/video. Returns None on malformed input
+    * (corrupt media is data, not an exception, at 100 TB). */
   def decodePayload(payload: Array[Byte])
       : Option[(String, Int, Int, Array[Byte])] = {
-    if (payload.length < 13 ||
+    if (payload.length >= PngMagic.length &&
+      payload.take(PngMagic.length).sameElements(PngMagic))
+      decodePng(payload)
+    else if (payload.length < 13 ||
       !payload.take(4).sameElements(Magic)) None
     else {
       val buf = java.nio.ByteBuffer.wrap(payload)

@@ -32,5 +32,9 @@ object Json {
     * in the engine, and it sits behind the top-k limit, so the collect is
     * k rows, never the relation. */
   def toItemsJson(df: DataFrame): String =
-    df.toJSON.collect().mkString("{\"items\": [", ", ", "]}")
+    s"""{"items": ${toItemsArray(df)}}"""
+
+  /** The bare items array (graft.Serve composes it with took_ms). */
+  def toItemsArray(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ", ", "]")
 }

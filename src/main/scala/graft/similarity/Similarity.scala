@@ -239,12 +239,25 @@ object Similarity {
 
   /** IVF ANN top-k: KMeans-partition the vectors (the "inverted file"),
     * probe only the nprobe centroids nearest the seed, exact-rerank inside
-    * the probed partitions. At scale the cluster id becomes the parquet
-    * partition key, so a probe reads nprobe/k of the data. No SQL oracle —
-    * recall vs cosineTopK is asserted in ScalaTest. */
+    * the probed partitions. The index IS a cluster-partitioned parquet
+    * layout (`…/cluster=17/part-*.parquet`), so a probe's
+    * `cluster IN (…)` lands as a PartitionFilter on the scan — only
+    * nprobe/k of the files are ever listed or read (plan-asserted in
+    * SimilaritySpec). No SQL oracle — recall vs cosineTopK is asserted in
+    * ScalaTest. */
+  /** Cluster count for an auto-sized index: the classic IVF balance point
+    * √N (each cell holds ~√N vectors, a probe scans ~nprobe·√N rows) —
+    * 23 cells at 500 vectors, ~30k at 10⁹; never below 4 so the probe
+    * set stays a strict subset even on toy fixtures. */
+  private def autoClusters(total: Long): Int =
+    math.max(4, math.ceil(math.sqrt(total.toDouble)).toInt)
+
   /** The trained partitioner (the "inverted file") is index state, not
-    * per-query work — memoize per (session, dir, nClusters) like a vector
-    * store would persist its centroids + assignments. */
+    * per-query work — memoized per (session, dir, nClusters) AND
+    * persisted as a cluster-partitioned parquet layout, exactly what a
+    * vector store materializes: centroids (tiny, on the driver like any
+    * index metadata) + assignments (the data, partitioned by cell).
+    * nClusters ≤ 0 → auto-size to √N. */
   private def ivfIndex(spark: SparkSession, dir: String, nClusters: Int)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
     graft.Memo.get(spark, "ivf-index", (dir, nClusters)) {
@@ -259,22 +272,36 @@ object Similarity {
         // 100 TB training on everything is the anti-pattern. Assignment
         // below still covers every vector.
         val total = e.count()
+        val kCells = if (nClusters > 0) nClusters else autoClusters(total)
         val trainFraction = math.min(1.0, 100000.0 / math.max(1L, total))
         val train =
           if (trainFraction >= 1.0) e else e.sample(trainFraction, 42L)
-        val model = new KMeans().setK(nClusters).setSeed(42L)
+        val model = new KMeans().setK(kCells).setSeed(42L)
           .setFeaturesCol("features").fit(train)
-        val assigned = model.transform(e)
+        // Materialize the inverted file as a cluster-partitioned layout
+        // (fixed per-input path + overwrite — reruns replace, never
+        // accumulate). Reading it back makes `cluster` a partition
+        // column, so probe filters prune at file-listing time.
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$dir#$kCells".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-$tag").toString
+        model.transform(e)
           .withColumnRenamed("prediction", "cluster")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (model, assigned)
+          .select("vec_id", "label", "embedding", "cluster")
+          .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
+        (model, spark.read.parquet(idxDir))
       }
     }
 
   def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
-              k: Int = 20, nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+              k: Int = 20, nClusters: Int = 0, nProbe: Int = 4): DataFrame = {
     val (model, assigned) = ivfIndex(spark, dir, nClusters)
-    val seedRow = assigned.filter(col("vec_id") === seedId)
+    // Seed lookup hits the SOURCE table (id-filtered, pushdown scan), not
+    // the index — a vec_id filter on the cluster-partitioned index would
+    // list every cell.
+    val seedRow = emb(spark, dir).filter(col("vec_id") === seedId)
       .select("embedding").collect().headOption
     if (seedRow.isEmpty) {
       // Missing seed degrades to empty, matching cosineTopK (and the
@@ -295,7 +322,7 @@ object Similarity {
         else dot / (cn * seedNorm))
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    val seed = assigned.filter(col("vec_id") === seedId)
+    val seed = emb(spark, dir).filter(col("vec_id") === seedId)
       .select(col("embedding").as("se"))
     assigned.filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= seedId)

@@ -18,6 +18,24 @@ class MultimodalSpec extends SparkTestBase {
     assert((w, h) == Multimodal.dimsFor(data.length))
   }
 
+  test("image assets are real PNGs: signature, independent parse, lossless body") {
+    val data = "the quick brown fox".getBytes("UTF-8")
+    val enc = Multimodal.encodePayload("image", data)
+    // A real PNG container, not a synthetic header.
+    assert(enc.take(8).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte, 0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte)))
+    // An independent ImageIO parse agrees on the dims formula.
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert((img.getWidth, img.getHeight) == Multimodal.dimsFor(data.length))
+    // Grayscale PNG is lossless: the decode boundary returns the raster.
+    val Some((kind, w, h, body)) = Multimodal.decodePayload(enc)
+    assert(kind == "image" && (w, h) == Multimodal.dimsFor(data.length))
+    assert(body.take(data.length).sameElements(data))
+    assert(body.drop(data.length).forall(_ == 0))
+    // Truncated PNG (valid signature, broken stream) degrades to None.
+    assert(Multimodal.decodePayload(enc.take(20)).isEmpty)
+  }
+
   test("malformed payloads decode to None, and the pipeline drops them") {
     import spark.implicits._
     assert(Multimodal.decodePayload(Array[Byte](1, 2, 3)).isEmpty)

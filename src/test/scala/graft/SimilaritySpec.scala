@@ -44,6 +44,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF auto-sizes to ~sqrt(N) cells and keeps recall at the same probe fraction") {
+    // 500 vectors → 23 cells; probe half of them, like the 8/16 test above.
+    val exact = Similarity.cosineTopK(spark, dir, 0L, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    val ann = Similarity.ivfTopK(spark, dir, 0L, k = 20, nClusters = 0,
+      nProbe = 12).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("IVF probes prune at file-listing time: cluster is a partition key") {
+    val df = Similarity.ivfTopK(spark, dir, 0L, k = 20, nClusters = 16,
+      nProbe = 4)
+    df.collect() // populate scan metrics
+    // AQE wraps stages; plain collect() stops at stage boundaries.
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    // The index scan carries the probe set as a PartitionFilter …
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(pruned.nonEmpty, "no partition-filtered scan in the IVF plan:\n" +
+      df.queryExecution.executedPlan.toString)
+    // … and actually read only the probed cells, not the corpus: at
+    // 10⁹ vectors this is the difference between scanning nprobe·√N rows
+    // and scanning everything.
+    val partsRead = pruned.head.metrics("numPartitions").value
+    assert(partsRead == 4, s"expected 4 probed cells, read $partsRead")
+  }
+
   test("label centroids: fold tree matches the exact mean and a hand fold") {
     // Semantic check: tree-fold mean ≈ exact mean (fp error only).
     val rows = Similarity.labelCentroids(spark, dir).collect()
