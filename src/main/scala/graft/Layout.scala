@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization that keeps a physical layout VISIBLE to downstream
+  * plans.
+  *
+  * `localCheckpoint(eager = true)` captures the physical plan's
+  * outputPartitioning/outputOrdering into the LogicalRDD it leaves
+  * behind — but under AQE the physical plan is an AdaptiveSparkPlanExec,
+  * which reports Unknown partitioning, so the captured layout is Unknown
+  * and every downstream consumer re-shuffles and re-sorts what was
+  * already partitioned and sorted. Measured on one rank-propagation
+  * round (PlanProbe): 4 exchanges + 2 sorts with the naive checkpoint vs
+  * 1 exchange + 1 sort with this one — and the extra exchanges are on
+  * the EDGE side, i.e. the 100 TB relation re-shuffling per iteration.
+  *
+  * A layout checkpoint therefore materializes with AQE disabled for just
+  * that job: a static `repartition + sortWithinPartitions` plan needs no
+  * runtime re-planning, and the resulting LogicalRDD faithfully reports
+  * hashpartitioning + sort order, which is what makes iterative state
+  * joins exchange-free on the static side (the local twin of a bucketed
+  * warehouse table; asserted in PlanAuditSpec).
+  */
+object Layout {
+  def checkpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try df.localCheckpoint(true)
+    finally spark.conf.set(key, prev)
+  }
+}

@@ -83,51 +83,59 @@ object GraphAlgs {
   }
 
   /** Node-id relation hash-partitioned by id and materialized via
-    * localCheckpoint — the shared "left side" of every per-node state
-    * join below. localCheckpoint, NOT persist: under AQE a cached
-    * plan's partitioning is opaque to later queries (InMemoryRelation
-    * wraps a not-yet-final AdaptiveSparkPlan), so EnsureRequirements
-    * re-shuffles consumers; the checkpointed LogicalRDD reports its
-    * hashpartitioning (and sort order) faithfully, which is what makes
-    * every propagation round's state join exchange-free. */
+    * [[graft.Layout.checkpoint]] — the shared "left side" of every
+    * per-node state join below. Neither persist (InMemoryRelation wraps
+    * a not-yet-final AdaptiveSparkPlan — partitioning opaque) nor a
+    * naive localCheckpoint (AQE reports Unknown partitioning at capture
+    * time) keeps the layout visible; the AQE-off checkpoint does, which
+    * is what makes every propagation round's state join exchange-free. */
   private[graft] def nodesById(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "nodes-by-id", dir) {
       val n = spark.sessionState.conf.numShufflePartitions
-      GraphBuilder.nodes(spark, dir).select("id")
-        .repartition(n, col("id"))
-        .localCheckpoint(true)
+      graft.Layout.checkpoint(
+        GraphBuilder.nodes(spark, dir).select("id")
+          .repartition(n, col("id")))
     }
 
-  /** Static edge relation with per-src outdegree, hash-partitioned AND
-    * sorted by src, persisted: the per-iteration state join is then an
-    * exchange-free sort-merge join (state arrives hash-partitioned by
-    * id from the previous round's groupBy — neither side moves, and the
-    * cached sort order means only the small state side re-sorts). This
-    * is the local twin of a bucketed-by-src warehouse table. The 100 TB
-    * side never reshuffles across iterations; the one per-iteration
-    * exchange is the contributions fold keyed by dst — the unavoidable
-    * shuffle every scalable PageRank pays. */
-  private[graft] def rankEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.get(spark, "fixed-ranks-edges", dir) {
+  /** Static edge relation with per-src outdegree, layout chosen by the
+    * state-join strategy ([[stateCoPartitioned]]) and pinned once via
+    * [[graft.Layout.checkpoint]]:
+    *
+    *   - `bySrc = true` (big-|V| co-partitioned rounds): partitioned AND
+    *     sorted by src — the per-iteration state join is an exchange-free
+    *     sort-merge join (state arrives hash-partitioned by id from the
+    *     previous round; neither side moves, only the state re-sorts).
+    *     The local twin of a bucketed-by-src warehouse table; the one
+    *     per-round exchange is the contributions fold keyed by dst.
+    *   - `bySrc = false` (small-|V| broadcast rounds): partitioned by
+    *     dst — the state arrives by broadcast, so the per-dst fold
+    *     aggregates IN PLACE and the round runs with zero exchanges.
+    *
+    * Either way the big relation reshuffles zero times per iteration. */
+  private[graft] def rankEdges(spark: SparkSession, dir: String,
+                               bySrc: Boolean): DataFrame =
+    graft.Memo.get(spark, "fixed-ranks-edges", (dir, bySrc)) {
       val n = spark.sessionState.conf.numShufflePartitions
       val raw = GraphBuilder.edges(spark, dir).select("src", "dst")
-      raw.join(raw.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(n, col("src"))
-        .sortWithinPartitions("src")
-        .localCheckpoint(true) // LogicalRDD keeps layout visible (see nodesById)
+      val joined =
+        raw.join(raw.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      graft.Layout.checkpoint(
+        if (bySrc) joined.repartition(n, col("src")).sortWithinPartitions("src")
+        else joined.repartition(n, col("dst")))
     }
 
-  /** Static undirected distinct edge set, src-partitioned + sorted like
-    * [[rankEdges]] (min-label propagation joins its state on src). */
-  private def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.get(spark, "und-edges", dir) {
+  /** Static undirected distinct edge set, laid out like [[rankEdges]]
+    * (min-label propagation joins its state on src, folds on dst). */
+  private def undirectedEdges(spark: SparkSession, dir: String,
+                              bySrc: Boolean): DataFrame =
+    graft.Memo.get(spark, "und-edges", (dir, bySrc)) {
       val n = spark.sessionState.conf.numShufflePartitions
       val e = GraphBuilder.edges(spark, dir).select("src", "dst")
-      e.unionByName(
+      val und = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-        .repartition(n, col("src"))
-        .sortWithinPartitions("src")
-        .localCheckpoint(true) // LogicalRDD keeps layout visible (see nodesById)
+      graft.Layout.checkpoint(
+        if (bySrc) und.repartition(n, col("src")).sortWithinPartitions("src")
+        else und.repartition(n, col("dst")))
     }
 
   /** G4 — total degree per node, top-k, computed relationally: each edge
@@ -499,31 +507,39 @@ object GraphAlgs {
     * exact 0.0 (every op preserves it — `rank > 0` is a clean
     * cross-engine filter).
     *
-    * Scale shape: NO broadcast of the |V|-sized state anywhere. The
-    * state join is an exchange-free sort-merge join — rank state is
+    * Scale shape: NO unconditional broadcast of the |V|-sized state.
+    * The state-join strategy is gated on the EXACT row count of the
+    * state ([[stateCoPartitioned]]): under the gate (default 2M rows —
+    * tens of MB, safe in any executor; sf0.1's 185k vertices qualify)
+    * the state broadcasts onto the static src-partitioned edges and the
+    * round runs exchange-light, which is strictly faster on a bench-
+    * scale graph. Over the gate — 10⁹–10¹⁰ vertices is 10⁴× over it —
+    * the round switches to an exchange-free sort-merge join: rank state
     * hash-partitioned by id (the previous round's groupBy layout,
-    * preserved through localCheckpoint) and the static edge relation
-    * ([[rankEdges]]) is partitioned + sorted by src once, so neither
-    * side moves and only the state side re-sorts (|V| rows, in
-    * partition). The `merge` hint pins that plan: at 10⁹–10¹⁰ vertices
-    * a broadcast of the rank vector OOMs every executor, so the size
-    * heuristics must not pick it at ANY scale. The one per-iteration
-    * exchange is the |E|-sized contributions fold keyed by dst — the
-    * honest shuffle every scalable PageRank pays. Per-dst collect_list
-    * is bounded by in-degree, with the fixed-fan-in fold tree as the
-    * hot-sink escape hatch. localCheckpoint between iterations keeps
-    * the state concrete (a fully lazy chain re-executes the whole
-    * lineage per level — measured pathological) AND preserves its
-    * partitioning for the next round's joins. Memoized: every query on
-    * the same (dir, seeds, iters) reads one propagation. Bit-parity
-    * with the oracle is layout-independent (the sorted fold fixes the
-    * summation order), so this plan change is invisible to the hashes —
-    * asserted by the oracle rows staying green; the no-broadcast shape
-    * is asserted in PlanAuditSpec. */
+    * preserved through [[graft.Layout.checkpoint]]) against the
+    * partitioned + sorted edge relation ([[rankEdges]]), so the 100 TB
+    * side never moves and only the state re-sorts in partition. The
+    * gate is an exact count, not Spark's byte heuristics — an estimator
+    * cannot see through an iterative loop, which is how an auto-picked
+    * broadcast OOMs at scale; a deployment can force the co-partitioned
+    * path outright with graft.state.broadcast.maxRows=0. The one
+    * per-iteration exchange is the |E|-sized contributions fold keyed
+    * by dst — the honest shuffle every scalable PageRank pays. Per-dst
+    * collect_list is bounded by in-degree, with the fixed-fan-in fold
+    * tree as the hot-sink escape hatch. The layout checkpoint between
+    * iterations keeps the state concrete (a fully lazy chain
+    * re-executes the whole lineage per level — measured pathological)
+    * AND keeps its partitioning visible for the next round's joins.
+    * Memoized: every query on the same (dir, seeds, iters) reads one
+    * propagation. Bit-parity with the oracle is layout-independent (the
+    * sorted fold fixes the summation order), so BOTH join strategies
+    * hash identically — asserted by the oracle rows staying green; both
+    * plan shapes are asserted in PlanAuditSpec. */
   private[graft] def fixedRanks(spark: SparkSession, dir: String,
                                 seeds: Seq[Option[String]], iters: Int): DataFrame =
     graft.Memo.get(spark, "fixed-ranks", (dir, seeds, iters)) {
-      val e = rankEdges(spark, dir)
+      val coPart = stateCoPartitioned(spark, dir)
+      val e = rankEdges(spark, dir, bySrc = coPart)
       val nodes = nodesById(spark, dir)
       val inits = seeds.zipWithIndex.map {
         case (None, j) => lit(1.0).as(s"r$j")
@@ -532,18 +548,42 @@ object GraphAlgs {
       }
       var ranks = nodes.select(col("id") +: inits: _*)
       for (_ <- 1 to iters)
-        ranks = rankStep(e, nodes, ranks, seeds).localCheckpoint(true)
+        ranks = graft.Layout.checkpoint(
+          rankStep(e, nodes, ranks, seeds, coPart))
       ranks
     }
 
+  /** Default gate: 2M state rows ≈ 60 MB for an id + 3 doubles — inside
+    * any executor's broadcast budget with 30× headroom against an 8 GB
+    * heap; one state broadcast is in flight at a time (freed at the next
+    * round's checkpoint). Override with
+    * spark.graft.state.broadcast.maxRows (0 forces co-partitioned rounds
+    * everywhere — what a warehouse deployment pins). */
+  private[graft] def stateBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.state.broadcast.maxRows")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** True when per-node propagation state must co-partition (|V| over
+    * the broadcast gate). Exact count of the checkpointed node relation,
+    * memoized per dir — one cheap job, not an estimate. */
+  private[graft] def stateCoPartitioned(spark: SparkSession,
+                                        dir: String): Boolean =
+    graft.Memo.get(spark, "n-vertices", dir) {
+      nodesById(spark, dir).count()
+    } > stateBroadcastMaxRows(spark)
+
   /** One propagation round, UNcheckpointed — split out so PlanAuditSpec
-    * can assert the no-broadcast join shape on exactly the plan the loop
-    * executes. */
+    * can assert both join shapes on exactly the plan the loop executes:
+    * `coPartition = true` must show a sort-merge state join with ONE
+    * exchange (the contributions fold) and no BroadcastExchange;
+    * `coPartition = false` (small-|V| gate) broadcasts the state. */
   private[graft] def rankStep(e: DataFrame, nodes: DataFrame,
                               ranks: DataFrame,
-                              seeds: Seq[Option[String]]): DataFrame = {
+                              seeds: Seq[Option[String]],
+                              coPartition: Boolean): DataFrame = {
+    val state = ranks.withColumnRenamed("id", "src")
     val contribs = e
-      .join(ranks.withColumnRenamed("id", "src").hint("merge"), "src")
+      .join(if (coPartition) state.hint("merge") else broadcast(state), "src")
       .select(col("dst").as("id") +: seeds.indices.map(j =>
         (col(s"r$j") / col("outdeg")).as(s"c$j")): _*)
     val folds = seeds.indices.map(j =>
@@ -566,45 +606,46 @@ object GraphAlgs {
 
   /** Static weighted edge relation (integer-cent weights — CONTAINS
     * carries quantity, every other family 1.00) with per-src total
-    * outgoing weight; src-partitioned + sorted and persisted like
-    * [[rankEdges]]. */
-  private def weightedRankEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.get(spark, "w-rank-edges", dir) {
+    * outgoing weight; laid out like [[rankEdges]]. */
+  private def weightedRankEdges(spark: SparkSession, dir: String,
+                                bySrc: Boolean): DataFrame =
+    graft.Memo.get(spark, "w-rank-edges", (dir, bySrc)) {
       val n = spark.sessionState.conf.numShufflePartitions
       val e = GraphBuilder.edges(spark, dir).select(col("src"), col("dst"),
         graft.operators.Relational.cents(col("weight")).as("w_c"))
-      e.join(e.groupBy("src").agg(sum("w_c").as("wout_c")), "src")
-        .repartition(n, col("src"))
-        .sortWithinPartitions("src")
-        .localCheckpoint(true) // LogicalRDD keeps layout visible (see nodesById)
+      val joined = e.join(e.groupBy("src").agg(sum("w_c").as("wout_c")), "src")
+      graft.Layout.checkpoint(
+        if (bySrc) joined.repartition(n, col("src")).sortWithinPartitions("src")
+        else joined.repartition(n, col("dst")))
     }
 
   /** Fixed-iteration WEIGHTED PageRank: contribution r·w/Σw along each
     * edge, weights the exact integer cents of the edge relation (so the
     * only float ops are the same r·w_c/wout_c and the sorted per-dst
-    * fold the oracle mirrors — bit-identical doubles). Same
-    * broadcast-free iteration shape as [[fixedRanks]]: the state joins
-    * the src-partitioned static edges by exchange-free sort-merge join.
-    * 5 iterations (not 10): one extra propagation family shouldn't
-    * double the bench's iterative budget, and the oracle unrolls the
-    * same 5. */
+    * fold the oracle mirrors — bit-identical doubles). Same gated
+    * iteration shape as [[fixedRanks]]: broadcast state under the |V|
+    * gate, exchange-free sort-merge state join over it. 5 iterations
+    * (not 10): one extra propagation family shouldn't double the
+    * bench's iterative budget, and the oracle unrolls the same 5. */
   def weightedPageRankTop(spark: SparkSession, dir: String,
                           iters: Int = 5, k: Int = 20): DataFrame = {
-    val e = weightedRankEdges(spark, dir)
+    val coPart = stateCoPartitioned(spark, dir)
+    val e = weightedRankEdges(spark, dir, bySrc = coPart)
     val nodes = nodesById(spark, dir)
     var ranks = nodes.select(col("id"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
+      val state = ranks.withColumnRenamed("id", "src")
       val contribs = e
-        .join(ranks.withColumnRenamed("id", "src").hint("merge"), "src")
+        .join(if (coPart) state.hint("merge") else broadcast(state), "src")
         .select(col("dst").as("id"),
           (col("r") * col("w_c") / col("wout_c")).as("c"))
       val summed = contribs.groupBy("id")
         .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (s, x) => s + x).as("inr"))
-      ranks = nodes.join(summed, Seq("id"), "left")
-        .select(col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      ranks = graft.Layout.checkpoint(
+        nodes.join(summed, Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r")))
     }
     ranks.select(col("id"), col("r").as("rank"))
       .orderBy(desc("rank"), asc("id")).limit(k)
@@ -692,33 +733,35 @@ object GraphAlgs {
     * histogram, the connectedComponentSizes shape. */
   def componentsFixedSizes(spark: SparkSession, dir: String,
                            rounds: Int = 10): DataFrame = {
-    // Static undirected src-partitioned + sorted edge set
-    // ([[undirectedEdges]]): label state arrives hash-partitioned by id,
-    // so the state join is an exchange-free sort-merge join (no |V|
-    // broadcast — the fixedRanks scale posture), the per-dst min is the
-    // one |E|-sized exchange of the round, and the id↔id state join
-    // below is co-partitioned. min(own ∪ nbrs) ≡ least(own, min(nbrs))
-    // on strings (exact, no float order issues), so the formulation
-    // change is invisible to the oracle hash.
-    val und = undirectedEdges(spark, dir)
+    // Static undirected edge set laid out by the fixedRanks state gate:
+    // under the |V| gate the label state broadcasts onto dst-partitioned
+    // edges and the per-dst min folds in place (zero-exchange rounds);
+    // over it the state join is an exchange-free sort-merge join against
+    // the src-sorted layout and the per-dst min is the round's one
+    // exchange. min(own ∪ nbrs) ≡ least(own, min(nbrs)) on strings
+    // (exact, no float order issues), so the formulation is invisible to
+    // the oracle hash either way.
+    val coPart = stateCoPartitioned(spark, dir)
+    val und = undirectedEdges(spark, dir, bySrc = coPart)
     var comp = nodesById(spark, dir)
       .select(col("id"), col("id").as("comp"))
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       r += 1
+      val state = comp.withColumnRenamed("id", "src")
       val minNbrs = und
-        .join(comp.withColumnRenamed("id", "src").hint("merge"), "src")
+        .join(if (coPart) state.hint("merge") else broadcast(state), "src")
         .select(col("dst").as("id"), col("comp").as("ncomp"))
         .groupBy("id").agg(min("ncomp").as("nbr"))
       // least() skips nulls: an isolated node (no row in minNbrs) keeps
       // its own label. The per-row `changed` flag rides along so the
       // convergence probe below is a scan of this checkpoint, not a
       // second join against the previous state.
-      val next = comp.join(minNbrs, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), col("nbr")).as("comp"),
-          (least(col("comp"), col("nbr")) =!= col("comp")).as("changed"))
-        .localCheckpoint(true) // keeps the broadcast lineage concrete
+      val next = graft.Layout.checkpoint(
+        comp.join(minNbrs, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), col("nbr")).as("comp"),
+            (least(col("comp"), col("nbr")) =!= col("comp")).as("changed")))
       // Min-label is monotone: an unchanged round is a fixed point, so
       // every remaining round is a no-op — skipping them returns exactly
       // what the oracle's full unrolling computes.

@@ -198,29 +198,35 @@ object Similarity {
     graft.Memo.get(spark, "srp-dup-assign", (dir, threshold, rounds)) {
       val n = spark.sessionState.conf.numShufflePartitions
       val pairs = srpLshPairsCore(spark, dir, threshold).select("d1", "d2")
-      // Static undirected pair set, partitioned + sorted by d1 once:
-      // each round's state join is then an exchange-free sort-merge
-      // join (state arrives hash-partitioned by id from distinct/
-      // groupBy). No |V|-state broadcast — at corpus scale the dup-pair
-      // member set is itself huge (componentsFixedSizes' posture).
-      val und = pairs.unionByName(
+      val undRaw = pairs.unionByName(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .repartition(n, col("d1"))
-        .sortWithinPartitions("d1")
-        .localCheckpoint(true)
-      var comp = und.select(col("d1").as("id")).distinct()
-        .withColumn("comp", col("id"))
+      val members = undRaw.select(col("d1").as("id")).distinct()
+      // The componentsFixedSizes state gate (spark.graft.state.broadcast
+      // .maxRows), on the EXACT member count: the propagation state is
+      // one row per doc sitting on a verified pair — usually a small
+      // fraction of the corpus, but at 100 TB it can itself be huge.
+      // Under the gate the label state broadcasts onto the
+      // d2-partitioned pair set (zero-exchange rounds); over it the
+      // rounds run as exchange-free sort-merge joins against the
+      // d1-sorted layout, no |members| broadcast anywhere.
+      val coPart =
+        members.count() > graft.graph.GraphAlgs.stateBroadcastMaxRows(spark)
+      val und = graft.Layout.checkpoint(
+        if (coPart) undRaw.repartition(n, col("d1")).sortWithinPartitions("d1")
+        else undRaw.repartition(n, col("d2")))
+      var comp = members.withColumn("comp", col("id"))
       for (_ <- 1 to rounds) {
         // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs; the
-        // per-d2 min fold is the round's one pair-relation-sized
-        // exchange, shared shape with componentsFixedSizes.
+        // per-d2 min fold is in-place under the gate, the round's one
+        // pair-relation-sized exchange over it.
+        val state = comp.withColumnRenamed("id", "d1")
         val minNbrs = und
-          .join(comp.withColumnRenamed("id", "d1").hint("merge"), "d1")
+          .join(if (coPart) state.hint("merge") else broadcast(state), "d1")
           .select(col("d2").as("id"), col("comp").as("ncomp"))
           .groupBy("id").agg(min("ncomp").as("nbr"))
-        comp = comp.join(minNbrs, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
-          .localCheckpoint(true)
+        comp = graft.Layout.checkpoint(
+          comp.join(minNbrs, Seq("id"), "left")
+            .select(col("id"), least(col("comp"), col("nbr")).as("comp")))
       }
       comp
     }

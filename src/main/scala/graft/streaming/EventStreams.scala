@@ -326,29 +326,68 @@ object EventStreams {
         merged.write.mode("overwrite").parquet(dst.toString)
         entries(t) = dst
       }
-      // Publish: write the manifest beside the data, then one atomic
-      // rename to its final name (which never pre-exists in a fresh
-      // generation dir — the portable FileSystem.rename contract).
-      val body = entries.toSeq.sortBy(_._1)
-        .map { case (t, p) => s"$t\t$p" }.mkString("\n")
-      val tmp = new Path(next, Manifest + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, new Path(next, Manifest)))
-        throw new java.io.IOException(s"manifest publish failed for $next")
-      // GC: drop generation dirs referenced by NEITHER the new nor the
-      // previous snapshot. The previous closure is the snapshot-expiry
-      // window — a reader that resolved it just before this publish may
-      // still be mid-read; anything older has survived a full publish
-      // cycle with no possible reader.
-      val retained = (Set(next.getName) ++ cur.map(_.getName) ++
-        entries.values.map(_.getParent.getName) ++
-        curMan.values.map(_.getParent.getName))
-      for (st <- fs.listStatus(root)
-           if st.isDirectory && !retained.contains(st.getPath.getName)
-             && GenName.pattern.matcher(st.getPath.getName).matches())
-        fs.delete(st.getPath, true)
+      publishGeneration(fs, root, next, entries.toMap, cur, curMan)
     } finally { inc.unpersist(); () }
+  }
+
+  /** Commit a built generation: write the manifest beside the data, one
+    * atomic rename to its final name (which never pre-exists in a fresh
+    * generation dir — the portable FileSystem.rename contract), then GC
+    * generation dirs referenced by NEITHER the new nor the previous
+    * snapshot. The previous closure is the snapshot-expiry window — a
+    * reader that resolved it just before this publish may still be
+    * mid-read; anything older has survived a full publish cycle with no
+    * possible reader. */
+  private def publishGeneration(fs: org.apache.hadoop.fs.FileSystem,
+                                root: Path, next: Path,
+                                entries: Map[String, Path],
+                                prevGen: Option[Path],
+                                prevMan: Map[String, Path]): Unit = {
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (t, p) => s"$t\t$p" }.mkString("\n")
+    val tmp = new Path(next, Manifest + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(next, Manifest)))
+      throw new java.io.IOException(s"manifest publish failed for $next")
+    val retained = (Set(next.getName) ++ prevGen.map(_.getName) ++
+      entries.values.map(_.getParent.getName) ++
+      prevMan.values.map(_.getParent.getName))
+    for (st <- fs.listStatus(root)
+         if st.isDirectory && !retained.contains(st.getPath.getName)
+           && GenName.pattern.matcher(st.getPath.getName).matches())
+      fs.delete(st.getPath, true)
+  }
+
+  /** OPTIMIZE pass: rewrite every live partition into a compact file
+    * layout and publish it as a new generation over the same
+    * manifest-commit machinery (readers never block; a crash leaves the
+    * old snapshot live). A long-running incremental store accretes one
+    * small parquet dir per touched partition per microbatch — at scale
+    * the classic small-files collapse (every scan pays per-file open +
+    * listing); this is the Delta/Iceberg OPTIMIZE twin. Runs out-of-band
+    * of the stream (a maintenance job), row-set identity asserted in
+    * StreamingSpec. */
+  def compactEdgeStore(spark: SparkSession, storeDir: String,
+                       filesPerPartition: Int = 1): Unit = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = currentGen(storeDir)
+    val curMan = manifest(storeDir)
+    if (curMan.isEmpty) return
+    val curN = cur.map(_.getName match { case GenName(n) => n.toInt }).get
+    val next = new Path(root, s"v${curN + 1}")
+    if (fs.exists(next)) fs.delete(next, true)
+    val entries = curMan.map { case (t, p) =>
+      val dst = new Path(next, s"rel_type=$t")
+      // In production filesPerPartition derives from target file size
+      // (bytes/128 MB); the mechanism — coalesce, not repartition: a
+      // rewrite must not shuffle — is the same at any size.
+      spark.read.parquet(p.toString).coalesce(filesPerPartition)
+        .write.mode("overwrite").parquet(dst.toString)
+      t -> dst
+    }
+    publishGeneration(fs, root, next, entries, cur, curMan)
   }
 
   def maintainEdgeStore(events: DataFrame, storeDir: String)

@@ -102,20 +102,48 @@ class PlanAuditSpec extends SparkTestBase {
       s"l_shipdate not pushed in:\n$plan")
   }
 
-  test("rank-state iteration never broadcasts the |V| state") {
-    // The scale-killer audit: at 10⁹ vertices a per-iteration broadcast
-    // of the rank vector OOMs every executor. Audit exactly the plan the
-    // loop executes (rankStep, pre-checkpoint): the state join must be a
-    // sort-merge join with NO BroadcastExchange anywhere in the round.
+  test("co-partitioned rank rounds: SMJ state join, one exchange, no broadcast") {
+    // The scale-killer audit: at 10⁹ vertices (always over the state
+    // gate) a per-iteration broadcast of the rank vector OOMs every
+    // executor. Audit exactly the plan the loop executes over the gate
+    // (rankStep with coPartition = true, pre-checkpoint): the state join
+    // must be a sort-merge join with NO BroadcastExchange in the round.
     import org.apache.spark.sql.functions.lit
-    val e = graph.GraphAlgs.rankEdges(spark, dir)
+    val e = graph.GraphAlgs.rankEdges(spark, dir, bySrc = true)
     val nodes = graph.GraphAlgs.nodesById(spark, dir)
     val init = nodes.select(col("id"), lit(1.0).as("r0"))
-    val step = graph.GraphAlgs.rankStep(e, nodes, init, Seq(None))
+    val step = graph.GraphAlgs.rankStep(e, nodes, init, Seq(None),
+      coPartition = true)
     val plan = step.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"),
       s"state join is not a sort-merge join:\n$plan")
     assert(!plan.contains("BroadcastExchange"),
       s"rank state is broadcast:\n$plan")
+    // Exactly ONE shuffle per round — the contributions fold keyed by
+    // dst, the honest exchange every scalable PageRank pays. A second
+    // exchange means the static edge layout went invisible (the AQE
+    // checkpoint capture bug Layout.checkpoint exists for) and the
+    // 100 TB side is re-shuffling per iteration.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 exchange (contributions fold), found $exchanges:\n$plan")
+  }
+
+  test("gated rank rounds: small |V| broadcasts state, edges never move") {
+    // Under the gate the same round runs broadcast-state against the
+    // dst-partitioned layout: zero hashpartitioning exchanges (the
+    // per-dst fold aggregates in place on the static layout).
+    import org.apache.spark.sql.functions.lit
+    val e = graph.GraphAlgs.rankEdges(spark, dir, bySrc = false)
+    val nodes = graph.GraphAlgs.nodesById(spark, dir)
+    val init = nodes.select(col("id"), lit(1.0).as("r0"))
+    val step = graph.GraphAlgs.rankStep(e, nodes, init, Seq(None),
+      coPartition = false)
+    val plan = step.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"small-state round did not broadcast:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0,
+      s"expected 0 exchanges under the broadcast gate, found $exchanges:\n$plan")
   }
 }

@@ -336,7 +336,8 @@ class StreamingSpec extends SparkTestBase {
       val before = EventStreams.edgeStore(spark, store).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       // Simulate a crash after the next build started but BEFORE publish:
-      // a partial v2 exists, _CURRENT still points at v1.
+      // a partial v2 exists with no _MANIFEST commit marker, so v1 stays
+      // the live snapshot.
       val partial = new java.io.File(store, "v2/rel_type=VIEWED")
       partial.mkdirs()
       java.nio.file.Files.write(
@@ -353,6 +354,40 @@ class StreamingSpec extends SparkTestBase {
       val batch = EventStreams.dedupedBehavioralEdges(seedEventsDf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(stored == batch && batch.size == 5)
+    } finally q.stop()
+  }
+
+  test("edge store compaction rewrites partitions compactly, identical rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-edges-opt")
+      .resolve("store").toString
+    val mem = MemoryStream[SeedFixture.Event]
+    val q = EventStreams.maintainEdgeStore(mem.toDF(), store)
+    try {
+      // Several microbatches → several touched-partition rewrites.
+      SeedFixture.events.foreach { e =>
+        mem.addData(e); q.processAllAvailable()
+      }
+      val before = EventStreams.edgeStore(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val genBefore = EventStreams.currentGen(store).get.getName
+      EventStreams.compactEdgeStore(spark, store)
+      // A NEW generation, same rows, and every live partition now holds
+      // exactly one data file.
+      assert(EventStreams.currentGen(store).get.getName != genBefore)
+      val after = EventStreams.edgeStore(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(after == before && before.size == 5)
+      val man = EventStreams.manifest(store)
+      man.values.foreach { p =>
+        val files = new java.io.File(p.toUri.getPath).listFiles()
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"$p not compacted: ${files.length} files")
+      }
+      // An empty compaction on an empty store is a no-op, not a crash.
+      EventStreams.compactEdgeStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-empty").toString)
     } finally q.stop()
   }
 
