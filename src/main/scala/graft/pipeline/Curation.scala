@@ -67,6 +67,48 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** Per-source (domain-level) corpus mix report — the audit a pipeline
+    * runs before choosing domain weights: volume, language spread, exact
+    * duplicate mass, and mean quality per source. Quality is summed as
+    * EXACT micro-units (quality is round(·,6), so quality·10⁶ is
+    * integer-valued): the per-source aggregation is a plain combinable
+    * long sum — no per-group list, no hot-source sink when one domain
+    * holds billions of docs — and the mean is two double divisions both
+    * engines replay bit-identically. */
+  def sourceMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(encode(col("text"), "UTF-8")).as("fp"))
+      .join(q, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("fp")).as("n_unique_texts"),
+        sum(col("n_chars")).as("total_chars"),
+        ((sum(col("q6")).cast("double") / lit(1000000.0)) / count(lit(1)))
+          .as("mean_quality"))
+      .orderBy("source")
+  }
+
+  /** Per-source contribution cap: at most `cap` docs per source, chosen
+    * in deterministic md5 order — the over-represented-domain guard of
+    * mixture design ([[stratifiedSample]]'s shape keyed by domain
+    * instead of language; same per-group top-k, never a global sort). */
+  def sourceCapSample(spark: SparkSession, dir: String,
+                      cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select("doc_id", "source")
+      .orderBy("source", "doc_id")
+  }
+
   /** Language rebalancing (data mixing): the dominant language keeps
     * only `keepPct`% of its docs — selected by the same deterministic
     * hash bucket as the splits, so the subsample is reproducible and the

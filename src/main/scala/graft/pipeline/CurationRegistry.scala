@@ -32,7 +32,9 @@ object CurationRegistry {
       "curate_full" -> ((s, d) => Curation.curateFull(s, d)),
       "forget_cascade" -> ((s, d) => Curation.forgetCascadeReport(s, d)),
       "mixture_quality_weighted" -> ((s, d) =>
-        Curation.qualityWeightedCounts(s, d))
+        Curation.qualityWeightedCounts(s, d)),
+      "source_mix_report" -> ((s, d) => Curation.sourceMixReport(s, d)),
+      "source_cap_sample" -> ((s, d) => Curation.sourceCapSample(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -66,6 +68,32 @@ object CurationRegistry {
            |  count(CASE WHEN $BucketSql < quality * 100.0 THEN 1 END) AS n_kept
            |FROM documents JOIN quality USING (doc_id)
            |GROUP BY lang ORDER BY lang""".stripMargin,
+      // Quality travels as exact micro-units (round(·,6)·10⁶ is integer-
+      // valued) so the per-source mean is integer-sum + two double
+      // divisions — identical fp ops in both engines, no list fold.
+      "source_mix_report" ->
+        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+           |FROM documents),
+           |q6 AS (SELECT doc_id,
+           |  CAST(round(round(least(n_tokens / 100.0, 1.0) *
+           |    (1.0 - stop_hits * 1.0 / n_tokens), 6) * 1000000.0) AS BIGINT)
+           |    AS q6
+           |FROM q)
+           |SELECT d.source, count(*) AS n_docs,
+           |  count(DISTINCT d.lang) AS n_langs,
+           |  count(DISTINCT md5(d.text)) AS n_unique_texts,
+           |  sum(d.n_chars) AS total_chars,
+           |  (CAST(sum(q6.q6) AS DOUBLE) / 1000000.0) / count(*)
+           |    AS mean_quality
+           |FROM documents d JOIN q6 USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      "source_cap_sample" ->
+        """SELECT doc_id, source FROM documents
+          |QUALIFY row_number() OVER (PARTITION BY source
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+          |ORDER BY source, doc_id""".stripMargin,
       // The full release gate: curate_corpus's three text gates + the
       // near-dup representative drop (SimilarityRegistry's assignment
       // propagation, vec_id ↔ doc_id) + the contamination gate

@@ -77,6 +77,37 @@ class CurationSpec extends SparkTestBase {
     assert(nVictims > 0)
   }
 
+  test("source mix report: exact counts per source, mean quality equals the brute mean") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.sourceMixReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) <= r.getLong(1)) // langs, uniques
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // Brute-force the mean for one source from the per-doc scores.
+    val src = rows.head.getString(0)
+    val ids = graft.Tables.load(spark, dir, "documents")
+      .filter(col("source") === src).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val qs = graft.text.TextAnalysis.qualityScore(spark, dir).collect()
+      .filter(r => ids(r.getLong(0))).map(r => math.round(r.getDouble(4) * 1e6))
+    val expect = (qs.sum.toDouble / 1e6) / qs.length
+    assert(math.abs(rows.head.getDouble(5) - expect) < 1e-12)
+  }
+
+  test("source cap sample keeps at most cap docs per source, deterministically") {
+    val s1 = Curation.sourceCapSample(spark, dir, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val s2 = Curation.sourceCapSample(spark, dir, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSeq == s2.toSeq) // deterministic
+    val perSource = s1.groupBy(_._2).map(_._2.length)
+    assert(perSource.forall(_ <= 10) && s1.nonEmpty)
+  }
+
   test("full release gate is curate minus near-dup members and contaminated docs") {
     import org.apache.spark.sql.functions.col
     val base = Curation.curate(spark, dir).collect()
