@@ -38,6 +38,13 @@ object Bench {
     val failed = results.count(_._2 < 0)
     if (failed > 0)
       System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed")
+    // Host load (1-min avg) at the end of the run: timings on this box
+    // swing 2-4× under background load (measured: the same query 1.7 s
+    // quiet vs 8.0 s loaded within one hour), so the artifact carries
+    // the context needed to judge cross-run comparisons. -1 if the
+    // platform bean can't report.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // total excludes failures (a broken query must not shrink it to look
     // like a speedup), so machine consumers need the failure count IN the
     // JSON, not just on stderr.
@@ -50,7 +57,7 @@ object Bench {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed$extra,"queries":$body,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"load_avg":${fmt(loadAvg, 2)}$extra,"queries":$body,"sf":"$sfDir"}"""
     }
     // Full-precision per-query record → a repo file (the harness only
     // captures a bounded stdout tail, which the full map overflows).
@@ -59,7 +66,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"queries":$fullBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$loadAvg,"n_queries":${results.size},"queries":$fullBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full dump failed: $e")
     }

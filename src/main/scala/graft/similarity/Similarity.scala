@@ -264,8 +264,18 @@ object Similarity {
     * vector store materializes: centroids (tiny, on the driver like any
     * index metadata) + assignments (the data, partitioned by cell).
     * nClusters ≤ 0 → auto-size to √N. */
+  /** Assign vectors to a model's cells, in the index row layout. */
+  private def assignCells(model: org.apache.spark.ml.clustering.KMeansModel,
+                          vectors: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    model.transform(vectors.withColumn("features",
+        array_to_vector(col("embedding").cast("array<double>"))))
+      .withColumnRenamed("prediction", "cluster")
+      .select("vec_id", "label", "embedding", "cluster")
+  }
+
   private def ivfIndex(spark: SparkSession, dir: String, nClusters: Int)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame, String) =
     graft.Memo.get(spark, "ivf-index", (dir, nClusters)) {
       locally {
         import org.apache.spark.ml.clustering.KMeans
@@ -293,17 +303,33 @@ object Similarity {
           .map("%02x".format(_)).mkString.take(12)
         val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-ivf-$tag").toString
-        model.transform(e)
-          .withColumnRenamed("prediction", "cluster")
-          .select("vec_id", "label", "embedding", "cluster")
+        assignCells(model, emb(spark, dir))
           .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
-        (model, spark.read.parquet(idxDir))
+        (model, spark.read.parquet(idxDir), idxDir)
       }
     }
 
+  /** Incremental index append — the steady-state ingest path of a vector
+    * store: assign NEW vectors to the EXISTING centroids (no retrain; a
+    * periodic rebuild re-fits when drift warrants — [[centroidShift]] is
+    * the trigger metric) and append them into the same
+    * cluster-partitioned layout, touching only the cells they land in.
+    * Returns a FRESH reader over the grown index: parquet file listings
+    * are snapshotted per read, so consumers re-open after an append the
+    * way a vector store bumps its index version. Test-verified
+    * (SimilaritySpec): appended vectors land in the cells the model
+    * assigns and become probe-visible. */
+  def ivfAppend(spark: SparkSession, dir: String, newVectors: DataFrame,
+                nClusters: Int = 0): DataFrame = {
+    val (model, _, idxDir) = ivfIndex(spark, dir, nClusters)
+    assignCells(model, newVectors)
+      .write.mode("append").partitionBy("cluster").parquet(idxDir)
+    spark.read.parquet(idxDir)
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
               k: Int = 20, nClusters: Int = 0, nProbe: Int = 4): DataFrame = {
-    val (model, assigned) = ivfIndex(spark, dir, nClusters)
+    val (model, assigned, _) = ivfIndex(spark, dir, nClusters)
     // Seed lookup hits the SOURCE table (id-filtered, pushdown scan), not
     // the index — a vec_id filter on the cluster-partitioned index would
     // list every cell.

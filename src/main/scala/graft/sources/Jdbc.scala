@@ -93,7 +93,10 @@ object Jdbc {
           graft.operators.Relational.cents(col("o_totalprice"))
             .as("total_cents"))
         .coalesce(4)
-        .write.mode("overwrite").jdbc(url, "orders", props())
+        // 10k-row insert batches: the default 1000 pays 10× the
+        // per-round-trip latency on a bulk seed.
+        .write.mode("overwrite")
+        .jdbc(url, "orders", props("batchsize" -> "10000"))
       url
     }
 

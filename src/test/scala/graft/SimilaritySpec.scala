@@ -54,6 +54,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("IVF append: new vectors land in model-assigned cells, base rows intact") {
+    import org.apache.spark.sql.functions.col
+    // Distinct cell count → own index dir, so appends never pollute the
+    // shared default index other tests and the registry row read.
+    val k = 7
+    Similarity.ivfTopK(spark, dir, 0L, k = 5, nClusters = k, nProbe = k)
+      .collect() // force the index build
+    val newVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+      .limit(50)
+    val grown = Similarity.ivfAppend(spark, dir, newVecs, nClusters = k)
+    val appended = grown.filter(col("vec_id") >= 100000L)
+    // All 50 arrived (repeat-run tolerant: distinct ids), the 500 base
+    // rows are untouched, and every appended row sits in a valid cell.
+    assert(appended.select("vec_id").distinct().count() == 50)
+    assert(grown.count() - appended.count() == 500)
+    assert(appended.select("cluster").distinct().collect()
+      .forall(r => r.getInt(0) >= 0 && r.getInt(0) < k))
+  }
+
   test("IVF probes prune at file-listing time: cluster is a partition key") {
     val df = Similarity.ivfTopK(spark, dir, 0L, k = 20, nClusters = 16,
       nProbe = 4)
