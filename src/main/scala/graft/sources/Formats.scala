@@ -59,4 +59,48 @@ object Formats {
       .unionByName(aggOf(readJsonl(spark, s"$base/jsonl", ev.schema), "jsonl"))
       .orderBy("fmt", "event_type")
   }
+
+  /** PERMISSIVE JSONL read: malformed records land whole in
+    * `_corrupt_record` instead of killing the scan — the S2 posture at
+    * ROW granularity (at 100 TB corrupt lines are data to account for,
+    * not exceptions to die on). */
+  def readJsonlTolerant(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame = {
+    val withCorrupt = schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Corrupt-tolerant ingest, oracle-exactly: write the events as JSONL
+    * with every 97th event_id deterministically mangled (a non-JSON
+    * prefix), read back PERMISSIVE, and account good vs corrupt rows +
+    * the exact-cents sum of the good ones. The oracle never sees the
+    * file — it predicts the same numbers from the corruption RULE over
+    * the parquet original, so a reader that drops, duplicates, or
+    * mis-buckets any row hash-fails. */
+  def tolerantJsonlCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-fmt-tol-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)).toString
+    val line = to_json(struct(ev.columns.map(col): _*))
+    ev.select(
+        when(col("event_id") % 97 === 0, concat(lit("NOTJSON"), line))
+          .otherwise(line).as("value"))
+      .write.mode("overwrite").text(base)
+    val schema = StructType(ev.schema.fields.toIndexedSeq)
+    val read = readJsonlTolerant(spark, base, schema)
+    read.agg(
+      count(lit(1)).as("n_total"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      count(col("event_id")).as("n_good"),
+      (sum(graft.operators.Relational.cents(col("value"))) / lit(100.0))
+        .as("sum_value_good"))
+  }
 }

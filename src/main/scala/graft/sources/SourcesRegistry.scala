@@ -10,7 +10,8 @@ object SourcesRegistry {
     queries = Map(
       "source_roundtrip_counts" -> ((s, d) => Formats.roundTripCounts(s, d)),
       "source_jdbc_counts" -> ((s, d) => Jdbc.ordersJdbcCounts(s, d)),
-      "source_jdbc_lookup" -> ((s, d) => Jdbc.ordersJdbcLookup(s, d))
+      "source_jdbc_lookup" -> ((s, d) => Jdbc.ordersJdbcLookup(s, d)),
+      "source_jsonl_tolerant" -> ((s, d) => Formats.tolerantJsonlCounts(s, d))
     ),
     oracles = Map(
       "source_roundtrip_counts" ->
@@ -36,7 +37,18 @@ object SourcesRegistry {
         """SELECT o_orderkey, o_custkey, o_orderstatus,
           |  CAST(round(o_totalprice * 100) AS BIGINT)
           |    / CAST(100 AS DOUBLE) AS o_totalprice
-          |FROM orders WHERE o_orderkey = 1""".stripMargin
+          |FROM orders WHERE o_orderkey = 1""".stripMargin,
+      // The oracle never reads the corrupted file: it predicts the same
+      // accounting from the corruption rule (every 97th event_id) over
+      // the parquet original.
+      "source_jsonl_tolerant" ->
+        """SELECT count(*) AS n_total,
+          |  count(CASE WHEN event_id % 97 = 0 THEN 1 END) AS n_corrupt,
+          |  count(CASE WHEN event_id % 97 <> 0 THEN 1 END) AS n_good,
+          |  sum(CASE WHEN event_id % 97 <> 0
+          |      THEN CAST(round(value * 100) AS BIGINT) END)
+          |    / CAST(100 AS DOUBLE) AS sum_value_good
+          |FROM events""".stripMargin
     )
   )
 }

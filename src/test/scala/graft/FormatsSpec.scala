@@ -15,6 +15,23 @@ class FormatsSpec extends SparkTestBase {
     assert(jsonl.isEmpty && jsonl.schema == schema)
   }
 
+  test("PERMISSIVE JSONL: corrupt rows are accounted, never fatal, never leaking values") {
+    import org.apache.spark.sql.functions._
+    val row = sources.Formats.tolerantJsonlCounts(spark, dir).head()
+    val nEvents = Tables.load(spark, dir, "events").count()
+    val nCorrupt = Tables.load(spark, dir, "events")
+      .filter(col("event_id") % 97 === 0).count()
+    assert(row.getLong(0) == nEvents)              // every line is a row
+    assert(row.getLong(1) == nCorrupt && nCorrupt > 0)
+    assert(row.getLong(2) == nEvents - nCorrupt)   // good = total - corrupt
+    // Corrupt rows contribute NOTHING to the value sum.
+    val goodSum = Tables.load(spark, dir, "events")
+      .filter(col("event_id") % 97 =!= 0)
+      .agg((sum(graft.operators.Relational.cents(col("value"))) / lit(100.0)))
+      .head().getDouble(0)
+    assert(row.getDouble(3) == goodSum)
+  }
+
   test("CSV and JSONL round-trip the events rows exactly") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, dir, "events")
