@@ -252,29 +252,49 @@ object EventStreams {
     }
   }
 
-  /** The live snapshot: rel_type → data directory (possibly in an older
-    * generation — manifest entries are carried forward in place). */
+  /** All committed (manifest-bearing) generation numbers, ascending.
+    * GC keeps the current and previous snapshots' closures, so this is
+    * also the time-travel window (snapshot expiry, Iceberg-style). */
+  def committedGenerations(storeDir: String): Seq[Int] = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(hconf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .collect { case p @ GenPath(n) if fs.exists(new Path(p, Manifest)) => n }
+      .toSeq.sorted
+  }
+
+  /** Snapshot of one committed generation: rel_type → data directory
+    * (possibly in an older generation — entries carry forward in place). */
+  def manifestAt(storeDir: String, gen: Int): Map[String, Path] = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(hconf())
+    val mp = new Path(new Path(root, s"v$gen"), Manifest)
+    if (!fs.exists(mp)) Map.empty
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
+      val in = fs.open(mp)
+      val body = try { in.readFully(buf); new String(buf, "UTF-8") }
+      finally in.close()
+      body.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(t, p) = line.split("\t", 2)
+        t -> new Path(p)
+      }.toMap
+    }
+  }
+
+  /** The live snapshot. */
   def manifest(storeDir: String): Map[String, Path] =
     currentGen(storeDir) match {
       case None => Map.empty
-      case Some(gen) =>
-        val fs = gen.getFileSystem(hconf())
-        val mp = new Path(gen, Manifest)
-        val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
-        val in = fs.open(mp)
-        val body = try { in.readFully(buf); new String(buf, "UTF-8") }
-        finally in.close()
-        body.split("\n").iterator.filter(_.nonEmpty).map { line =>
-          val Array(t, p) = line.split("\t", 2)
-          t -> new Path(p)
-        }.toMap
+      case Some(gen) => manifestAt(storeDir,
+        gen.getName match { case GenName(n) => n.toInt })
     }
 
-  /** Read the live edge store (empty-but-typed frame before first publish —
-    * the graceful-degradation convention of Tables.loadSafe). The union is
-    * bounded by the rel_type vocabulary, not the data. */
-  def edgeStore(spark: SparkSession, storeDir: String): DataFrame = {
-    val snap = manifest(storeDir)
+  private def readSnapshot(spark: SparkSession,
+                           snap: Map[String, Path]): DataFrame =
     if (snap.isEmpty) {
       import spark.implicits._
       Seq.empty[(Long, Long, String)]
@@ -284,7 +304,21 @@ object EventStreams {
         .select(col("user_id").cast("long"), col("product_id").cast("long"),
           lit(t).as("rel_type"))
     }.reduce(_.unionByName(_))
-  }
+
+  /** Read the live edge store (empty-but-typed frame before first publish —
+    * the graceful-degradation convention of Tables.loadSafe). The union is
+    * bounded by the rel_type vocabulary, not the data. */
+  def edgeStore(spark: SparkSession, storeDir: String): DataFrame =
+    readSnapshot(spark, manifest(storeDir))
+
+  /** Time travel: read the store AS OF a committed generation — free
+    * with manifest commits (a snapshot is just an older manifest), valid
+    * within the GC retention window ([[committedGenerations]]); an
+    * expired generation degrades to the empty typed frame like every
+    * other missing source. */
+  def edgeStoreAt(spark: SparkSession, storeDir: String,
+                  gen: Int): DataFrame =
+    readSnapshot(spark, manifestAt(storeDir, gen))
 
   /** Merge one batch of edges into the versioned store (the foreachBatch
     * body; also directly callable for batch backfill). */

@@ -372,6 +372,16 @@ class StreamingSpec extends SparkTestBase {
       val before = EventStreams.edgeStore(spark, store).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       val genBefore = EventStreams.currentGen(store).get.getName
+      // Time travel: the previous committed generation (inside the GC
+      // retention window) reads as the snapshot it was — a strict subset
+      // of the live edge set here, since batches only ever add edges.
+      val gens = EventStreams.committedGenerations(store)
+      assert(gens.length >= 2)
+      val older = EventStreams.edgeStoreAt(spark, store, gens(gens.length - 2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(older.subsetOf(before) && older.size < before.size)
+      // An expired/never-committed generation degrades to empty.
+      assert(EventStreams.edgeStoreAt(spark, store, 999).isEmpty)
       EventStreams.compactEdgeStore(spark, store)
       // A NEW generation, same rows, and every live partition now holds
       // exactly one data file.
