@@ -100,18 +100,25 @@ object Jdbc {
       url
     }
 
-  /** The registry row: seed, partitioned read-back, exact aggregate.
-    * Bounds come from the parquet min/max (in production: the RDBMS's
-    * own `SELECT min,max` — same two-value query either way); a stale
-    * or loose bound only skews partition sizes, never correctness
-    * (Spark's first/last partitions are unbounded below/above). */
+  /** Partition bounds from the parquet min/max, memoized per dir (in
+    * production: the RDBMS's own `SELECT min,max` — same two-value query
+    * either way); a stale or loose bound only skews partition sizes,
+    * never correctness (Spark's first/last range partitions are
+    * unbounded below/above). */
+  private def orderKeyBounds(spark: SparkSession, dir: String): (Long, Long) =
+    graft.Memo.get(spark, "jdbc-orders-bounds", dir) {
+      val r = graft.Tables.load(spark, dir, "orders")
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+  /** The registry row: seed, partitioned read-back, exact aggregate. */
   def ordersJdbcCounts(spark: SparkSession, dir: String,
                        numPartitions: Int = 8): DataFrame = {
     val url = seedOrders(spark, dir)
-    val bounds = graft.Tables.load(spark, dir, "orders")
-      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val bounds = orderKeyBounds(spark, dir)
     val live = loadJdbc(spark, url, "orders", "o_orderkey",
-      bounds.getLong(0), bounds.getLong(1) + 1, numPartitions,
+      bounds._1, bounds._2 + 1, numPartitions,
       ordersJdbcSchema)
     live.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -128,10 +135,9 @@ object Jdbc {
   def ordersJdbcLookup(spark: SparkSession, dir: String,
                        orderKey: Long = 1L): DataFrame = {
     val url = seedOrders(spark, dir)
-    val bounds = graft.Tables.load(spark, dir, "orders")
-      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val bounds = orderKeyBounds(spark, dir)
     loadJdbc(spark, url, "orders", "o_orderkey",
-      bounds.getLong(0), bounds.getLong(1) + 1, 8, ordersJdbcSchema)
+      bounds._1, bounds._2 + 1, 8, ordersJdbcSchema)
       .filter(col("o_orderkey") === orderKey)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         (col("total_cents") / lit(100.0)).as("o_totalprice"))
