@@ -67,6 +67,43 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** Split-leakage audit: exact-duplicate texts spanning MORE THAN ONE
+    * split — the classic failure of splitting before deduplicating (val/
+    * test contamination by train twins). One fingerprint groupBy; the
+    * summary is a second tiny aggregation over fingerprint groups. */
+  def splitLeakageReport(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(spark, dir, "documents")
+      .select(md5(encode(col("text"), "UTF-8")).as("fp"),
+        splitOf(col("doc_id")).as("split"))
+      .groupBy("fp")
+      .agg(countDistinct(col("split")).as("ns"), count(lit(1)).as("nd"))
+    g.agg(count(lit(1)).as("n_fps"),
+      count(when(col("ns") > 1, 1)).as("n_fps_leaky"),
+      coalesce(sum(when(col("ns") > 1, col("nd"))), lit(0L))
+        .as("n_docs_leaky"))
+  }
+
+  /** Quality-floor calibration: the EXACT threshold that keeps the top
+    * `pct`% of documents by quality — the ⌈n·pct/100⌉-th order statistic
+    * descending (ties by doc_id). Exact global order statistics pay one
+    * global sort; that is the point of a calibration run — the per-batch
+    * scale path is the approx-quantile sketch (`approx_quantiles`), with
+    * this as its audit. */
+  def qualityFloorCalibration(spark: SparkSession, dir: String,
+                              rates: Seq[Int] = Seq(50, 80, 90)): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+    val ranked = q.withColumn("rk", row_number().over(w))
+    val n = broadcast(q.agg(count(lit(1)).as("c")))
+    rates.map { pct =>
+      ranked.crossJoin(n)
+        .filter(col("rk") === ceil(col("c") * pct / lit(100.0)).cast("long"))
+        .select(lit(pct).as("keep_pct"), col("quality").as("floor"))
+    }.reduce(_.unionByName(_)).orderBy("keep_pct")
+  }
+
   /** Per-source (domain-level) corpus mix report — the audit a pipeline
     * runs before choosing domain weights: volume, language spread, exact
     * duplicate mass, and mean quality per source. Quality is summed as

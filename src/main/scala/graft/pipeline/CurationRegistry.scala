@@ -34,7 +34,10 @@ object CurationRegistry {
       "mixture_quality_weighted" -> ((s, d) =>
         Curation.qualityWeightedCounts(s, d)),
       "source_mix_report" -> ((s, d) => Curation.sourceMixReport(s, d)),
-      "source_cap_sample" -> ((s, d) => Curation.sourceCapSample(s, d))
+      "source_cap_sample" -> ((s, d) => Curation.sourceCapSample(s, d)),
+      "split_leakage" -> ((s, d) => Curation.splitLeakageReport(s, d)),
+      "quality_floor_calibration" -> ((s, d) =>
+        Curation.qualityFloorCalibration(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -94,6 +97,38 @@ object CurationRegistry {
           |QUALIFY row_number() OVER (PARTITION BY source
           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
           |ORDER BY source, doc_id""".stripMargin,
+      "split_leakage" ->
+        s"""WITH f AS (SELECT md5(text) AS fp, $SplitSql AS split
+           |           FROM documents),
+           |g AS (SELECT fp, count(DISTINCT split) AS ns, count(*) AS nd
+           |      FROM f GROUP BY fp)
+           |SELECT count(*) AS n_fps,
+           |  count(CASE WHEN ns > 1 THEN 1 END) AS n_fps_leaky,
+           |  coalesce(sum(CASE WHEN ns > 1 THEN nd END), 0) AS n_docs_leaky
+           |FROM g""".stripMargin,
+      "quality_floor_calibration" ->
+        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+           |FROM documents),
+           |quality AS (SELECT doc_id,
+           |  round(least(n_tokens / 100.0, 1.0) *
+           |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
+           |FROM q),
+           |r AS (SELECT quality,
+           |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rk
+           |FROM quality),
+           |n AS (SELECT count(*) AS c FROM quality)
+           |SELECT keep_pct, quality AS floor FROM (
+           |  SELECT 50 AS keep_pct, quality FROM r, n
+           |    WHERE rk = CAST(ceil(c * 50 / 100.0) AS BIGINT)
+           |  UNION ALL
+           |  SELECT 80, quality FROM r, n
+           |    WHERE rk = CAST(ceil(c * 80 / 100.0) AS BIGINT)
+           |  UNION ALL
+           |  SELECT 90, quality FROM r, n
+           |    WHERE rk = CAST(ceil(c * 90 / 100.0) AS BIGINT)
+           |) ORDER BY keep_pct""".stripMargin,
       // The full release gate: curate_corpus's three text gates + the
       // near-dup representative drop (SimilarityRegistry's assignment
       // propagation, vec_id ↔ doc_id) + the contamination gate

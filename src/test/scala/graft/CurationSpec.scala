@@ -108,6 +108,38 @@ class CurationSpec extends SparkTestBase {
     assert(perSource.forall(_ <= 10) && s1.nonEmpty)
   }
 
+  test("split leakage: brute-force parity on exact-dup texts spanning splits") {
+    import org.apache.spark.sql.functions.col
+    val r = Curation.splitLeakageReport(spark, dir).head()
+    // Brute force at fixture scale.
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        Curation.splitOf(col("doc_id")).as("split"))
+      .collect().map(x => (x.getString(1), x.getString(2)))
+    val byText = docs.groupBy(_._1)
+    val leaky = byText.filter(_._2.map(_._2).distinct.length > 1)
+    assert(r.getLong(0) == byText.size && byText.nonEmpty)
+    assert(r.getLong(1) == leaky.size)
+    assert(r.getLong(2) == leaky.values.map(_.length).sum)
+    // A leaky fingerprint spans ≥2 docs by construction.
+    assert(r.getLong(2) >= 2 * r.getLong(1))
+  }
+
+  test("quality floor calibration: exact order statistics, monotone floors") {
+    val rows = Curation.qualityFloorCalibration(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 80, 90))
+    val floors = rows.map(_.getDouble(1))
+    assert(floors(0) >= floors(1) && floors(1) >= floors(2))
+    // Brute force: the ⌈n·p/100⌉-th quality descending (ties by doc_id).
+    val qs = graft.text.TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => (r.getDouble(4), r.getLong(0)))
+      .sortBy { case (q, id) => (-q, id) }
+    Seq(50, 80, 90).zip(floors).foreach { case (p, f) =>
+      val expect = qs(math.ceil(qs.length * p / 100.0).toInt - 1)._1
+      assert(f == expect, s"$p%: $f vs $expect")
+    }
+  }
+
   test("full release gate is curate minus near-dup members and contaminated docs") {
     import org.apache.spark.sql.functions.col
     val base = Curation.curate(spark, dir).collect()
