@@ -67,6 +67,27 @@ object Curation {
       .orderBy("lang", "doc_id")
   }
 
+  /** Sequence-packing audit: per length-bucket doc counts, token mass,
+    * context windows, and padding waste at a fixed context length — the
+    * batching-efficiency report that decides packing strategy (a corpus
+    * of 40-token docs wastes 84% of a 256-token window without packing).
+    * Pure integer arithmetic off one scan: windows = ⌈n/ctx⌉, padding =
+    * windows·ctx − n. */
+  def packingReport(spark: SparkSession, dir: String, ctx: Int = 256,
+                    bucketTokens: Int = 64): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(size(TextAnalysis.tokens).cast("long").as("n"))
+      .select(col("n"),
+        expr(s"n div $bucketTokens").as("bucket"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr(s"(n + ${ctx - 1}) div $ctx")).as("wins"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("wins")).as("n_windows"),
+        sum(col("wins") * ctx - col("n")).as("pad_tokens"))
+      .orderBy("bucket")
+
   /** Split-leakage audit: exact-duplicate texts spanning MORE THAN ONE
     * split — the classic failure of splitting before deduplicating (val/
     * test contamination by train twins). One fingerprint groupBy; the

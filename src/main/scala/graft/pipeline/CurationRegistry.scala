@@ -36,6 +36,7 @@ object CurationRegistry {
       "source_mix_report" -> ((s, d) => Curation.sourceMixReport(s, d)),
       "source_cap_sample" -> ((s, d) => Curation.sourceCapSample(s, d)),
       "split_leakage" -> ((s, d) => Curation.splitLeakageReport(s, d)),
+      "packing_report" -> ((s, d) => Curation.packingReport(s, d)),
       "quality_floor_calibration" -> ((s, d) =>
         Curation.qualityFloorCalibration(s, d))
     ),
@@ -97,6 +98,14 @@ object CurationRegistry {
           |QUALIFY row_number() OVER (PARTITION BY source
           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
           |ORDER BY source, doc_id""".stripMargin,
+      "packing_report" ->
+        s"""WITH t AS (SELECT len($Toks) AS n FROM documents),
+           |w AS (SELECT n, n // 64 AS bucket,
+           |  CASE WHEN n = 0 THEN 0 ELSE (n + 255) // 256 END AS wins
+           |FROM t)
+           |SELECT bucket, count(*) AS n_docs, sum(n) AS total_tokens,
+           |  sum(wins) AS n_windows, sum(wins * 256 - n) AS pad_tokens
+           |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin,
       "split_leakage" ->
         s"""WITH f AS (SELECT md5(text) AS fp, $SplitSql AS split
            |           FROM documents),

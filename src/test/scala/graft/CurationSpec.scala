@@ -108,6 +108,21 @@ class CurationSpec extends SparkTestBase {
     assert(perSource.forall(_ <= 10) && s1.nonEmpty)
   }
 
+  test("packing report: window and padding arithmetic is exact") {
+    val rows = Curation.packingReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val (bucket, nDocs, toks, wins, pad) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      // windows cover the tokens with padding: wins*256 = toks + pad
+      assert(wins * 256 == toks + pad)
+      // every doc in the bucket has tokens inside [bucket*64, bucket*64+63]
+      assert(toks >= bucket * 64 * nDocs && toks < (bucket + 1) * 64 * nDocs)
+    }
+  }
+
   test("split leakage: brute-force parity on exact-dup texts spanning splits") {
     import org.apache.spark.sql.functions.col
     val r = Curation.splitLeakageReport(spark, dir).head()
