@@ -23,6 +23,23 @@ import graft.text.TextAnalysis
   */
 object Curation {
 
+  /** End-of-pipeline materialization: write the released corpus in the
+    * layout training jobs read — partitioned by (split, lang), so a
+    * training phase prunes to its split at file-listing time and mixture
+    * weighting addresses per-language file groups. The released id set
+    * is [[curateFull]]'s (every gate an oracle-verified operator);
+    * payloads re-attach by doc_id key join. Returns the read-back frame
+    * — partition discovery proving the layout. */
+  def writeCurated(spark: SparkSession, dir: String,
+                   outDir: String): DataFrame = {
+    val released = curateFull(spark, dir).select("doc_id", "quality", "split")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    released.join(docs, "doc_id")
+      .write.mode("overwrite").partitionBy("split", "lang").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Value of hex digit p (1-based) of md5(key) via ascii arithmetic —
     * the engine-portable trick shared with Dedup.simhashesMd5. */
   private def hexDigit(h: Column, p: Int): Column = {

@@ -108,6 +108,26 @@ class CurationSpec extends SparkTestBase {
     assert(perSource.forall(_ <= 10) && s1.nonEmpty)
   }
 
+  test("writeCurated materializes the released set partitioned by split and lang") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-curated")
+      .resolve("corpus").toString
+    val back = Curation.writeCurated(spark, dir, out)
+    val released = Curation.curateFull(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(back.collect().map(_.getAs[Long]("doc_id")).toSet == released)
+    // The layout IS split/lang partition dirs …
+    val splits = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(splits.exists(_.startsWith("split=")))
+    // … and a per-split read prunes at file listing, not post-scan.
+    val pruned = back.filter(col("split") === "train")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("split"), s"no pruning:\n$plan")
+    assert(pruned.count() > 0)
+  }
+
   test("packing report: window and padding arithmetic is exact") {
     val rows = Curation.packingReport(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -129,6 +129,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected 1 exchange (contributions fold), found $exchanges:\n$plan")
   }
 
+  test("dedup candidate generation never goes quadratic") {
+    // The LSH/blocking families must join on bucket keys — a
+    // CartesianProduct or nested-loop join anywhere means the candidate
+    // set is all-pairs and the operator dies at corpus scale.
+    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_simhash_pairs", "sim_srp_lsh_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q builds a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q uses a nested-loop join:\n$plan")
+    }
+  }
+
   test("gated rank rounds: small |V| broadcasts state, edges never move") {
     // Under the gate the same round runs broadcast-state against the
     // dst-partitioned layout: zero hashpartitioning exchanges (the
