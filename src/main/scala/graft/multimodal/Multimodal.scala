@@ -19,8 +19,12 @@ import graft.Tables
   *     width×height. Every image query exercises an actual format parser
   *     on actual compressed bytes (signature, IHDR, zlib-inflated
   *     scanlines), not a synthetic header.
-  *   - **audio/video** assets remain STUBBED with the deterministic GRF1
-  *     container (no pure-JDK codec exists for them):
+  *   - **audio** assets are REAL PCM WAVs (`javax.sound.sampled` — pure
+  *     JDK): RIFF container, 8-bit mono samples = the document bytes
+  *     zero-padded to width×height (appended silence), so every audio
+  *     query exercises an actual RIFF/fmt-chunk parser.
+  *   - **video** assets remain STUBBED with the deterministic GRF1
+  *     container (no pure-JDK video codec exists):
   *       magic "GRF1" | kind u8 | width i32 BE | height i32 BE | payload
   *     Swap `decodePayload`'s GRF1 arm for an actual codec (JavaCV,
   *     ffmpeg-over-pipe) and nothing else changes.
@@ -54,9 +58,11 @@ object Multimodal {
     (w, h)
   }
 
-  /** Media file writer: image → real PNG, audio/video → GRF1 stub. */
+  /** Media file writer: image → real PNG, audio → real WAV, video →
+    * GRF1 stub (no pure-JDK video codec exists). */
   def encodePayload(kind: String, data: Array[Byte]): Array[Byte] =
     if (kind == "image") encodePng(data)
+    else if (kind == "audio") encodeWav(data)
     else {
       val (w, h) = dimsFor(data.length)
       val buf = java.nio.ByteBuffer.allocate(Magic.length + 1 + 8 + w * h)
@@ -120,14 +126,56 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** Encode a byte buffer as a REAL PCM WAV (RIFF container, 8-bit
+    * unsigned mono @ 8 kHz): the samples are the bytes zero-padded to
+    * width×height — zero-padding PCM is appended silence, so the shared
+    * dims formula stays recoverable from the frame count alone (with
+    * w = ceil(√n), h = ceil(n/w): w·h ∈ ((w−1)², w²], so
+    * dimsFor(w·h) = (w, h) — the padded length round-trips the dims). */
+  def encodeWav(data: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(data.length)
+    val padded = java.util.Arrays.copyOf(data, w * h)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(padded), fmt, padded.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream(padded.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode via javax.sound.sampled (header parse + PCM frame
+    * extraction — a new stream per call, thread-safe inside partition
+    * iterators). Dims recovered from the frame count (see encodeWav). */
+  private def decodeWav(payload: Array[Byte])
+      : Option[(String, Int, Int, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val body = try ais.readAllBytes() finally ais.close()
+      if (body.isEmpty) None
+      else {
+        val (w, h) = dimsFor(body.length)
+        Some(("audio", w, h, body))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private val RiffMagic: Array[Byte] = "RIFF".getBytes("US-ASCII")
+  private val WaveTag: Array[Byte] = "WAVE".getBytes("US-ASCII")
+
   /** The decode boundary: dispatch on magic bytes — real PNG parse for
-    * images, GRF1 stub for audio/video. Returns None on malformed input
-    * (corrupt media is data, not an exception, at 100 TB). */
+    * images, real WAV parse for audio, GRF1 stub for video. Returns None
+    * on malformed input (corrupt media is data, not an exception, at
+    * 100 TB). */
   def decodePayload(payload: Array[Byte])
       : Option[(String, Int, Int, Array[Byte])] = {
     if (payload.length >= PngMagic.length &&
       payload.take(PngMagic.length).sameElements(PngMagic))
       decodePng(payload)
+    else if (payload.length >= 12 &&
+      payload.take(4).sameElements(RiffMagic) &&
+      payload.slice(8, 12).sameElements(WaveTag))
+      decodeWav(payload)
     else if (payload.length < 13 ||
       !payload.take(4).sameElements(Magic)) None
     else {

@@ -11,11 +11,32 @@ class MultimodalSpec extends SparkTestBase {
 
   test("GRF1 roundtrip: encode → decode preserves kind, dims, payload") {
     val data = "hello multimodal world".getBytes("UTF-8")
-    val enc = Multimodal.encodePayload("audio", data)
+    val enc = Multimodal.encodePayload("video", data)
     val Some((kind, w, h, body)) = Multimodal.decodePayload(enc)
-    assert(kind == "audio")
+    assert(kind == "video")
     assert(w.toLong * h >= data.length && body.take(data.length).sameElements(data))
     assert((w, h) == Multimodal.dimsFor(data.length))
+  }
+
+  test("audio assets are real WAVs: RIFF container, independent parse, lossless PCM") {
+    val data = "pcm payload for the audio codec".getBytes("UTF-8")
+    val enc = Multimodal.encodePayload("audio", data)
+    assert(enc.take(4).sameElements("RIFF".getBytes("US-ASCII")))
+    assert(enc.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")))
+    // Independent javax.sound parse agrees on format and frame count.
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(enc))
+    val (w, h) = Multimodal.dimsFor(data.length)
+    assert(ais.getFrameLength == w.toLong * h)
+    assert(ais.getFormat.getSampleSizeInBits == 8 &&
+      ais.getFormat.getChannels == 1)
+    // Decode boundary returns the PCM body losslessly (padding = silence).
+    val Some((kind, dw, dh, body)) = Multimodal.decodePayload(enc)
+    assert(kind == "audio" && (dw, dh) == (w, h))
+    assert(body.take(data.length).sameElements(data))
+    assert(body.drop(data.length).forall(_ == 0))
+    // Truncated WAV (valid signature, broken stream) degrades to None.
+    assert(Multimodal.decodePayload(enc.take(16)).isEmpty)
   }
 
   test("image assets are real PNGs: signature, independent parse, lossless body") {
