@@ -349,6 +349,45 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Referential-integrity audit across the star schema's FK edges: one
+    * row per relation with its orphan count (child keys with no parent —
+    * including NULL keys, which can never match). Each check is a single
+    * LEFT JOIN against the distinct parent-key set (broadcast-sized dims
+    * here, shuffle-hash on the key at scale) folded to one row — no
+    * per-violation materialization, so a billion orphans cost the same
+    * as zero. The upstream guard of GraphBuilder's endpoint-validated
+    * edges, surfaced as a report. */
+  def fkIntegrityReport(spark: SparkSession, dir: String): DataFrame = {
+    def check(fk: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key))
+        .join(parent.select(col(pkey).as(key)).distinct()
+          .withColumn("_hit", lit(1)), Seq(key), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("_hit").isNull, 1)).as("n_orphans"))
+        .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"))
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    Seq(
+      check("customer.c_nationkey->nation", customer, "c_nationkey",
+        nation, "n_nationkey"),
+      check("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      check("lineitem.l_partkey->part", lineitem, "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"),
+      check("nation.n_regionkey->region", nation, "n_regionkey",
+        region, "r_regionkey"),
+      check("orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey"),
+      check("supplier.s_nationkey->nation", supplier, "s_nationkey",
+        nation, "n_nationkey")
+    ).reduce(_.unionByName(_)).orderBy("fk")
+  }
+
   /** Incremental-view-maintenance shape: aggregate an "old" partition
     * and an appended "new" partition SEPARATELY, then merge the partials
     * — count and sum are mergeable, so the merged result is exactly the

@@ -52,6 +52,7 @@ object RelationalRegistry {
       "incremental_agg_merge" -> ((s, d) =>
         Relational.incrementalAggMerge(s, d)),
       "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
+      "fk_integrity" -> ((s, d) => Relational.fkIntegrityReport(s, d)),
       "event_gap_histogram" -> ((s, d) => EventGaps.gapHistogram(s, d)),
       "scd2_intervals" -> ((s, d) => EventGaps.scd2Intervals(s, d)),
       "dau_cumulative" -> ((s, d) => Cohorts.dauCumulative(s, d)),
@@ -398,6 +399,30 @@ object RelationalRegistry {
              |  count(*) - count($c) AS n_nulls,
              |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
+      // FK orphans per relation: LEFT JOIN the distinct parent keys (a
+      // NULL child key never matches → orphan, mirrored in both engines).
+      "fk_integrity" -> {
+        val fks = Seq(
+          ("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          ("nation.n_regionkey->region", "nation", "n_regionkey",
+            "region", "r_regionkey"),
+          ("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"))
+        fks.map { case (fk, child, key, parent, pkey) =>
+          s"""SELECT '$fk' AS fk, count(*) AS n_rows,
+             |  count(CASE WHEN p.k IS NULL THEN 1 END) AS n_orphans
+             |FROM $child c
+             |LEFT JOIN (SELECT DISTINCT $pkey AS k FROM $parent) p
+             |  ON c.$key = p.k""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
       },
       // The oracle aggregates DIRECTLY; the Spark side merges two
       // partials — hash-match is the mergeability proof.

@@ -399,4 +399,28 @@ object TextAnalysis {
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =
     contamination(spark, dir).filter(!col("is_contaminated"))
       .select("doc_id")
+
+  /** Count-min-sketch heavy hitters: the exact top-k terms next to their
+    * CMS estimates. The sketch builds distributively (per-partition
+    * sketches merge associatively — at 100 TB the sketch pass is the
+    * cheap half and the exact count the audit), with a fixed seed for
+    * determinism. CMS never undercounts (estimate ≥ exact — asserted in
+    * TextSpec); the k-row estimate loop is driver-side behind the top-k
+    * limit, like every serving shim. Rows-only registry entry — the
+    * sketch tier (HLL, quantiles) has no SQL twin. */
+  def heavyHittersCms(spark: SparkSession, dir: String, k: Int = 20,
+                      eps: Double = 0.001,
+                      confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(tokens).as("term"))
+    val cms = toks.stat.countMinSketch("term", eps, confidence, 42)
+    toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("term")).limit(k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        cms.estimateCount(r.getString(0))))
+      .toSeq.toDF("term", "n_exact", "n_cms")
+      .orderBy(desc("n_exact"), asc("term"))
+  }
 }

@@ -39,7 +39,11 @@ object TextRegistry {
       "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d)),
       "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
       "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
-      "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d))
+      "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
+      // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
+      // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
+      "text_heavy_hitters_cms" -> ((s, d) =>
+        TextAnalysis.heavyHittersCms(s, d))
     ),
     oracles = Map(
       "text_token_counts" ->

@@ -234,4 +234,18 @@ class RelationalSpec extends SparkTestBase {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("FK integrity: clean fixture audits clean, row counts match tables") {
+    val rows = operators.Relational.fkIntegrityReport(spark, dir).collect()
+    assert(rows.length == 6)
+    // The generator produces referentially-intact tables.
+    assert(rows.forall(_.getLong(2) == 0L),
+      rows.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(", "))
+    // n_rows is the child cardinality, per relation.
+    val byFk = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFk("orders.o_custkey->customer") ==
+      Tables.load(spark, dir, "orders").count())
+    assert(byFk("lineitem.l_orderkey->orders") ==
+      Tables.load(spark, dir, "lineitem").count())
+  }
 }

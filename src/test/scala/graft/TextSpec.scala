@@ -95,6 +95,23 @@ class TextSpec extends SparkTestBase {
     assert(TextAnalysis.bigramTopOf(docs(1 -> "solo"), 20).count() === 0)
   }
 
+  test("CMS heavy hitters: estimates never undercount and stay tight here") {
+    val rows = TextAnalysis.heavyHittersCms(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS $est < exact $exact")
+      // eps=0.001 over this corpus: collisions add at most ~eps·N mass.
+      assert(est - exact <= math.max(10L, exact / 10))
+    }
+    // Deterministic across runs (fixed sketch seed).
+    val again = TextAnalysis.heavyHittersCms(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
