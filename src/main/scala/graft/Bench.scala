@@ -22,20 +22,67 @@ object Bench {
       // every graph query reads. Propagations and queries stay measured.
       graph.GraphAlgs.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
+    // Shuffle bytes written per query, summed over the executed COUNT
+    // action's exchanges (AQE stages traversed): wall time on a shared
+    // host swings 2-4× with background load, but shuffle volume is a
+    // property of the PLAN — the noise-immune efficiency signal for
+    // cross-run comparison. The count's QueryExecution arrives through a
+    // listener (the action plans its own execution; the query frame's
+    // plan handle never runs), delivered async → bounded poll AFTER the
+    // timing stops. Defensive throughout: metrics must never fail or
+    // skew the bench.
+    val capturedQe = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          if (funcName == "count") capturedQe.set(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    def shuffleBytesOf(
+        qe: org.apache.spark.sql.execution.QueryExecution): Long =
+      try {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan)
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) +
+              e.children.map(walk).sum
+          case other => other.children.map(walk).sum
+        }
+        walk(qe.executedPlan)
+      } catch { case _: Throwable => -1L }
     // Deterministic order keeps per-query numbers comparable across runs.
     // A failed query must NOT look like a fast passing one: log the error
     // and record a -1.0 sentinel no timing can produce.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+      val (elapsed, shuffled) =
+        try {
+          val df = fn(spark, sfDir)
+          capturedQe.set(null)
+          df.count()
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // Poll (outside the timed window) for the async listener event.
+          var waited = 0
+          while (capturedQe.get() == null && waited < 200) {
+            Thread.sleep(10); waited += 1
+          }
+          (elapsed, Option(capturedQe.get()).map(shuffleBytesOf).getOrElse(-1L))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: $e")
-          -1.0
+          (-1.0, -1L)
         }
-      name -> elapsed
+      (name, elapsed, shuffled)
     }
-    val failed = results.count(_._2 < 0)
+    val timings = results.map { case (n, t, _) => (n, t) }
+    val failed = timings.count(_._2 < 0)
     if (failed > 0)
       System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed")
     // Host load (1-min avg) at the end of the run: timings on this box
@@ -48,7 +95,7 @@ object Bench {
     // total excludes failures (a broken query must not shrink it to look
     // like a speedup), so machine consumers need the failure count IN the
     // JSON, not just on stderr.
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = timings.filter(_._2 >= 0).map(_._2).sum
     // Locale-pinned: default-locale %f emits comma decimals on e.g. de_DE,
     // which would make the one stdout JSON line unparseable.
     def fmt(v: Double, decimals: Int) =
@@ -62,11 +109,14 @@ object Bench {
     // Full-precision per-query record → a repo file (the harness only
     // captures a bounded stdout tail, which the full map overflows).
     try {
-      val fullBody = results.map { case (k, v) => "\"" + k + "\":" + v }
+      val fullBody = timings.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val shuffleBody = results
+        .map { case (k, _, s) => "\"" + k + "\":" + s }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$loadAvg,"n_queries":${results.size},"queries":$fullBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$loadAvg,"n_queries":${results.size},"queries":$fullBody,"shuffle_bytes":$shuffleBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full dump failed: $e")
     }
@@ -75,7 +125,7 @@ object Bench {
     // slowest queries first and stop adding entries at the budget — the
     // fast tail carries no grading signal; the full map is in the file.
     val budget = 1800
-    val bySlowest = results.sortBy { case (n, t) => (-t, n) }
+    val bySlowest = timings.sortBy { case (n, t) => (-t, n) }
     var kept = bySlowest.length
     def extra(k: Int) =
       s""","n_queries":${results.size},"shown":$k,"full":"BENCH_FULL_LATEST.json""""
