@@ -69,6 +69,36 @@ class PropsSpec extends SparkTestBase {
     })
   }
 
+  test("media dims are recoverable from the padded length (WAV invariant)") {
+    // Pure-function property → full 100-case budget, no Spark job. The
+    // WAV container stores only the frame count (= w·h, the padded
+    // length), so decode recovers (w, h) iff dimsFor is a fixed point on
+    // its own padded sizes: dimsFor(w·h) == (w, h).
+    val p = Prop.forAll(Gen.choose(1, 1000000)) { n =>
+      val (w, h) = graft.multimodal.Multimodal.dimsFor(n)
+      w > 0 && h > 0 && w.toLong * h >= n &&
+        graft.multimodal.Multimodal.dimsFor(w * h) == ((w, h))
+    }
+    val r = SCTest.check(SCTest.Parameters.default, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("hash buckets are total, in range, and split-consistent") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(30, Gen.choose(0L, 1000000L))) { ids =>
+      val rows = ids.toDF("doc_id")
+        .select(col("doc_id"),
+          graft.pipeline.Curation.hashBucket(col("doc_id")).as("b"),
+          graft.pipeline.Curation.splitOf(col("doc_id")).as("split"))
+        .collect()
+      rows.forall { r =>
+        val (b, s) = (r.getInt(1), r.getString(2))
+        b >= 0 && b < 100 &&
+          s == (if (b < 80) "train" else if (b < 90) "val" else "test")
+      }
+    })
+  }
+
   test("contamination is monotone in the benchmark set") {
     import spark.implicits._
     check(Prop.forAll(Gen.someOf(0L to 5L), docsGen) { (ids, texts) =>
