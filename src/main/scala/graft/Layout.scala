@@ -23,7 +23,12 @@ import org.apache.spark.sql.DataFrame
   * warehouse table; asserted in PlanAuditSpec).
   */
 object Layout {
-  def checkpoint(df: DataFrame): DataFrame = {
+  /** Serialized: the conf toggle is session-global, so two concurrent
+    * materializations could otherwise restore each other's state
+    * mid-flight. Layout checkpoints are rare, coarse-grained events
+    * (index/iteration-state builds) — the lock is uncontended in
+    * practice and correctness-critical if a caller ever threads. */
+  def checkpoint(df: DataFrame): DataFrame = synchronized {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
