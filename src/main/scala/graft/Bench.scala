@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Ambient host load BEFORE this JVM does any work: the end-of-run
+    // reading includes the bench's own threads, so the pair brackets how
+    // much of a slow run is background noise vs the bench itself.
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -104,7 +109,7 @@ object Bench {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"load_avg":${fmt(loadAvg, 2)}$extra,"queries":$body,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"load_avg_start":${fmt(loadStart, 2)},"load_avg":${fmt(loadAvg, 2)}$extra,"queries":$body,"sf":"$sfDir"}"""
     }
     // Full-precision per-query record → a repo file (the harness only
     // captures a bounded stdout tail, which the full map overflows).
@@ -116,7 +121,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg":$loadAvg,"n_queries":${results.size},"queries":$fullBody,"shuffle_bytes":$shuffleBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg_start":$loadStart,"load_avg":$loadAvg,"n_queries":${results.size},"queries":$fullBody,"shuffle_bytes":$shuffleBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full dump failed: $e")
     }
