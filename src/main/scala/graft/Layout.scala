@@ -36,4 +36,14 @@ object Layout {
     try df.localCheckpoint(true)
     finally spark.conf.set(key, prev)
   }
+
+  /** Mode-aware state checkpoint for gated propagation loops: the
+    * co-partitioned path NEEDS the layout visible (the next round's
+    * exchange-free sort-merge join hangs on it), but the broadcast-gated
+    * path does not — the state ships whole regardless, and executing the
+    * round with AQE ON lets the planner broadcast the small summed side
+    * of the state-update join instead of sort-merging it (measured
+    * faster per round at bench scale). */
+  def stateCheckpoint(df: DataFrame, preserveLayout: Boolean): DataFrame =
+    if (preserveLayout) checkpoint(df) else df.localCheckpoint(true)
 }

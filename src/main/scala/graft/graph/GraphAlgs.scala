@@ -548,8 +548,8 @@ object GraphAlgs {
       }
       var ranks = nodes.select(col("id") +: inits: _*)
       for (_ <- 1 to iters)
-        ranks = graft.Layout.checkpoint(
-          rankStep(e, nodes, ranks, seeds, coPart))
+        ranks = graft.Layout.stateCheckpoint(
+          rankStep(e, nodes, ranks, seeds, coPart), preserveLayout = coPart)
       ranks
     }
 
@@ -642,10 +642,11 @@ object GraphAlgs {
       val summed = contribs.groupBy("id")
         .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (s, x) => s + x).as("inr"))
-      ranks = graft.Layout.checkpoint(
+      ranks = graft.Layout.stateCheckpoint(
         nodes.join(summed, Seq("id"), "left")
           .select(col("id"),
-            (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r")))
+            (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r")),
+        preserveLayout = coPart)
     }
     ranks.select(col("id"), col("r").as("rank"))
       .orderBy(desc("rank"), asc("id")).limit(k)
@@ -758,10 +759,11 @@ object GraphAlgs {
       // its own label. The per-row `changed` flag rides along so the
       // convergence probe below is a scan of this checkpoint, not a
       // second join against the previous state.
-      val next = graft.Layout.checkpoint(
+      val next = graft.Layout.stateCheckpoint(
         comp.join(minNbrs, Seq("id"), "left")
           .select(col("id"), least(col("comp"), col("nbr")).as("comp"),
-            (least(col("comp"), col("nbr")) =!= col("comp")).as("changed")))
+            (least(col("comp"), col("nbr")) =!= col("comp")).as("changed")),
+        preserveLayout = coPart)
       // Min-label is monotone: an unchanged round is a fixed point, so
       // every remaining round is a no-op — skipping them returns exactly
       // what the oracle's full unrolling computes.

@@ -224,9 +224,10 @@ object Similarity {
           .join(if (coPart) state.hint("merge") else broadcast(state), "d1")
           .select(col("d2").as("id"), col("comp").as("ncomp"))
           .groupBy("id").agg(min("ncomp").as("nbr"))
-        comp = graft.Layout.checkpoint(
+        comp = graft.Layout.stateCheckpoint(
           comp.join(minNbrs, Seq("id"), "left")
-            .select(col("id"), least(col("comp"), col("nbr")).as("comp")))
+            .select(col("id"), least(col("comp"), col("nbr")).as("comp")),
+          preserveLayout = coPart)
       }
       comp
     }
