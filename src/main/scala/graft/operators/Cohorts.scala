@@ -129,4 +129,36 @@ object Cohorts {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_w", "week_offset")
   }
+
+  /** RFM customer features — the classic e-commerce segmentation triple
+    * (days since last order, order count, exact-cents spend) with
+    * quintile scores, convention "1 = best" (most recent / most
+    * frequent / highest spend). One orders aggregation; the anchor date
+    * (corpus max) arrives as a broadcast scalar. The three ntile windows
+    * are global sorts of the CUSTOMER dimension — feature engineering
+    * over a dim table, not the fact table; at warehouse scale this is
+    * the classic dim-sized pass (and ntile's row-position semantics with
+    * the custkey tie-break make the quintiles deterministic and
+    * engine-identical). */
+  def rfmFeatures(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+    val base = o.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("f"),
+        sum(Relational.cents(col("o_totalprice"))).as("m_cents"))
+      .crossJoin(broadcast(anchor))
+      .select(col("custkey"),
+        datediff(col("anchor"), col("last_order")).as("r_days"),
+        col("f"), col("m_cents"))
+    import org.apache.spark.sql.expressions.Window
+    base.select(col("custkey"), col("r_days"), col("f"), col("m_cents"),
+        ntile(k).over(Window.orderBy(col("r_days"), col("custkey")))
+          .as("r_score"),
+        ntile(k).over(Window.orderBy(col("f").desc, col("custkey")))
+          .as("f_score"),
+        ntile(k).over(Window.orderBy(col("m_cents").desc, col("custkey")))
+          .as("m_score"))
+      .orderBy("custkey")
+  }
 }

@@ -46,6 +46,7 @@ object RelationalRegistry {
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
       "funnel_time_to_convert" -> ((s, d) => Funnel.timeToConvert(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
+      "rfm_features" -> ((s, d) => Cohorts.rfmFeatures(s, d)),
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
       "hourly_count_anomalies" -> ((s, d) =>
         Cohorts.hourlyCountAnomalies(s, d)),
@@ -400,6 +401,21 @@ object RelationalRegistry {
              |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       },
+      // RFM: ntile's row-position semantics + custkey tie-breaks make
+      // the quintiles deterministic and identical across engines.
+      "rfm_features" ->
+        """WITH base AS (SELECT o_custkey AS custkey,
+          |  date_diff('day', CAST(max(o_orderdate) AS DATE),
+          |    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+          |    AS r_days,
+          |  count(*) AS f,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+          |FROM orders GROUP BY 1)
+          |SELECT custkey, r_days, f, m_cents,
+          |  ntile(5) OVER (ORDER BY r_days, custkey) AS r_score,
+          |  ntile(5) OVER (ORDER BY f DESC, custkey) AS f_score,
+          |  ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS m_score
+          |FROM base ORDER BY custkey""".stripMargin,
       // FK orphans per relation: LEFT JOIN the distinct parent keys (a
       // NULL child key never matches → orphan, mirrored in both engines).
       "fk_integrity" -> {

@@ -235,6 +235,29 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("RFM features: balanced quintiles, exact recency for a hand-checked customer") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Cohorts.rfmFeatures(spark, dir).collect()
+    val n = rows.length
+    assert(n == Tables.load(spark, dir, "orders")
+      .select("o_custkey").distinct().count())
+    // Quintiles are balanced within 1 and span 1..5.
+    for (i <- Seq(4, 5, 6)) {
+      val sizes = rows.groupBy(_.getInt(i)).map(_._2.length)
+      assert(rows.map(_.getInt(i)).forall(s => s >= 1 && s <= 5))
+      assert(sizes.max - sizes.min <= 1, s"col $i skewed: $sizes")
+    }
+    // Hand-check recency for one customer against a direct aggregate.
+    val c = rows.head.getLong(0)
+    val expect = Tables.load(spark, dir, "orders")
+      .agg(max(to_date(col("o_orderdate"))).as("a")).crossJoin(
+        Tables.load(spark, dir, "orders")
+          .filter(col("o_custkey") === c)
+          .agg(max(to_date(col("o_orderdate"))).as("l")))
+      .select(datediff(col("a"), col("l"))).head().getInt(0)
+    assert(rows.head.getInt(1) == expect)
+  }
+
   test("FK integrity: clean fixture audits clean, row counts match tables") {
     val rows = operators.Relational.fkIntegrityReport(spark, dir).collect()
     assert(rows.length == 6)
