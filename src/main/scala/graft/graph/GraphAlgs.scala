@@ -156,6 +156,25 @@ object GraphAlgs {
       .limit(k)
   }
 
+  /** Degree-distribution summary — the power-law audit every graph
+    * analyst runs first (is there a hub? how heavy is the tail?), and
+    * the skew evidence that justifies the degree-oriented triangle and
+    * salting strategies. Buckets are DIGIT MAGNITUDE (number of decimal
+    * digits of the degree): a log-ish histogram in pure integer/string
+    * arithmetic, identical across engines where float log2 boundaries
+    * are not. Two combinable aggregations; the output is ≤ ~19 rows at
+    * any conceivable scale. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphBuilder.edges(spark, dir)
+    e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .groupBy(length(col("d").cast("string")).as("magnitude"))
+      .agg(count(lit(1)).as("n_nodes"), min("d").as("min_degree"),
+        max("d").as("max_degree"), sum("d").as("total_degree"))
+      .orderBy("magnitude")
+  }
+
   /** G4 via GraphX aggregateMessages — the parity proof that the GraphX
     * view agrees with the relational derivation (and with the SQL oracle).
     * Test-path only; see [[degreesTop]] for the serving plan. */

@@ -305,6 +305,7 @@ object GraphRegistry {
           .limit(20)
       }),
       "graph_degrees_top" -> ((s, d) => GraphAlgs.degreesTop(s, d)),
+      "graph_degree_hist" -> ((s, d) => GraphAlgs.degreeHistogram(s, d)),
       "allpairs_cooccurrence" -> ((s, d) =>
         GraphAlgs.allPairsCoOccurrence(s, d)),
       "graphx_ppr_top" -> ((s, d) =>
@@ -375,6 +376,18 @@ object GraphRegistry {
            |), d AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
            |SELECT id, count(*) AS degree FROM d
            |GROUP BY id ORDER BY degree DESC, id ASC LIMIT 20""".stripMargin,
+      // Digit-magnitude buckets: a log-ish degree histogram in pure
+      // integer/string arithmetic — engine-identical where float log2
+      // boundary values are not.
+      "graph_degree_hist" ->
+        s"""WITH e AS (
+           |$EdgesSql
+           |), d AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+           |deg AS (SELECT id, count(*) AS d FROM d GROUP BY id)
+           |SELECT length(CAST(d AS VARCHAR)) AS magnitude,
+           |  count(*) AS n_nodes, min(d) AS min_degree,
+           |  max(d) AS max_degree, sum(d) AS total_degree
+           |FROM deg GROUP BY 1 ORDER BY magnitude""".stripMargin,
       "allpairs_cooccurrence" ->
         s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
            |sane AS (SELECT order_id FROM items GROUP BY order_id

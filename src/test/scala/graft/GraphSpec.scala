@@ -64,6 +64,18 @@ class GraphSpec extends SparkTestBase {
     val gx = GraphAlgs.degreesTopGraphX(spark, dir, k = 100).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gx == deg)
+    // Degree histogram: totals reconcile with the per-node derivation —
+    // every endpoint appears in some magnitude bucket, and total degree
+    // sums to 2|E| (each edge credits both ends).
+    val hist = GraphAlgs.degreeHistogram(spark, dir).collect()
+    assert(hist.map(_.getLong(1)).sum == deg.size)
+    val nEdges = graph.GraphBuilder.edges(spark, dir).count()
+    assert(hist.map(_.getLong(4)).sum == 2 * nEdges)
+    hist.foreach { r =>
+      val mag = r.getInt(0)
+      assert(r.getLong(2).toString.length == mag &&
+        r.getLong(3).toString.length == mag)
+    }
   }
 
   test("personalized PageRank from P2 ranks basket neighbors over strangers") {
