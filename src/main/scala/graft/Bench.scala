@@ -63,15 +63,41 @@ object Bench {
         }
         walk(qe.executedPlan)
       } catch { case _: Throwable => -1L }
+    // Optional subset (comma-separated names): targeted A/B runs on a
+    // family of queries without paying the full suite. Unset → all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] unknown queries ignored: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    // A stray listener event from the PREVIOUS query (delivered async)
+    // must not be attributed to the next one: drain the listener bus
+    // before resetting the capture slot — on the failure path too.
+    // listenerBus is private[spark] at compile time but public in
+    // bytecode; reflection keeps this metrics-only concern best-effort.
+    def drainListeners(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, Long.box(10000L))
+      } catch { case _: Throwable => () }
     // Deterministic order keeps per-query numbers comparable across runs.
     // A failed query must NOT look like a fast passing one: log the error
     // and record a -1.0 sentinel no timing can produce.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      drainListeners()
+      capturedQe.set(null)
       val t0 = System.nanoTime()
       val (elapsed, shuffled) =
         try {
           val df = fn(spark, sfDir)
-          capturedQe.set(null)
           df.count()
           val elapsed = (System.nanoTime() - t0) / 1e9
           // Poll (outside the timed window) for the async listener event.

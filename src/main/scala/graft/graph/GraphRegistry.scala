@@ -384,9 +384,9 @@ object GraphRegistry {
            |$EdgesSql
            |), d AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
            |deg AS (SELECT id, count(*) AS d FROM d GROUP BY id)
-           |SELECT length(CAST(d AS VARCHAR)) AS magnitude,
+           |SELECT CAST(length(CAST(d AS VARCHAR)) AS INTEGER) AS magnitude,
            |  count(*) AS n_nodes, min(d) AS min_degree,
-           |  max(d) AS max_degree, sum(d) AS total_degree
+           |  max(d) AS max_degree, CAST(sum(d) AS BIGINT) AS total_degree
            |FROM deg GROUP BY 1 ORDER BY magnitude""".stripMargin,
       "allpairs_cooccurrence" ->
         s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),

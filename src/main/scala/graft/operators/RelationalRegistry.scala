@@ -405,16 +405,20 @@ object RelationalRegistry {
       // the quintiles deterministic and identical across engines.
       "rfm_features" ->
         """WITH base AS (SELECT o_custkey AS custkey,
-          |  date_diff('day', CAST(max(o_orderdate) AS DATE),
+          |  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
           |    (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
-          |    AS r_days,
+          |    AS INTEGER) AS r_days,
           |  count(*) AS f,
-          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS m_cents
           |FROM orders GROUP BY 1)
           |SELECT custkey, r_days, f, m_cents,
-          |  ntile(5) OVER (ORDER BY r_days, custkey) AS r_score,
-          |  ntile(5) OVER (ORDER BY f DESC, custkey) AS f_score,
-          |  ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS m_score
+          |  CAST(ntile(5) OVER (ORDER BY r_days, custkey) AS INTEGER)
+          |    AS r_score,
+          |  CAST(ntile(5) OVER (ORDER BY f DESC, custkey) AS INTEGER)
+          |    AS f_score,
+          |  CAST(ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS INTEGER)
+          |    AS m_score
           |FROM base ORDER BY custkey""".stripMargin,
       // FK orphans per relation: LEFT JOIN the distinct parent keys (a
       // NULL child key never matches → orphan, mirrored in both engines).

@@ -88,7 +88,7 @@ object CurationRegistry {
            |SELECT d.source, count(*) AS n_docs,
            |  count(DISTINCT d.lang) AS n_langs,
            |  count(DISTINCT md5(d.text)) AS n_unique_texts,
-           |  sum(d.n_chars) AS total_chars,
+           |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
            |  (CAST(sum(q6.q6) AS DOUBLE) / 1000000.0) / count(*)
            |    AS mean_quality
            |FROM documents d JOIN q6 USING (doc_id)
@@ -103,8 +103,10 @@ object CurationRegistry {
            |w AS (SELECT n, n // 64 AS bucket,
            |  CASE WHEN n = 0 THEN 0 ELSE (n + 255) // 256 END AS wins
            |FROM t)
-           |SELECT bucket, count(*) AS n_docs, sum(n) AS total_tokens,
-           |  sum(wins) AS n_windows, sum(wins * 256 - n) AS pad_tokens
+           |SELECT bucket, count(*) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS total_tokens,
+           |  CAST(sum(wins) AS BIGINT) AS n_windows,
+           |  CAST(sum(wins * 256 - n) AS BIGINT) AS pad_tokens
            |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin,
       "split_leakage" ->
         s"""WITH f AS (SELECT md5(text) AS fp, $SplitSql AS split
@@ -113,7 +115,8 @@ object CurationRegistry {
            |      FROM f GROUP BY fp)
            |SELECT count(*) AS n_fps,
            |  count(CASE WHEN ns > 1 THEN 1 END) AS n_fps_leaky,
-           |  coalesce(sum(CASE WHEN ns > 1 THEN nd END), 0) AS n_docs_leaky
+           |  CAST(coalesce(sum(CASE WHEN ns > 1 THEN nd END), 0) AS BIGINT)
+           |    AS n_docs_leaky
            |FROM g""".stripMargin,
       "quality_floor_calibration" ->
         s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,

@@ -86,7 +86,7 @@ object SimilarityRegistry {
           |l1 AS (SELECT label, dim, chunk // 32 AS chunk,
           |  list_sum(list_sort(list(ps))) AS ps, sum(c) AS c
           |FROM l0 GROUP BY 1, 2, 3)
-          |SELECT label, dim,
+          |SELECT label, CAST(dim AS INTEGER) AS dim,
           |  list_sum(list_sort(list(ps))) / sum(c) AS mean
           |FROM l1 GROUP BY label, dim
           |ORDER BY label, dim""".stripMargin,

@@ -266,12 +266,10 @@ object EventStreams {
       .toSeq.sorted
   }
 
-  /** Snapshot of one committed generation: rel_type → data directory
-    * (possibly in an older generation — entries carry forward in place). */
-  def manifestAt(storeDir: String, gen: Int): Map[String, Path] = {
-    val root = new Path(storeDir)
-    val fs = root.getFileSystem(hconf())
-    val mp = new Path(new Path(root, s"v$gen"), Manifest)
+  /** Parse one manifest file (no existence filtering — GC uses this to
+    * inspect closures that may be partially gone). */
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               mp: Path): Map[String, Path] =
     if (!fs.exists(mp)) Map.empty
     else {
       val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
@@ -283,6 +281,23 @@ object EventStreams {
         t -> new Path(p)
       }.toMap
     }
+
+  /** Snapshot of one committed generation: rel_type → data directory
+    * (possibly in an older generation — entries carry forward in place).
+    *
+    * A snapshot whose closure is no longer fully on disk — GC removed a
+    * data dir it carries forward, or a publish raced this read — is
+    * EXPIRED: it degrades to the empty map (→ the empty typed frame),
+    * never to a partial snapshot or an AnalysisException. GC also
+    * unpublishes such manifests ([[publishGeneration]]), so steady-state
+    * [[committedGenerations]] only lists fully readable snapshots; the
+    * existence check here closes the read-side race. Cost: O(rel_type
+    * vocabulary) exists() calls. */
+  def manifestAt(storeDir: String, gen: Int): Map[String, Path] = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(hconf())
+    val snap = readManifestFile(fs, new Path(new Path(root, s"v$gen"), Manifest))
+    if (snap.nonEmpty && snap.values.forall(fs.exists)) snap else Map.empty
   }
 
   /** The live snapshot. */
@@ -391,6 +406,23 @@ object EventStreams {
          if st.isDirectory && !retained.contains(st.getPath.getName)
            && GenName.pattern.matcher(st.getPath.getName).matches())
       fs.delete(st.getPath, true)
+    // A generation DIR can outlive its own snapshot: one of its partition
+    // dirs is carried forward by the live manifest (→ the dir is
+    // retained) while its manifest still references a data dir in a
+    // generation just deleted above. Unpublish such manifests so
+    // committedGenerations lists only fully readable snapshots — the
+    // time-travel window must be the real one, not the dir listing.
+    for (st <- fs.listStatus(root)
+         if st.isDirectory
+           && GenName.pattern.matcher(st.getPath.getName).matches()
+           && st.getPath.getName != next.getName
+           && !prevGen.map(_.getName).contains(st.getPath.getName)) {
+      val mp = new Path(st.getPath, Manifest)
+      val snap = readManifestFile(fs, mp)
+      if (snap.nonEmpty &&
+          !snap.values.forall(p => retained.contains(p.getParent.getName)))
+        fs.delete(mp, false)
+    }
   }
 
   /** OPTIMIZE pass: rewrite every live partition into a compact file

@@ -416,4 +416,34 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("time-travel window only lists fully readable snapshots after GC") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-edges-gc")
+      .resolve("store").toString
+    def batch(rel: String, uid: Long) =
+      Seq((uid, 100L, rel)).toDF("user_id", "product_id", "rel_type")
+    // v1 writes A; v2 touches B (carries A:v1 forward); v3 rewrites A;
+    // v4 touches C → GC deletes v1. v2's DIR survives (the live manifest
+    // still references B:v2) but v2's own snapshot references A:v1 —
+    // unreadable, so it must drop out of the committed window.
+    EventStreams.mergeEdgeBatch(batch("VIEWED", 1L), store)
+    EventStreams.mergeEdgeBatch(batch("CLICKED", 2L), store)
+    EventStreams.mergeEdgeBatch(batch("VIEWED", 3L), store)
+    EventStreams.mergeEdgeBatch(batch("ADDED_TO_CART", 4L), store)
+    assert(!new java.io.File(store, "v1").exists(), "v1 should be GC'd")
+    assert(new java.io.File(store, "v2").exists(), "v2 dir is still referenced")
+    val gens = EventStreams.committedGenerations(store)
+    assert(!gens.contains(2), s"v2 is unreadable, yet listed: $gens")
+    // Every listed generation actually reads — the window is honest.
+    for (g <- gens)
+      EventStreams.edgeStoreAt(spark, store, g).collect()
+    // And the unpublished generation degrades to the empty typed frame
+    // (never a partial snapshot, never an AnalysisException).
+    val expired = EventStreams.edgeStoreAt(spark, store, 2)
+    assert(expired.columns.toSeq ==
+      Seq("user_id", "product_id", "rel_type") && expired.isEmpty)
+    // The live snapshot still carries all four edges.
+    assert(EventStreams.edgeStore(spark, store).count() == 4)
+  }
 }

@@ -6,13 +6,26 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 For each query in <verifyOutDir>/oracle_sql.json:
   - run the SQL in DuckDB with views over <sfDir>/*.parquet
   - read the Spark result parquet at <verifyOutDir>/<name>/
-  - sort columns by name, compare row-by-row values
+  - sort columns by name, compare ARROW TYPES, then row-by-row values
+
+The type compare is strict on purpose: the driver's hash is
+type-sensitive (a DuckDB HUGEINT `sum()` vs a Spark int64 hashes
+differently even when every value matches), so a Python-level
+`Decimal('3') == 3` pass here would mask exactly the failure the
+driver reports. Timestamp timezone annotations are normalized (UTC vs
+none reads back equal) — the driver compares values in session-UTC.
 """
 import sys, json, glob, os, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def norm_type(t):
+    # Timestamp tz annotation is presentation-only at the driver (session
+    # TZ is UTC on both engines); everything else must match exactly.
+    s = str(t)
+    return s.replace(", tz=UTC", "") if s.startswith("timestamp") else s
 
 def norm(v):
     # Compare doubles at exact bit level (the repo's parity claims are
@@ -50,6 +63,14 @@ def main(sf_dir, out_dir):
         ocols, scols = sorted(oracle.column_names), sorted(spark.column_names)
         if ocols != scols:
             print(f"FAIL {name}: schema mismatch oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        otypes = {c: norm_type(oracle.schema.field(c).type) for c in ocols}
+        stypes = {c: norm_type(spark.schema.field(c).type) for c in scols}
+        if otypes != stypes:
+            bad = {c: (otypes[c], stypes[c])
+                   for c in ocols if otypes[c] != stypes[c]}
+            print(f"FAIL {name}: arrow type mismatch (oracle, spark): {bad}")
             n_fail += 1
             continue
         orows = [tuple(norm(r[c]) for c in ocols) for r in oracle.to_pylist()]
