@@ -21,21 +21,17 @@ import org.apache.spark.sql.DataFrame
   * hashpartitioning + sort order, which is what makes iterative state
   * joins exchange-free on the static side (the local twin of a bucketed
   * warehouse table; asserted in PlanAuditSpec).
+  *
+  * The AQE toggle is scoped to a CLONED session (SessionShim), not the
+  * caller's: flipping the caller's conf is session-global, so any query
+  * planned concurrently (Serve's request pool during a first-touch
+  * build) would silently run without AQE. The clone shares the
+  * SparkContext; only this one materialization plans under it, and the
+  * checkpointed LogicalRDD is re-bound to the caller's session.
   */
 object Layout {
-  /** Serialized: the conf toggle is session-global, so two concurrent
-    * materializations could otherwise restore each other's state
-    * mid-flight. Layout checkpoints are rare, coarse-grained events
-    * (index/iteration-state builds) — the lock is uncontended in
-    * practice and correctness-critical if a caller ever threads. */
-  def checkpoint(df: DataFrame): DataFrame = synchronized {
-    val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try df.localCheckpoint(true)
-    finally spark.conf.set(key, prev)
-  }
+  def checkpoint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.SessionShim.checkpointWithoutAqe(df)
 
   /** Mode-aware state checkpoint for gated propagation loops: the
     * co-partitioned path NEEDS the layout visible (the next round's
