@@ -23,9 +23,12 @@ object Bench {
       SparkEntry.queries.get("health").foreach(_(spark, sfDir).count())
       // Long-lived-service state built once, untimed (the warm-up shape
       // VERDICT r2 task 9 prescribes): the memoized canonical graph
-      // frames + GraphX view + static co-partitioned edge layouts that
-      // every graph query reads. Propagations and queries stay measured.
+      // frames + GraphX view + static edge layouts that every graph
+      // query reads, and the IVF vector index (VERDICT r5 item 5 —
+      // an index build is ingest-side work; the probe is what a serving
+      // query pays). Propagations and queries stay measured.
       graph.GraphAlgs.prewarm(spark, sfDir)
+      similarity.Similarity.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
     // Shuffle bytes written per query, summed over the executed COUNT
     // action's exchanges (AQE stages traversed): wall time on a shared

@@ -22,6 +22,16 @@ object Memo {
     cache.getOrElseUpdate((sc, scope, key), build).asInstanceOf[V]
   }
 
+  /** Replace (or seed) an entry — for state whose canonical value moves
+    * after an in-place mutation (e.g. an index reader after an append:
+    * parquet file listings snapshot per read, so the memoized handle
+    * must be swapped for a fresh one to make the append visible). */
+  def put[V](spark: org.apache.spark.sql.SparkSession, scope: String,
+             key: Any)(value: V): V = cache.synchronized {
+    cache.update((spark.sparkContext, scope, key), value)
+    value
+  }
+
   /** Live entry count (after eviction) — test observability. */
   private[graft] def size: Int = cache.synchronized {
     cache.filterInPlace { case ((owner, _, _), _) => !owner.isStopped }
