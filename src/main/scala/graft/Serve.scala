@@ -26,12 +26,16 @@ object Serve {
   /** Start the service; port 0 binds an ephemeral port (tests). */
   def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
-    server.createContext("/health", handler { _ =>
+    // Degraded payloads are PER-ENDPOINT: a health checker parses the
+    // `ok` field (the reference's /health contract), so a failing probe
+    // must answer {"ok": false} — an items-shaped body would read as
+    // unparseable-but-200 to it.
+    server.createContext("/health", handler("""{"ok": false}""") { _ =>
       // An actual engine liveness probe (SELECT 1), not a constant.
       val ok = Tables.healthProbe(spark).count() == 1L
       s"""{"ok": ${ok}}"""
     })
-    server.createContext("/etl", handler { _ =>
+    server.createContext("/etl", handler("""{"ok": false}""") { _ =>
       // The reference's /etl rebuilds the graph synchronously
       // (app/main.py:17-19); here that is materializing the node and
       // edge relations the recs queries serve from.
@@ -39,7 +43,8 @@ object Serve {
       val e = graph.GraphBuilder.edges(spark, dir).count()
       s"""{"ok": ${n > 0 && e > 0}}"""
     })
-    server.createContext("/recs", handler { ex =>
+    server.createContext("/recs",
+        handler("""{"items": [], "took_ms": 0}""") { ex =>
       val started = System.nanoTime()
       val params = queryParams(ex)
       val items =
@@ -65,14 +70,16 @@ object Serve {
     server
   }
 
-  private def handler(body: HttpExchange => String): HttpHandler =
+  private def handler(degraded: String)(
+      body: HttpExchange => String): HttpHandler =
     (ex: HttpExchange) => {
       val (status, payload) =
         try (200, body(ex))
         catch {
           // Degrade like the reference: a broken engine yields an empty,
-          // well-formed response, never a 500 stack trace.
-          case scala.util.control.NonFatal(_) => (200, """{"items": []}""")
+          // well-formed response IN THIS ENDPOINT'S SHAPE, never a 500
+          // stack trace (app/main.py:124-126).
+          case scala.util.control.NonFatal(_) => (200, degraded)
         }
       val bytes = payload.getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", "application/json")
