@@ -23,20 +23,27 @@ import graft.Tables
   *     JDK): RIFF container, 8-bit mono samples = the document bytes
   *     zero-padded to width×height (appended silence), so every audio
   *     query exercises an actual RIFF/fmt-chunk parser.
-  *   - **video** assets remain STUBBED with the deterministic GRF1
-  *     container (no pure-JDK video codec exists):
-  *       magic "GRF1" | kind u8 | width i32 BE | height i32 BE | payload
-  *     Swap `decodePayload`'s GRF1 arm for an actual codec (JavaCV,
-  *     ffmpeg-over-pipe) and nothing else changes.
+  *   - **video** assets are REAL AVIs (RIFF 'AVI ' container written and
+  *     walked by hand — container framing is byte plumbing, not a codec —
+  *     with each frame a PNG compressed/decompressed by `javax.imageio`;
+  *     fourcc `MPNG`, the registered PNG-in-AVI video codec, chosen over
+  *     MJPG because PNG is lossless so every body byte, histogram, and
+  *     frame fingerprint stays deterministic): the document's raster
+  *     bytes split into 64-byte frames (8×8 grayscale; the final partial
+  *     frame rem×1, so the concatenated frame rasters reproduce the
+  *     padded body EXACTLY and the dims formula round-trips). The
+  *     container carries a real hdrl/strl header pair and an idx1 index,
+  *     and frame access walks the chunk structure lazily — frame
+  *     sampling decodes ONLY the sampled frames, the 100 TB pattern for
+  *     "thumbnail every Nth frame" over petabytes of video.
   *
-  * Both containers carry the same raster bytes at the same dimensions
-  * (width = ceil(√n)), which keeps the dimension arithmetic
-  * oracle-checkable in plain SQL even though the PNG bytes themselves are
-  * opaque to DuckDB.
+  * All three containers carry the same raster bytes at the same
+  * dimensions (width = ceil(√n)), which keeps the dimension arithmetic
+  * oracle-checkable in plain SQL even though the PNG/WAV/AVI bytes
+  * themselves are opaque to DuckDB.
   */
 object Multimodal {
 
-  val Magic: Array[Byte] = "GRF1".getBytes("US-ASCII")
   val FrameBytes = 64
 
   case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
@@ -59,20 +66,11 @@ object Multimodal {
   }
 
   /** Media file writer: image → real PNG, audio → real WAV, video →
-    * GRF1 stub (no pure-JDK video codec exists). */
+    * real AVI with PNG-compressed frames. */
   def encodePayload(kind: String, data: Array[Byte]): Array[Byte] =
     if (kind == "image") encodePng(data)
     else if (kind == "audio") encodeWav(data)
-    else {
-      val (w, h) = dimsFor(data.length)
-      val buf = java.nio.ByteBuffer.allocate(Magic.length + 1 + 8 + w * h)
-      buf.put(Magic)
-      buf.put(kinds.indexOf(kind).toByte)
-      buf.putInt(w)
-      buf.putInt(h)
-      buf.put(data)          // zero-padded to w*h by allocate()
-      buf.array()
-    }
+    else encodeAvi(data)
 
   private val PngMagic: Array[Byte] = Array(0x89.toByte, 'P'.toByte,
     'N'.toByte, 'G'.toByte, 0x0D, 0x0A, 0x1A, 0x0A)
@@ -104,27 +102,32 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val gray =
-          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-          else {
-            val g = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val gr = g.createGraphics()
-            try gr.drawImage(img, 0, 0, null) finally gr.dispose()
-            g
-          }
-        val body = new Array[Byte](w * h)
-        gray.getRaster.getDataElements(0, 0, w, h, body)
-        Some(("image", w, h, body))
-      }
+      else Some(("image", img.getWidth, img.getHeight, grayBody(img)))
     } catch {
       // Corrupt-but-signed PNGs surface as IIOException, EOF, or decoder
       // runtime errors depending on where the stream breaks; all of them
       // mean "not a decodable asset", never "kill the task".
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** One-byte-per-pixel raster of any decoded image (converting to
+    * grayscale when the source raster isn't already) — shared by the PNG
+    * decode boundary and the per-frame AVI decode. */
+  private def grayBody(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics()
+        try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+        g
+      }
+    val body = new Array[Byte](w * h)
+    gray.getRaster.getDataElements(0, 0, w, h, body)
+    body
+  }
 
   /** Encode a byte buffer as a REAL PCM WAV (RIFF container, 8-bit
     * unsigned mono @ 8 kHz): the samples are the bytes zero-padded to
@@ -162,11 +165,178 @@ object Multimodal {
 
   private val RiffMagic: Array[Byte] = "RIFF".getBytes("US-ASCII")
   private val WaveTag: Array[Byte] = "WAVE".getBytes("US-ASCII")
+  private val AviTag: Array[Byte] = "AVI ".getBytes("US-ASCII")
+
+  /** Per-frame pixel dims: full frames are 8×8 (= FrameBytes); the final
+    * partial frame is rem×1, so Σ frame pixels == the padded body length
+    * exactly and [[dimsFor]] round-trips the asset dims from it. */
+  private def frameDims(len: Int): (Int, Int) =
+    if (len == FrameBytes) (8, 8) else (len, 1)
+
+  private def encodeFramePng(chunk: Array[Byte]): Array[Byte] = {
+    val (fw, fh) = frameDims(chunk.length)
+    val img = new java.awt.image.BufferedImage(fw, fh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, fw, fh, chunk)
+    val bos = new java.io.ByteArrayOutputStream(chunk.length + 96)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodeFramePng(png: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      if (img == null) None else Some(grayBody(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode a byte buffer as a REAL AVI: RIFF 'AVI ' with a full
+    * hdrl/strl header pair ('vids' stream, fourcc MPNG = PNG-in-AVI — a
+    * registered codec that is LOSSLESS, so bodies/histograms/frame
+    * fingerprints stay deterministic), a movi LIST of one '00dc' chunk
+    * per PNG-compressed frame (word-aligned, per the RIFF spec), and an
+    * idx1 keyframe index (every PNG frame is independently decodable).
+    * Frames are the padded raster's 64-byte chunks — see [[frameDims]]
+    * for why the concatenated frames reproduce the body exactly. */
+  def encodeAvi(data: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(data.length)
+    val padded = java.util.Arrays.copyOf(data, w * h)
+    val frames = padded.grouped(FrameBytes).map(encodeFramePng).toArray
+    val n = frames.length
+    val maxBuf = frames.foldLeft(0)((m, f) => math.max(m, f.length))
+    val moviContent = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1Size = 16 * n
+    val hdrlContent = 4 + (8 + 56) + (8 + 116) // 'hdrl' + avih + LIST strl
+    val riffContent =
+      4 + (8 + hdrlContent) + (8 + moviContent) + (8 + idx1Size)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffContent)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffContent); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlContent); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(40000)                       // µs/frame (25 fps)
+    bb.putInt(0); bb.putInt(0)             // maxBytesPerSec, padding
+    bb.putInt(0x10)                        // AVIF_HASINDEX
+    bb.putInt(n); bb.putInt(0); bb.putInt(1) // totalFrames, initial, streams
+    bb.putInt(maxBuf)
+    bb.putInt(8); bb.putInt(8)             // nominal frame dims
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(116); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MPNG")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // flags, prio+lang, initFrames
+    bb.putInt(1); bb.putInt(25)            // scale, rate → 25 fps
+    bb.putInt(0); bb.putInt(n)             // start, length (frames)
+    bb.putInt(maxBuf); bb.putInt(-1); bb.putInt(0) // bufSize, quality, sampleSz
+    bb.putShort(0); bb.putShort(0); bb.putShort(8); bb.putShort(8) // rcFrame
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(8); bb.putInt(8) // biSize, biWidth, biHeight
+    bb.putShort(1); bb.putShort(8)         // biPlanes, biBitCount
+    fourcc("MPNG")                         // biCompression
+    bb.putInt(FrameBytes); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(moviContent); fourcc("movi")
+    val offsets = new Array[Int](n)
+    var off = 4                            // from the 'movi' fourcc
+    frames.indices.foreach { i =>
+      offsets(i) = off
+      fourcc("00dc"); bb.putInt(frames(i).length); bb.put(frames(i))
+      if ((frames(i).length & 1) == 1) bb.put(0.toByte)
+      off += 8 + frames(i).length + (frames(i).length & 1)
+    }
+    fourcc("idx1"); bb.putInt(idx1Size)
+    frames.indices.foreach { i =>
+      fourcc("00dc"); bb.putInt(0x10)      // AVIIF_KEYFRAME
+      bb.putInt(offsets(i)); bb.putInt(frames(i).length)
+    }
+    bb.array()
+  }
+
+  /** Lazily walk an AVI payload's '00dc' frame chunks — a RIFF traversal
+    * only, NO frame decode: the caller chooses which frames to pay for
+    * (frame sampling decodes every Nth, skipping the rest — the pattern
+    * that matters when a single asset holds thousands of frames).
+    * Defensive throughout: a declared RIFF size that disagrees with the
+    * payload length (truncation/trailing garbage) or an out-of-bounds
+    * chunk yields an empty/short iterator, never a throw. */
+  private[graft] def aviFrameChunks(payload: Array[Byte]): Iterator[Array[Byte]] = {
+    if (payload.length < 12 ||
+      !payload.take(4).sameElements(RiffMagic) ||
+      !payload.slice(8, 12).sameElements(AviTag)) return Iterator.empty
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (8L + bb.getInt(4) != payload.length.toLong) return Iterator.empty
+    // Top-level walk to the movi LIST.
+    var pos = 12
+    var moviStart = -1
+    var moviEnd = -1
+    while (moviStart < 0 && pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length) return Iterator.empty
+      if (id == "LIST" && size >= 4 &&
+        new String(payload, pos + 8, 4, "US-ASCII") == "movi") {
+        moviStart = pos + 12
+        moviEnd = pos + 8 + size
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (moviStart < 0) return Iterator.empty
+    val start = moviStart
+    val end = moviEnd
+    new Iterator[Array[Byte]] {
+      private var p = start
+      private var nextChunk: Array[Byte] = null
+      private def advance(): Unit =
+        while (nextChunk == null && p + 8 <= end) {
+          val id = new String(payload, p, 4, "US-ASCII")
+          val size = bb.getInt(p + 4)
+          if (size < 0 || p + 8 + size > end) { p = end }
+          else {
+            if (id == "00dc" || id == "00db")
+              nextChunk = java.util.Arrays.copyOfRange(payload, p + 8,
+                p + 8 + size)
+            p += 8 + size + (size & 1)
+          }
+        }
+      def hasNext: Boolean = { advance(); nextChunk != null }
+      def next(): Array[Byte] = {
+        advance()
+        if (nextChunk == null) throw new NoSuchElementException
+        val c = nextChunk; nextChunk = null; c
+      }
+    }
+  }
+
+  /** Full-asset AVI decode: every frame's PNG inflated, rasters
+    * concatenated (lossless → exactly the padded body), dims recovered
+    * from the total length like WAV. A frame that fails to decode, or a
+    * total that is not a valid padded size (interior corruption), means
+    * the asset is malformed → None. */
+  private def decodeAvi(payload: Array[Byte])
+      : Option[(String, Int, Int, Array[Byte])] = {
+    val bos = new java.io.ByteArrayOutputStream(payload.length)
+    var ok = true
+    aviFrameChunks(payload).foreach { chunk =>
+      decodeFramePng(chunk) match {
+        case Some(b) => bos.write(b, 0, b.length)
+        case None => ok = false
+      }
+    }
+    val body = bos.toByteArray
+    if (!ok || body.isEmpty) None
+    else {
+      val (w, h) = dimsFor(body.length)
+      if (w.toLong * h != body.length.toLong) None
+      else Some(("video", w, h, body))
+    }
+  }
 
   /** The decode boundary: dispatch on magic bytes — real PNG parse for
-    * images, real WAV parse for audio, GRF1 stub for video. Returns None
-    * on malformed input (corrupt media is data, not an exception, at
-    * 100 TB). */
+    * images, real WAV parse for audio, real AVI walk + per-frame PNG
+    * inflate for video. Returns None on malformed input (corrupt media
+    * is data, not an exception, at 100 TB). */
   def decodePayload(payload: Array[Byte])
       : Option[(String, Int, Int, Array[Byte])] = {
     if (payload.length >= PngMagic.length &&
@@ -176,27 +346,14 @@ object Multimodal {
       payload.take(4).sameElements(RiffMagic) &&
       payload.slice(8, 12).sameElements(WaveTag))
       decodeWav(payload)
-    else if (payload.length < 13 ||
-      !payload.take(4).sameElements(Magic)) None
-    else {
-      val buf = java.nio.ByteBuffer.wrap(payload)
-      buf.position(4)
-      val kind = kinds.lift(buf.get().toInt)
-      val w = buf.getInt
-      val h = buf.getInt
-      // Long arithmetic: a crafted header like w=h=65536 overflows Int
-      // (w*h == 0) and would pass an Int-typed length check.
-      if (kind.isEmpty || w <= 0 || h <= 0 ||
-        payload.length.toLong != 13L + w.toLong * h) None
-      else {
-        val body = new Array[Byte](w * h)
-        buf.get(body)
-        Some((kind.get, w, h, body))
-      }
-    }
+    else if (payload.length >= 12 &&
+      payload.take(4).sameElements(RiffMagic) &&
+      payload.slice(8, 12).sameElements(AviTag))
+      decodeAvi(payload)
+    else None
   }
 
-  /** Synthesize the assets table from documents: one GRF1 blob per doc. */
+  /** Synthesize the assets table from documents: one media blob per doc. */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -237,7 +394,7 @@ object Multimodal {
   }
 
   /** Strided "resize" (every factor-th pixel) — deterministic stand-in for
-    * real resampling; re-encodes to GRF1 so resizes compose. */
+    * real resampling; re-encodes to the same container so resizes compose. */
   def resized(assetsDs: Dataset[Asset], factor: Int): Dataset[Asset] = {
     import assetsDs.sparkSession.implicits._
     assetsDs.mapPartitions(_.flatMap { a =>
@@ -248,19 +405,22 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling for video assets: payload = sequence of 64-byte
-    * frames; keep every `every`-th frame, fingerprint each (xxhash-free
-    * deterministic Long fp so the column stays primitive). */
+  /** Frame sampling for video assets — a CONTAINER-level stride: walk
+    * the AVI chunk structure lazily and inflate only every `every`-th
+    * frame's PNG, skipping the rest undecoded (the access pattern that
+    * matters when one asset holds thousands of frames — sampling pays
+    * 1/every of the codec work, not a full decode then a filter).
+    * Fingerprint = deterministic Long over the frame's raster bytes, so
+    * the column stays primitive. */
   def sampledFrames(assetsDs: Dataset[Asset], every: Int): Dataset[Frame] = {
     import assetsDs.sparkSession.implicits._
     assetsDs.filter(_.kind == "video").mapPartitions(_.flatMap { a =>
-      decodePayload(a.payload).toSeq.flatMap { case (_, _, _, body) =>
-        body.grouped(FrameBytes).zipWithIndex
-          .filter(_._2 % every == 0)
-          .map { case (frame, idx) =>
-            Frame(a.asset_id, idx, java.util.Arrays.hashCode(frame).toLong)
-          }
-      }
+      aviFrameChunks(a.payload).zipWithIndex
+        .filter(_._2 % every == 0)
+        .flatMap { case (png, idx) =>
+          decodeFramePng(png).map(body =>
+            Frame(a.asset_id, idx, java.util.Arrays.hashCode(body).toLong))
+        }
     })
   }
 
@@ -290,7 +450,7 @@ object Multimodal {
   /** Dimensions after a factor-4 strided resize + re-encode — the full
     * decode → transform → encode → decode chain through the partition
     * iterators, against pure integer/sqrt math in the oracle (the resize
-    * keeps ceil(n_px/4) bytes, then GRF1 re-dims them). */
+    * keeps ceil(n_px/4) bytes, then the re-encode re-dims them). */
   def resizeDims(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._

@@ -4,7 +4,7 @@ import graft.Registry
 
 /** Registry + oracles for the multimodal tier. The binary payloads are
   * deterministic functions of `documents.text`, so byte stats and the
-  * GRF1 dimension arithmetic have exact SQL twins; the opaque-binary
+  * container dimension arithmetic have exact SQL twins; the opaque-binary
   * paths (histograms, resize, frame fingerprints) are covered by
   * MultimodalSpec instead. */
 object MultimodalRegistry {
@@ -44,7 +44,7 @@ object MultimodalRegistry {
            |FROM px WHERE kind = 'video'
            |ORDER BY doc_id""".stripMargin,
       // resize keeps every 4th byte of the PADDED body (ceil(n_px/4)),
-      // then the GRF1 re-encode re-derives dims with the same
+      // then the media re-encode re-derives dims with the same
       // ceil-sqrt arithmetic as mm_decode_dims.
       "mm_resize_dims" ->
         s"""WITH $DimsCte,

@@ -9,13 +9,34 @@ import graft.multimodal.Multimodal.Asset
 class MultimodalSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
-  test("GRF1 roundtrip: encode → decode preserves kind, dims, payload") {
-    val data = "hello multimodal world".getBytes("UTF-8")
+  test("video assets are real AVIs: RIFF container, PNG frames, lossless roundtrip") {
+    val data = ("the multimodal video payload needs more than sixty-four " +
+      "bytes so the container carries several full frames and one " +
+      "partial tail frame").getBytes("UTF-8")
     val enc = Multimodal.encodePayload("video", data)
+    // A real RIFF 'AVI ' container, not a synthetic header.
+    assert(enc.take(4).sameElements("RIFF".getBytes("US-ASCII")))
+    assert(enc.slice(8, 12).sameElements("AVI ".getBytes("US-ASCII")))
+    // Full decode is lossless: kind, shared dims formula, exact body.
     val Some((kind, w, h, body)) = Multimodal.decodePayload(enc)
     assert(kind == "video")
-    assert(w.toLong * h >= data.length && body.take(data.length).sameElements(data))
     assert((w, h) == Multimodal.dimsFor(data.length))
+    assert(body.take(data.length).sameElements(data))
+    assert(body.drop(data.length).forall(_ == 0))
+    // The movi chunks hold one PNG per 64-byte frame (last frame short),
+    // each independently decodable by a plain ImageIO parse.
+    val chunks = Multimodal.aviFrameChunks(enc).toSeq
+    assert(chunks.length == (w * h + 63) / 64)
+    val first = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(chunks.head))
+    assert(first.getWidth == 8 && first.getHeight == 8)
+    val rem = w * h - 64 * (chunks.length - 1)
+    val last = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(chunks.last))
+    assert(last.getWidth == rem && last.getHeight == 1)
+    // Truncated AVI (valid signature, broken structure) degrades to None.
+    assert(Multimodal.decodePayload(enc.take(40)).isEmpty)
+    assert(Multimodal.aviFrameChunks(enc.take(40)).isEmpty)
   }
 
   test("audio assets are real WAVs: RIFF container, independent parse, lossless PCM") {
