@@ -45,6 +45,7 @@ object RelationalRegistry {
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
       "funnel_time_to_convert" -> ((s, d) => Funnel.timeToConvert(s, d)),
+      "event_transitions" -> ((s, d) => Transitions.eventTransitions(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "rfm_features" -> ((s, d) => Cohorts.rfmFeatures(s, d)),
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
@@ -451,6 +452,26 @@ object RelationalRegistry {
           |  sum(CAST(round(value * 100) AS BIGINT))
           |    / CAST(100 AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      // Markov next-event matrix: lead over the per-user sequence
+      // (micros + event_id tie-break = deterministic), pair counts,
+      // per-source normalization. Window sum(BIGINT) is HUGEINT → cast
+      // back; the probability is one BIGINT→DOUBLE division (bit-exact).
+      "event_transitions" ->
+        """WITH seq AS (
+          |  SELECT lower(event_type) AS et,
+          |    lead(lower(event_type)) OVER (
+          |      PARTITION BY user_id
+          |      ORDER BY epoch_ns(ts) // 1000, event_id) AS next_et
+          |  FROM events),
+          |counts AS (
+          |  SELECT et AS src_type, next_et AS dst_type,
+          |    CAST(count(*) AS BIGINT) AS n_transitions
+          |  FROM seq WHERE next_et IS NOT NULL GROUP BY 1, 2)
+          |SELECT src_type, dst_type, n_transitions,
+          |  CAST(n_transitions AS DOUBLE) /
+          |    CAST(CAST(sum(n_transitions) OVER (PARTITION BY src_type)
+          |      AS BIGINT) AS DOUBLE) AS p_transition
+          |FROM counts ORDER BY src_type, dst_type""".stripMargin,
       // Strictly-after funnel: each step's first time must follow the
       // user's first completion of the previous step. ev feeds three
       // branches and s1/s2 are each read twice → MATERIALIZED (the CTE

@@ -258,6 +258,36 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.head.getInt(1) == expect)
   }
 
+  test("event transitions: per-user sequences, per-source probabilities sum to 1") {
+    import spark.implicits._
+    // u1: a→b→a→c (transitions a→b, b→a, a→c); u2: b→b (b→b). The lead
+    // window must NOT cross users: u1's last c and u2's first b pair
+    // with nothing.
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (1L, 3L, "a", 30L),
+      (1L, 4L, "c", 40L), (2L, 5L, "b", 50L), (2L, 6L, "b", 60L))
+      .toDF("user_id", "event_id", "et", "ts_us")
+    val m = operators.Transitions.eventTransitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "a"), ("b", "b")))
+    assert(m(("a", "b")) == (1L, 0.5) && m(("a", "c")) == (1L, 0.5))
+    assert(m(("b", "a")) == (1L, 0.5) && m(("b", "b")) == (1L, 0.5))
+    // Same-timestamp events order by event_id (deterministic sequence).
+    val tie = Seq((1L, 2L, "y", 10L), (1L, 1L, "x", 10L))
+      .toDF("user_id", "event_id", "et", "ts_us")
+    val t = operators.Transitions.eventTransitionsOf(tie).collect()
+    assert(t.length == 1 && t.head.getString(0) == "x" &&
+      t.head.getString(1) == "y")
+    // On the real fixture: probabilities per source sum to 1.
+    val srcSums = operators.Transitions.eventTransitions(spark, dir)
+      .groupBy("src_type")
+      .agg(org.apache.spark.sql.functions.sum("p_transition").as("p"))
+      .collect()
+    assert(srcSums.nonEmpty &&
+      srcSums.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
   test("FK integrity: clean fixture audits clean, row counts match tables") {
     val rows = operators.Relational.fkIntegrityReport(spark, dir).collect()
     assert(rows.length == 6)
