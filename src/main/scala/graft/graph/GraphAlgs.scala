@@ -804,8 +804,44 @@ object GraphAlgs {
       .orderBy("size")
   }
 
-  /** BFS distances to a landmark node (GraphX ShortestPaths, directed).
-    * Rows-only (iterative Pregel, no SQL twin); fixture-tested. */
+  /** Harmonic centrality toward a landmark set: h(v) = Σ_s 1/d(v,s)
+    * over the landmarks v reaches (d > 0) — the centrality that stays
+    * well-defined on disconnected graphs (unreachable ⇒ contributes 0,
+    * no ∞ to special-case). One multi-landmark GraphX ShortestPaths run
+    * (Pregel cost is ONE propagation carrying |S| distances, not |S|
+    * runs), then a per-vertex fold of the 1/d terms in sorted order —
+    * the repo's canonical float-summation convention, so the DuckDB
+    * twin (|S| recursive-CTE walks + list_sum(list_sort(…))) is
+    * bit-exact. Landmark-set size is the knob: |S| distances ride each
+    * Pregel message, so S stays a bounded seed set (the centrality
+    * literature's "pivot" sampling), never all vertices. */
+  def harmonicCentrality(spark: SparkSession, dir: String,
+                         landmarks: Seq[String], k: Int = 25): DataFrame = {
+    import spark.implicits._
+    val (graph, vm) = builtGraph(spark, dir)
+    val lmVids = vm.filter(col("id").isin(landmarks: _*)).select("vid")
+      .collect().map(_.getLong(0))
+    if (lmVids.isEmpty)
+      return Seq.empty[(String, Double)].toDF("id", "harmonic")
+    val res = org.apache.spark.graphx.lib.ShortestPaths
+      .run(graph, lmVids.toIndexedSeq)
+    res.vertices.join(graph.vertices)
+      .flatMap { case (_, (spMap, id)) =>
+        val terms = spMap.valuesIterator.filter(_ > 0)
+          .map(1.0 / _).toArray
+        if (terms.isEmpty) None
+        else {
+          java.util.Arrays.sort(terms)
+          Some((id, terms.foldLeft(0.0)(_ + _)))
+        }
+      }
+      .toDF("id", "harmonic")
+      .orderBy(desc("harmonic"), asc("id"))
+      .limit(k)
+  }
+
+  /** BFS distances to a landmark node (GraphX ShortestPaths, directed);
+    * oracle twin is a recursive-CTE walk (GraphRegistry). */
   def shortestPathsTo(spark: SparkSession, dir: String, landmark: String,
                       k: Int = 50): DataFrame = {
     import spark.implicits._

@@ -8,6 +8,11 @@ import graft.Registry
   */
 object GraphRegistry {
 
+  /** Landmark seed set for harmonic centrality — a bounded pivot set
+    * (each Pregel message carries |S| distances), shared verbatim by the
+    * Spark query and the oracle's CTE VALUES list. */
+  private val HarmonicLandmarks = Seq("P1", "P2", "P3")
+
   /** The canonical edge list, as DuckDB SQL — the oracle twin of
     * GraphBuilder.edges. Column names come from the first UNION branch. */
   private val EdgesSql =
@@ -315,6 +320,8 @@ object GraphRegistry {
         GraphAlgs.connectedComponentSizes(s, d)),
       "graphx_shortest_paths" -> ((s, d) =>
         GraphAlgs.shortestPathsTo(s, d, "P1")),
+      "harmonic_centrality" -> ((s, d) =>
+        GraphAlgs.harmonicCentrality(s, d, HarmonicLandmarks)),
       "graphx_ppr_recs" -> ((s, d) => GraphAlgs.pprRecs(s, d, 1L)),
       "graph_triangles" -> ((s, d) => GraphAlgs.triangleCount(s, d)),
       "graph_clustering_top" -> ((s, d) =>
@@ -355,6 +362,25 @@ object GraphRegistry {
            |)
            |SELECT id, min(dist) AS dist FROM walk GROUP BY id
            |ORDER BY dist, id LIMIT 50""".stripMargin,
+      // Harmonic centrality toward the landmark set: |S| BFS walks in
+      // one recursive CTE (landmark rides the state), min-dist collapse,
+      // then Σ 1/d with the list_sum(list_sort(…)) float-fold convention
+      // mirroring the Spark side's sorted fold — bit-exact doubles.
+      "harmonic_centrality" ->
+        s"""WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ($EdgesSql)),
+           |lms(lm) AS (SELECT * FROM (VALUES ${HarmonicLandmarks
+              .map(l => s"('$l')").mkString(", ")}) t(lm)),
+           |walk(lm, id, dist) AS (
+           |  SELECT lm, lm AS id, CAST(0 AS BIGINT) AS dist FROM lms
+           |  UNION
+           |  SELECT w.lm, e.src, w.dist + 1 FROM walk w
+           |  JOIN e ON e.dst = w.id WHERE w.dist < 8
+           |),
+           |d AS (SELECT lm, id, min(dist) AS dist FROM walk GROUP BY 1, 2)
+           |SELECT id, list_sum(list_sort(
+           |    list(CAST(1 AS DOUBLE) / CAST(dist AS DOUBLE)))) AS harmonic
+           |FROM d WHERE dist > 0 GROUP BY id
+           |ORDER BY harmonic DESC, id LIMIT 25""".stripMargin,
       // Static fallback assumes no c_join_date (the driver's TPC-H
       // testdata today); Verify overlays [[adaptiveOracles]], which
       // mirrors the Spark side's schema adaptivity against the actual

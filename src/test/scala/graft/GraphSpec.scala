@@ -120,6 +120,27 @@ class GraphSpec extends SparkTestBase {
     assert(!d.contains("BCAT1")) // categories have no out-edges
   }
 
+  test("harmonic centrality equals the per-landmark BFS combination") {
+    val lms = Seq("P1", "P2", "P3")
+    val per = lms.map(lm =>
+      GraphAlgs.shortestPathsTo(spark, dir, lm, k = 1000000).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val expect = per.flatMap(_.keySet).distinct
+      .map { id =>
+        val terms = per.flatMap(_.get(id)).filter(_ > 0)
+          .map(1.0 / _).sorted
+        id -> terms.foldLeft(0.0)(_ + _)
+      }
+      .filter(_._2 > 0)
+      .sortBy { case (id, h) => (-h, id) }.take(25)
+    val got = GraphAlgs.harmonicCentrality(spark, dir, lms).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    assert(got == expect)
+    // P2/P3 reach P1 through nothing on the seed (products have no
+    // out-edges), so every score is a pure 1/d fold over REACHING nodes.
+    assert(got.forall(_._2 > 0))
+  }
+
   test("fixed-round components equal GraphX connected components on the seed") {
     val rel = GraphAlgs.componentsFixedSizes(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
