@@ -35,4 +35,20 @@ class ServeSpec extends SparkTestBase {
       assert(bad.contains(""""items": []"""))
     } finally server.stop(0)
   }
+
+  test("a broken engine degrades per-endpoint: ok:false probes, empty recs") {
+    // A dir with no tables: /health stays true (the liveness probe is
+    // engine-only), but /etl and /recs hit missing parquet — each must
+    // answer 200 in ITS OWN shape (a checker parses /etl for `ok`; an
+    // items body would read as unparseable).
+    val server = Serve.start(spark, "/nonexistent-graft-dir", port = 0)
+    try {
+      val port = server.getAddress.getPort
+      assert(get(port, "/health") == """{"ok": true}""")
+      assert(get(port, "/etl") == """{"ok": false}""")
+      val recs = get(port, "/recs?product_id=1")
+      assert(recs.contains(""""items": []""") &&
+        recs.contains(""""took_ms":"""))
+    } finally server.stop(0)
+  }
 }
