@@ -172,4 +172,50 @@ object Recs {
     if (primary.isEmpty) customerCategoryRecs(spark, dir, custId, k)
     else primary
   }
+
+  /** Reciprocal-rank fusion of the two product arms — the modern recsys
+    * alternative to the reference's fallback CASCADE: instead of "rich
+    * arm, else cheap arm", rank each arm's full candidate list and fuse
+    * with rrf(p) = Σ_arms 1/(rrfK + rank_arm(p)) (Cormack et al.'s
+    * rank-only fusion — score scales never need calibrating, which is
+    * why it is the standard way to merge lexical + vector hit lists).
+    *
+    * Determinism: arm ranks are row_number over each arm's total order
+    * (the same orders the standalone queries impose), and the fused
+    * score is two fixed-order double operations — bit-exact in the
+    * oracle. Scale: both candidate lists are seed-pruned (orders
+    * containing the seed / the seed's category), so the unpartitioned
+    * rank windows and the fusion join run on bounded per-seed lists —
+    * the same posture as the k-row serving collects, never corpus-wide. */
+  def rrfFusion(spark: SparkSession, dir: String, seedPart: Long,
+                k: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = rawItems(spark, dir)
+    val seedOrders = li.filter(col("product_id") === seedPart)
+      .select("order_id").distinct()
+    val coRank = li.filter(col("product_id") =!= seedPart)
+      .join(broadcast(seedOrders), "order_id")
+      .distinct()
+      .groupBy("product_id").agg(count(lit(1)).as("score"))
+      .select(col("product_id"), row_number()
+        .over(Window.orderBy(desc("score"), asc("product_id"))).as("r_co"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"),
+        col("p_brand").as("category_id"))
+    val seedCat = part.filter(col("product_id") === seedPart)
+      .select("category_id")
+    val catRank = part.join(broadcast(seedCat), "category_id")
+      .filter(col("product_id") =!= seedPart)
+      .select(col("product_id"),
+        row_number().over(Window.orderBy(asc("product_id"))).as("r_cat"))
+    coRank.join(catRank, Seq("product_id"), "full_outer")
+      .select(col("product_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("r_co")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_cat")), lit(0.0)))
+          .as("rrf_score"),
+        (col("r_co").isNotNull.cast("int") +
+          col("r_cat").isNotNull.cast("int")).as("n_arms"))
+      .orderBy(desc("rrf_score"), asc("product_id"))
+      .limit(k)
+  }
 }

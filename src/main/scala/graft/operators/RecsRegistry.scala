@@ -16,7 +16,8 @@ object RecsRegistry {
       "rec_same_category" -> ((s, d) => Recs.sameCategory(s, d, SeedPart)),
       "rec_customer" -> ((s, d) => Recs.customerRecs(s, d, SeedCust)),
       "rec_customer_category" -> ((s, d) =>
-        Recs.customerCategoryRecs(s, d, SeedCust))
+        Recs.customerCategoryRecs(s, d, SeedCust)),
+      "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart))
     ),
     oracles = Map(
       "rec_cooccurrence" ->
@@ -35,6 +36,36 @@ object RecsRegistry {
            |FROM part_cat p JOIN seed USING (category_id)
            |WHERE p.product_id <> $SeedPart
            |ORDER BY product_id ASC
+           |LIMIT 10""".stripMargin,
+      // RRF fusion of the two arms: row_number ranks over each arm's
+      // total order, fused as 1/(60+r) + 1/(60+r) with fixed operand
+      // order (two IEEE ops — bit-exact). FULL OUTER ... USING keeps
+      // the coalesced product_id.
+      "rec_rrf_fusion" ->
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+           |seed AS (SELECT order_id FROM items WHERE product_id = $SeedPart),
+           |co AS (SELECT i.product_id, count(*) AS score
+           |  FROM items i JOIN seed USING (order_id)
+           |  WHERE i.product_id <> $SeedPart GROUP BY 1),
+           |cor AS (SELECT product_id,
+           |  row_number() OVER (ORDER BY score DESC, product_id) AS r_co
+           |  FROM co),
+           |part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+           |seedc AS (SELECT category_id FROM part_cat WHERE product_id = $SeedPart),
+           |catr AS (SELECT p.product_id,
+           |  row_number() OVER (ORDER BY p.product_id) AS r_cat
+           |  FROM part_cat p JOIN seedc USING (category_id)
+           |  WHERE p.product_id <> $SeedPart)
+           |SELECT product_id,
+           |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r_co AS DOUBLE),
+           |    CAST(0 AS DOUBLE)) +
+           |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r_cat AS DOUBLE),
+           |    CAST(0 AS DOUBLE)) AS rrf_score,
+           |  CAST(CASE WHEN r_co IS NULL THEN 0 ELSE 1 END +
+           |    CASE WHEN r_cat IS NULL THEN 0 ELSE 1 END AS INTEGER)
+           |    AS n_arms
+           |FROM cor FULL OUTER JOIN catr USING (product_id)
+           |ORDER BY rrf_score DESC, product_id
            |LIMIT 10""".stripMargin,
       // Cypher count(*) over FULL path bindings (reference main.py:88-104):
       // score(other) = #(o1, p, o2) triples, decomposed as Σ w(o2) with

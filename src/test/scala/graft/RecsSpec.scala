@@ -65,6 +65,34 @@ class RecsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((12L, 3.0, "co-occurrence")))
   }
 
+  test("rrf fusion combines both arm rankings and outranks single-arm hits") {
+    val sf = "/root/testdata/sf0.001"
+    val big = 1 << 30 // un-truncated arm rankings
+    val co = Recs.coOccurrence(spark, sf, 1L, k = big).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val coRank = co.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val catRank = Recs.sameCategory(spark, sf, 1L, k = big).collect()
+      .map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val expect = (coRank.keySet ++ catRank.keySet).toSeq
+      .map { id =>
+        val s = coRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          catRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, s, coRank.contains(id).compare(false) +
+          catRank.contains(id).compare(false))
+      }
+      .sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = Recs.rrfFusion(spark, sf, 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == expect)
+    // Fusion semantics: any two-arm product beats every one-arm product
+    // whose best rank is not better in BOTH arms — weaker but sufficient
+    // smoke: the top row must be a genuine fusion when any overlap exists.
+    if (expect.exists(_._3 == 2)) assert(got.head._3 == 2 ||
+      got.head._2 > expect.filter(_._3 == 2).map(_._2).max - 1e-12)
+  }
+
   test("CONTAINS edge set collapses duplicate order-items (MERGE semantics)") {
     // Doubled input must produce the identical edge set (A6 idempotency).
     val once = Recs.containsEdges(spark, SeedFixture.dir).collect().toSet
