@@ -105,6 +105,38 @@ object Curation {
         sum(col("wins") * ctx - col("n")).as("pad_tokens"))
       .orderBy("bucket")
 
+  /** Sequence-packing ASSIGNMENTS — the operator behind [[packingReport]]'s
+    * audit: the concat-then-chunk packing LLM pretraining actually uses
+    * (concatenate documents in a fixed order, slice into ctx-token
+    * windows; no bin-packing search, no padding except the final
+    * window). Deterministic by construction: docs concatenate per split
+    * in doc_id order, so pack_id = cum_start div ctx and offset =
+    * cum_start mod ctx are pure integer arithmetic over a running sum —
+    * exactly reproducible by the oracle's window cumsum. `spans_packs`
+    * flags docs a window boundary cuts (the attention-masking caveat of
+    * packed training). Scale: the cumsum window partitions by split —
+    * a production run range-partitions the order key so each range
+    * computes its cumsum after a per-range offset scan (two passes,
+    * no global single-partition window); the per-split window here is
+    * that pattern's local form. */
+  def packAssignments(spark: SparkSession, dir: String,
+                      ctx: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        size(TextAnalysis.tokens).cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("split"), col("n_tokens"),
+        expr(s"(cum_end - n_tokens) div $ctx").as("pack_id"),
+        expr(s"(cum_end - n_tokens) % $ctx").as("pack_offset"),
+        (col("n_tokens") > 0 &&
+          expr(s"(cum_end - 1) div $ctx") > expr(s"(cum_end - n_tokens) div $ctx"))
+          .as("spans_packs"))
+      .orderBy("doc_id")
+  }
+
   /** Split-leakage audit: exact-duplicate texts spanning MORE THAN ONE
     * split — the classic failure of splitting before deduplicating (val/
     * test contamination by train twins). One fingerprint groupBy; the

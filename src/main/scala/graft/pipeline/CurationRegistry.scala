@@ -37,6 +37,7 @@ object CurationRegistry {
       "source_cap_sample" -> ((s, d) => Curation.sourceCapSample(s, d)),
       "split_leakage" -> ((s, d) => Curation.splitLeakageReport(s, d)),
       "packing_report" -> ((s, d) => Curation.packingReport(s, d)),
+      "pack_assignments" -> ((s, d) => Curation.packAssignments(s, d)),
       "quality_floor_calibration" -> ((s, d) =>
         Curation.qualityFloorCalibration(s, d))
     ),
@@ -108,6 +109,23 @@ object CurationRegistry {
            |  CAST(sum(wins) AS BIGINT) AS n_windows,
            |  CAST(sum(wins * 256 - n) AS BIGINT) AS pad_tokens
            |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin,
+      // Concat-then-chunk packing: per-split doc_id-ordered cumsum
+      // (ROWS pinned on both sides; doc_id is unique but RANGE vs ROWS
+      // must not be left to defaults), then pure integer div/mod.
+      // Window sum(BIGINT) is HUGEINT → cast back.
+      "pack_assignments" ->
+        s"""WITH t AS (SELECT doc_id, $SplitSql AS split,
+           |  CAST(len($Toks) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, split, n_tokens,
+           |  CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end FROM t)
+           |SELECT doc_id, split, n_tokens,
+           |  (cum_end - n_tokens) // 256 AS pack_id,
+           |  (cum_end - n_tokens) % 256 AS pack_offset,
+           |  n_tokens > 0 AND
+           |    (cum_end - 1) // 256 > (cum_end - n_tokens) // 256
+           |    AS spans_packs
+           |FROM c ORDER BY doc_id""".stripMargin,
       "split_leakage" ->
         s"""WITH f AS (SELECT md5(text) AS fp, $SplitSql AS split
            |           FROM documents),

@@ -194,4 +194,24 @@ class CurationSpec extends SparkTestBase {
     assert(full.intersect(
       graft.text.TextAnalysis.BenchmarkDocIds.toSet).isEmpty)
   }
+
+  test("pack assignments reconstruct as a per-split concat-then-chunk") {
+    val rows = Curation.packAssignments(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, _, _, _, off, _) => off >= 0 && off < 256 })
+    rows.groupBy(_._2).foreach { case (_, ds) =>
+      // Replay the concatenation in doc_id order: every doc must start
+      // exactly where the previous one ended, and spans_packs must flag
+      // exactly the docs a 256-token boundary cuts.
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, pid, off, spans) =>
+        assert(pid == cum / 256 && off == cum % 256, s"doc $id")
+        assert(spans == (n > 0 && (cum + n - 1) / 256 > cum / 256),
+          s"doc $id spans")
+        cum += n
+      }
+    }
+  }
 }
