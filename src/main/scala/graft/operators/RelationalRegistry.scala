@@ -34,6 +34,7 @@ object RelationalRegistry {
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
       "resample_ffill" -> ((s, d) => Resample.eventValuesFfill(s, d)),
+      "ewma_daily_revenue" -> ((s, d) => Resample.ewmaDailyRevenue(s, d)),
       "range_event_orders" -> ((s, d) => RangeJoin.eventsNearOrders(s, d)),
       "set_ops" -> ((s, d) => Relational.setOps(s, d)),
       // Salting must never change an answer: the oracles are the PLAIN
@@ -192,6 +193,28 @@ object RelationalRegistry {
           |  sum(CAST(round(p_retailprice * 100) AS BIGINT))
           |    / CAST(100 AS DOUBLE) AS sum_price
           |FROM part GROUP BY 1 ORDER BY brand""".stripMargin,
+      // EWMA with α=1/2: identical left fold (acc+x)·0.5 over the
+      // identical day-ordered cents list on both engines — power-of-two
+      // scaling is exact, so the doubles are bit-identical; /100 is a
+      // single presentation division after the fold. list_reduce seeds
+      // from the first element, hence the prepended 0.
+      "ewma_daily_revenue" ->
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+          |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |      AS BIGINT) AS cents
+          |  FROM orders GROUP BY 1),
+          |s AS (
+          |  SELECT day, n_orders, cents,
+          |    list(CAST(cents AS DOUBLE))
+          |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS terms
+          |  FROM daily)
+          |SELECT day, n_orders,
+          |  CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+          |    (acc, x) -> (acc + x) * CAST(0.5 AS DOUBLE))
+          |    / CAST(100 AS DOUBLE) AS ewma_revenue
+          |FROM s ORDER BY day""".stripMargin,
       // grid ticks ASOF-joined to the deduped event series; the Spark
       // side is the merge-union carry-forward of the same semantics.
       "resample_ffill" ->

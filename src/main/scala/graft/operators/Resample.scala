@@ -65,4 +65,40 @@ object Resample {
         col("filled.v").as("value"))
       .orderBy("user_id", "tick_us")
   }
+
+  /** Exponentially-weighted moving average of daily order revenue with
+    * α = 1/2 — the smoothing a metrics pipeline layers on any daily KPI.
+    *
+    * α is HALF on purpose: the recurrence y_i = (y_{i−1} + x_i)·0.5
+    * (y_0 = 0) is one IEEE add and one EXACT power-of-two scaling per
+    * step, so running the identical left fold over the identical
+    * day-ordered list on both engines is bit-reproducible — no pow(),
+    * no float literal drift, no re-association. Inputs are exact
+    * integer cents; the single /100 presentation division happens after
+    * the fold on both sides.
+    *
+    * Shape: the daily aggregation is the scalable part (one partial-agg
+    * shuffle over orders). The smoothing then runs on the BOUNDED daily
+    * series (|days| is calendar-bounded regardless of corpus size), so
+    * the unpartitioned prefix window and its O(|days|²) collected terms
+    * are a deliberate small-series trade for engine-exact parity — a
+    * production pipeline streams the recurrence over the same sorted
+    * series in one pass. */
+  def ewmaDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("cents"))
+    val prefix = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("terms", collect_list(col("cents").cast("double"))
+        .over(prefix))
+      .select(col("day"), col("n_orders"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (aggregate(col("terms"), lit(0.0),
+          (acc, x) => (acc + x) * lit(0.5)) / lit(100.0))
+          .as("ewma_revenue"))
+      .orderBy("day")
+  }
 }

@@ -69,4 +69,21 @@ class AsofJoinSpec extends SparkTestBase {
         (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(rows == Map(1L -> None, 2L -> Some(10L), 3L -> Some(10L)))
   }
+
+  test("EWMA halves its way along the daily series, exactly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // Daily cent totals 100, 300, 500 → EWMA recurrence (y+x)/2 from 0:
+    // 50, 175, 337.5 cents = 0.5, 1.75, 3.375 dollars.
+    Seq((1L, 1L, ts("2024-01-01"), 1.00),
+        (2L, 1L, ts("2024-01-02"), 2.00), (3L, 1L, ts("2024-01-02"), 1.00),
+        (4L, 1L, ts("2024-01-03"), 5.00))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    val rows = operators.Resample.ewmaDailyRevenue(spark, d).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 1.0, 0.5), (2L, 3.0, 1.75),
+      (1L, 5.0, 3.375)))
+  }
 }
