@@ -567,6 +567,45 @@ object EventStreams {
       }
   }
 
+  case class TransEvent(user_id: Long, ts_us: Long, event_id: Long,
+                        et: String)
+  case class TransState(ts_us: Long, event_id: Long, et: String)
+  case class TransPair(src_type: String, dst_type: String)
+
+  /** Streaming twin of the Markov transition extraction
+    * (operators.Transitions): per-user last-event state (one small row),
+    * each arriving event emitting its (prev → this) pair; a downstream
+    * count per pair equals the batch lead-window counts — exact under
+    * per-user event-time-ordered delivery (batch-internal order is
+    * restored by the (ts_us, event_id) sort, the same tie-break the
+    * batch twin's window imposes). Like the gap extractor, state cannot
+    * be TTL-evicted without changing semantics (an arbitrarily late
+    * next event still forms a pair with the last one), so the bound is
+    * one row per user seen. */
+  def transitionPairs(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[TransEvent], state: GroupState[TransState]) =>
+          var last = state.getOption
+          val out = Seq.newBuilder[TransPair]
+          evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            last.foreach(l => out += TransPair(l.et, e.et))
+            last = Some(TransState(e.ts_us, e.event_id, e.et))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Batch twin for the registry: the lead-window pair counts (the
+    * probability normalization stays in `event_transitions`; the stream
+    * maintains counts). */
+  def transitionCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Transitions.eventTransitions(spark, dir)
+      .select("src_type", "dst_type", "n_transitions")
+
   case class SessionEvent(user_id: Long, ts_us: Long)
   case class SessionState(start_us: Long, last_us: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start_us: Long,

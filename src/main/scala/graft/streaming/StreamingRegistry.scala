@@ -19,7 +19,9 @@ object StreamingRegistry {
       "stream_view_to_purchase" -> ((s, d) =>
         EventStreams.viewToPurchaseBatch(s, d)),
       "stream_window_topk" -> ((s, d) =>
-        EventStreams.windowTopProductsBatch(s, d))
+        EventStreams.windowTopProductsBatch(s, d)),
+      "stream_transitions" -> ((s, d) =>
+        EventStreams.transitionCountsBatch(s, d))
     ),
     oracles = Map(
       "stream_window_counts" ->
@@ -57,6 +59,20 @@ object StreamingRegistry {
           |  product_id, n
           |FROM c QUALIFY rk <= 3
           |ORDER BY window_start_us, rk""".stripMargin,
+      // Pair counts of the stateful transition extractor's batch twin —
+      // the event_transitions derivation minus the serving-side
+      // probability normalization.
+      "stream_transitions" ->
+        """WITH seq AS (
+          |  SELECT lower(event_type) AS et,
+          |    lead(lower(event_type)) OVER (
+          |      PARTITION BY user_id
+          |      ORDER BY epoch_ns(ts) // 1000, event_id) AS next_et
+          |  FROM events)
+          |SELECT et AS src_type, next_et AS dst_type,
+          |  CAST(count(*) AS BIGINT) AS n_transitions
+          |FROM seq WHERE next_et IS NOT NULL GROUP BY 1, 2
+          |ORDER BY src_type, dst_type""".stripMargin,
       "stream_edge_counts" ->
         """WITH e AS (
           |  SELECT user_id,

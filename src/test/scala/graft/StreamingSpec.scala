@@ -155,6 +155,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream transition pairs across microbatches equal the batch counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val f = org.apache.spark.sql.functions
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(f.col("user_id"), f.unix_micros(f.col("ts")).as("ts_us"),
+        f.col("event_id"), f.lower(f.col("event_type")).as("et"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(t => (t._2, t._3))
+      .map(t => EventStreams.TransEvent(t._1, t._2, t._3, t._4))
+    val mem = MemoryStream[EventStreams.TransEvent]
+    val q = EventStreams.transitionPairs(mem.toDS())
+      .writeStream.format("memory").queryName("trans_pairs")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("trans_pairs").collect()
+        .groupBy(r => (r.getString(0), r.getString(1)))
+        .view.mapValues(_.length.toLong).toMap
+      val batch = EventStreams
+        .transitionCountsBatch(spark, "/root/testdata/sf0.001").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions across microbatches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
