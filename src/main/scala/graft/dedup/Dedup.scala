@@ -166,6 +166,24 @@ object Dedup {
     verifyJaccard(sh, candidates, threshold)
   }
 
+  /** Near-dup CLUSTERS over the MinHash-LSH verified pairs — the step a
+    * dedup pipeline runs after pair generation (pairs → components →
+    * one canonical keeper per cluster): bounded-round min-label
+    * propagation ([[graft.graph.GraphAlgs.pairComponents]], with its
+    * exact-count state gate), keeper = the cluster's min doc_id.
+    * Singleton labels are filtered — a doc is only here because it sits
+    * on a verified pair, so a singleton after `rounds` hops is a
+    * propagation-horizon artifact, not a duplicate (the oracle's
+    * unrolled twin filters identically). */
+  def minhashClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8, rounds: Int = 5): DataFrame =
+    graft.graph.GraphAlgs.pairComponents(
+      minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
+      .groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .select(col("comp").as("keep_doc_id"), col("n_members"))
+      .orderBy("keep_doc_id")
+
   /** SimHash via builtins only: 64-bit bitwise fingerprint — per
     * token-hash bit, sum ±1 over the doc, sign → bit. Kept as the
     * reference semantics for the native-expression parity test; the hot

@@ -79,12 +79,48 @@ object DedupRegistry {
     }.mkString(" UNION ALL ")
   }
 
+  /** CTE chain: MinHash verified pairs → symmetrized edge set → unrolled
+    * min-label rounds c0..cN (twin of GraphAlgs.pairComponents over
+    * Dedup.minhashLshPairs). */
+  private def minhashClusterCtes(rounds: Int): String = {
+    val head =
+      s"""$ShingleCtes,
+         |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
+         |buckets AS ($BandSelects),
+         |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+         |         FROM buckets b1 JOIN buckets b2
+         |           ON b1.band = b2.band AND b1.key = b2.key
+         |          AND b1.doc_id < b2.doc_id),
+         |common AS (
+         |  SELECT c.d1, c.d2, count(*) AS c
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+         |              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         |  GROUP BY c.d1, c.d2),
+         |ver AS MATERIALIZED (
+         |  SELECT d1, d2 FROM common
+         |  JOIN sizes n1 ON n1.doc_id = d1
+         |  JOIN sizes n2 ON n2.doc_id = d2
+         |  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.8),
+         |und AS MATERIALIZED (SELECT d1, d2 FROM ver
+         |  UNION ALL SELECT d2, d1 FROM ver),
+         |c0 AS MATERIALIZED (SELECT DISTINCT d1 AS id, d1 AS comp FROM und)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (
+         |  SELECT id, comp FROM c${i - 1}
+         |  UNION ALL
+         |  SELECT u.d2 AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.d1
+         |) GROUP BY id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   val registry: Registry = Registry(
     queries = Map(
       "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
       "dedup_token_set" -> ((s, d) => Dedup.tokenSetDups(s, d)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
       "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+      "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(s, d)),
       "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
       "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d))
@@ -123,6 +159,15 @@ object DedupRegistry {
            |           ON b1.band = b2.band AND b1.key = b2.key
            |          AND b1.doc_id < b2.doc_id),
            |${verifySql(0.8)}""".stripMargin,
+      // Unrolled min-label rounds over the verified pair set — the same
+      // bounded-round semantics the Spark loop computes (the
+      // sim_dup_clusters pattern, over MinHash text pairs).
+      "dedup_minhash_clusters" ->
+        s"""WITH ${minhashClusterCtes(5)}
+           |SELECT comp AS keep_doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_members
+           |FROM c5 GROUP BY comp HAVING count(*) > 1
+           |ORDER BY keep_doc_id""".stripMargin,
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,

@@ -804,6 +804,49 @@ object GraphAlgs {
       .orderBy("size")
   }
 
+  /** Bounded-round min-label components over an arbitrary verified pair
+    * relation `(d1, d2)` — the shared clustering tail of every near-dup
+    * pipeline (SRP embedding pairs, MinHash text pairs): symmetrize,
+    * propagate the min label `rounds` times, one row of state per
+    * member. Join strategy is the same exact-count state gate as the
+    * graph loops: under it the label state broadcasts onto the
+    * d2-partitioned pair set (zero-exchange rounds); over it the rounds
+    * run as exchange-free sort-merge joins against the d1-sorted layout
+    * — no |members| broadcast anywhere. Bounded rounds are the
+    * SEMANTICS (clusters = "within `rounds` propagation hops"), which
+    * is what keeps the oracle an exact unrolled twin. */
+  def pairComponents(pairs: DataFrame, rounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    // Materialize the (often expensive) pair plan ONCE: the und layout,
+    // the gate count, and the label init below would otherwise each
+    // re-execute the full upstream pipeline (measured 3× the pair cost).
+    val p = pairs.localCheckpoint(true)
+    val undRaw = p.unionByName(
+      p.select(col("d2").as("d1"), col("d1").as("d2")))
+    val members = undRaw.select(col("d1").as("id")).distinct()
+    val coPart = members.count() > stateBroadcastMaxRows(spark)
+    val und = graft.Layout.checkpoint(
+      if (coPart) undRaw.repartition(n, col("d1")).sortWithinPartitions("d1")
+      else undRaw.repartition(n, col("d2")))
+    var comp = members.withColumn("comp", col("id"))
+    for (_ <- 1 to rounds) {
+      // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact keys; the
+      // per-d2 min fold is in-place under the gate, the round's one
+      // pair-relation-sized exchange over it.
+      val state = comp.withColumnRenamed("id", "d1")
+      val minNbrs = und
+        .join(if (coPart) state.hint("merge") else broadcast(state), "d1")
+        .select(col("d2").as("id"), col("comp").as("ncomp"))
+        .groupBy("id").agg(min("ncomp").as("nbr"))
+      comp = graft.Layout.stateCheckpoint(
+        comp.join(minNbrs, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), col("nbr")).as("comp")),
+        preserveLayout = coPart)
+    }
+    comp
+  }
+
   /** Harmonic centrality toward a landmark set: h(v) = Σ_s 1/d(v,s)
     * over the landmarks v reaches (d > 0) — the centrality that stays
     * well-defined on disconnected graphs (unreachable ⇒ contributes 0,

@@ -193,43 +193,15 @@ object Similarity {
     * and curate_full's near-dup drop reads (members whose comp ≠ id are
     * the redundant copies a dedup pass removes). Memoized: the
     * propagation runs once per (session, dir, threshold, rounds). */
+  /** Min-label components over the verified SRP near-dup pairs — the
+    * generic bounded-round propagation ([[graft.graph.GraphAlgs
+    * .pairComponents]], with its exact-count state gate), memoized per
+    * (dir, threshold, rounds). */
   def dupAssignments(spark: SparkSession, dir: String,
                      threshold: Double = 0.4, rounds: Int = 5): DataFrame =
     graft.Memo.get(spark, "srp-dup-assign", (dir, threshold, rounds)) {
-      val n = spark.sessionState.conf.numShufflePartitions
-      val pairs = srpLshPairsCore(spark, dir, threshold).select("d1", "d2")
-      val undRaw = pairs.unionByName(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      val members = undRaw.select(col("d1").as("id")).distinct()
-      // The componentsFixedSizes state gate (spark.graft.state.broadcast
-      // .maxRows), on the EXACT member count: the propagation state is
-      // one row per doc sitting on a verified pair — usually a small
-      // fraction of the corpus, but at 100 TB it can itself be huge.
-      // Under the gate the label state broadcasts onto the
-      // d2-partitioned pair set (zero-exchange rounds); over it the
-      // rounds run as exchange-free sort-merge joins against the
-      // d1-sorted layout, no |members| broadcast anywhere.
-      val coPart =
-        members.count() > graft.graph.GraphAlgs.stateBroadcastMaxRows(spark)
-      val und = graft.Layout.checkpoint(
-        if (coPart) undRaw.repartition(n, col("d1")).sortWithinPartitions("d1")
-        else undRaw.repartition(n, col("d2")))
-      var comp = members.withColumn("comp", col("id"))
-      for (_ <- 1 to rounds) {
-        // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact Longs; the
-        // per-d2 min fold is in-place under the gate, the round's one
-        // pair-relation-sized exchange over it.
-        val state = comp.withColumnRenamed("id", "d1")
-        val minNbrs = und
-          .join(if (coPart) state.hint("merge") else broadcast(state), "d1")
-          .select(col("d2").as("id"), col("comp").as("ncomp"))
-          .groupBy("id").agg(min("ncomp").as("nbr"))
-        comp = graft.Layout.stateCheckpoint(
-          comp.join(minNbrs, Seq("id"), "left")
-            .select(col("id"), least(col("comp"), col("nbr")).as("comp")),
-          preserveLayout = coPart)
-      }
-      comp
+      graft.graph.GraphAlgs.pairComponents(
+        srpLshPairsCore(spark, dir, threshold).select("d1", "d2"), rounds)
     }
 
   def dupClusters(spark: SparkSession, dir: String,

@@ -89,4 +89,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("minhash clusters reconcile with the verified pair set") {
+    val pairs = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = graft.graph.GraphAlgs
+      .pairComponents(Dedup.minhashLshPairs(spark, dir)
+        .select("d1", "d2"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Directly-paired docs always share a component (one hop ≤ rounds),
+    // and every label is the min of the docs it covers.
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"($a,$b)") }
+    comp.groupBy(_._2).foreach { case (label, m) =>
+      assert(label == m.keys.min)
+    }
+    // The cluster rows are exactly the multi-member labels, keyed by min.
+    val clusters = Dedup.minhashClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = comp.groupBy(_._2).view.mapValues(_.size.toLong)
+      .filter(_._2 > 1).toMap
+    assert(clusters == expect)
+  }
 }
