@@ -830,21 +830,28 @@ object GraphAlgs {
       if (coPart) undRaw.repartition(n, col("d1")).sortWithinPartitions("d1")
       else undRaw.repartition(n, col("d2")))
     var comp = members.withColumn("comp", col("id"))
-    for (_ <- 1 to rounds) {
-      // min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact keys; the
-      // per-d2 min fold is in-place under the gate, the round's one
-      // pair-relation-sized exchange over it.
-      val state = comp.withColumnRenamed("id", "d1")
-      val minNbrs = und
-        .join(if (coPart) state.hint("merge") else broadcast(state), "d1")
-        .select(col("d2").as("id"), col("comp").as("ncomp"))
-        .groupBy("id").agg(min("ncomp").as("nbr"))
+    for (_ <- 1 to rounds)
       comp = graft.Layout.stateCheckpoint(
-        comp.join(minNbrs, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), col("nbr")).as("comp")),
-        preserveLayout = coPart)
-    }
+        pairComponentsStep(und, comp, coPart), preserveLayout = coPart)
     comp
+  }
+
+  /** One min-label round, UNcheckpointed — split out (like [[rankStep]])
+    * so PlanAuditSpec can assert both join shapes on exactly the plan
+    * the loop executes: co-partitioned must be an exchange-light
+    * sort-merge state join, gated must broadcast the label state.
+    * min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact keys; the per-d2
+    * min fold is in-place under the gate, the round's one
+    * pair-relation-sized exchange over it. */
+  private[graft] def pairComponentsStep(und: DataFrame, comp: DataFrame,
+                                        coPartition: Boolean): DataFrame = {
+    val state = comp.withColumnRenamed("id", "d1")
+    val minNbrs = und
+      .join(if (coPartition) state.hint("merge") else broadcast(state), "d1")
+      .select(col("d2").as("id"), col("comp").as("ncomp"))
+      .groupBy("id").agg(min("ncomp").as("nbr"))
+    comp.join(minNbrs, Seq("id"), "left")
+      .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
   }
 
   /** Harmonic centrality toward a landmark set: h(v) = Σ_s 1/d(v,s)

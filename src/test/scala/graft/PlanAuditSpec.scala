@@ -129,6 +129,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected 1 exchange (contributions fold), found $exchanges:\n$plan")
   }
 
+  test("co-partitioned pair-component rounds: SMJ state join, no broadcast") {
+    // The near-dup clustering tail (shared by the MinHash and SRP
+    // pipelines) must survive a member set over the state gate: audit
+    // the exact round plan with coPartition = true — sort-merge state
+    // join against the d1-sorted pair layout, no BroadcastExchange.
+    import org.apache.spark.sql.functions.lit
+    val n = spark.sessionState.conf.numShufflePartitions
+    val pairs = graft.dedup.Dedup.minhashLshPairs(spark, dir)
+      .select("d1", "d2").localCheckpoint(true)
+    val und = Layout.checkpoint(
+      pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .repartition(n, col("d1")).sortWithinPartitions("d1"))
+    val comp = und.select(col("d1").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    val step = graph.GraphAlgs.pairComponentsStep(und, comp,
+      coPartition = true)
+    val plan = step.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"label-state join is not a sort-merge join:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"label state is broadcast over the gate:\n$plan")
+  }
+
   test("dedup candidate generation never goes quadratic") {
     // The LSH/blocking families must join on bucket keys — a
     // CartesianProduct or nested-loop join anywhere means the candidate
