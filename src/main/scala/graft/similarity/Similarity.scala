@@ -359,6 +359,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product quantization — the vector-store compression half that
+    * pairs with the IVF partitioning half (the FAISS IVF+PQ layout):
+    * split the D dims into `m` subspaces, KMeans a small per-subspace
+    * codebook (k codes → log2(k) bits per subspace; 4×16 here encodes a
+    * 256-byte float vector in 2 bytes), and store each vector as its m
+    * nearest-code ids. Codebooks are index metadata — k·D doubles live
+    * as literal arrays inside the codegen'd encode expression, so
+    * encoding is ONE scan with no join and no UDF (zip_with/aggregate
+    * folds against element_at on the literal codebook). Training
+    * samples like the IVF fit (bounded, seeded). Report: per-subspace
+    * element MSE of the reconstruction (sorted fold — deterministic)
+    * and code utilization; rows-only like the other KMeans tiers, with
+    * the must-beat-one-code baseline asserted in SimilaritySpec. */
+  def pqReport(spark: SparkSession, dir: String, m: Int = 4,
+               kCodes: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val dim = 64
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val total = e.count()
+    val trainFraction = math.min(1.0, 100000.0 / math.max(1L, total))
+    val train = (if (trainFraction >= 1.0) e
+                 else e.sample(trainFraction, 42L)).cache()
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      new KMeans().setK(kCodes).setSeed(42L + j)
+        .setFeaturesCol("f")
+        .fit(train.withColumn("f",
+          array_to_vector(slice(col("e"), j * sub + 1, sub))))
+        .clusterCenters.map(_.toArray)
+    }
+    train.unpersist()
+    // Literal codebook per subspace: array<array<double>> baked into the
+    // expression tree (k·sub doubles — index metadata, not data).
+    def cbLit(j: Int): Column =
+      array(codebooks(j).map(c => array(c.map(lit(_)).toIndexedSeq: _*))
+        .toIndexedSeq: _*)
+    // Per-subspace nearest code by squared L2 against the literal
+    // codebook: fold over code ids keeping (best_d2, best_code).
+    def sqdist(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0),
+        (s, x) => s + x)
+    def codeOf(j: Int): Column = {
+      val v = slice(col("e"), j * sub + 1, sub)
+      aggregate(
+        sequence(lit(0), lit(kCodes - 1)),
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
+        (best, i) => {
+          val d2 = sqdist(v, element_at(cbLit(j), i + 1))
+          when(d2 < best.getField("d2"),
+            struct(d2.as("d2"), i.as("code"))).otherwise(best)
+        }).getField("code")
+    }
+    val perSub = (0 until m).map { j =>
+      val code = codeOf(j)
+      struct(lit(j).as("subspace"), code.as("code"),
+        sqdist(slice(col("e"), j * sub + 1, sub),
+          element_at(cbLit(j), code + 1)).as("sqerr"))
+    }
+    e.select(explode(array(perSub: _*)).as("s"))
+      .select(col("s.subspace").as("subspace"), col("s.code").as("code"),
+        col("s.sqerr").as("sqerr"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vectors"),
+        (aggregate(sort_array(collect_list(col("sqerr"))), lit(0.0),
+          (s, x) => s + x) / (count(lit(1)) * sub)).as("mse"),
+        countDistinct(col("code")).as("n_codes_used"))
+      .orderBy("subspace")
+  }
+
   /** Per-label centroids, one row per (label, dimension). Plain double
     * `sum` under groupBy is partition-order-dependent (float addition is
     * non-associative) and float→decimal casts round differently across

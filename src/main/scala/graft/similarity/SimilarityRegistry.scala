@@ -68,6 +68,9 @@ object SimilarityRegistry {
       "sim_dup_clusters" -> ((s, d) => Similarity.dupClusters(s, d)),
       "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec)),
       "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+      // Rows-only (KMeans codebooks, like the IVF tier); the must-beat-
+      // one-code reconstruction baseline is asserted in SimilaritySpec.
+      "sim_pq_report" -> ((s, d) => Similarity.pqReport(s, d)),
       "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d))
     ),
     oracles = Map(
