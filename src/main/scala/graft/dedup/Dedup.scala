@@ -166,6 +166,33 @@ object Dedup {
     verifyJaccard(sh, candidates, threshold)
   }
 
+  /** NEAR-duplicate decontamination — the fuzzy counterpart of the
+    * exact-fingerprint `text_contamination` gate: a training doc that is
+    * an 80%-Jaccard near-copy of a benchmark doc leaks the benchmark
+    * just as surely as a byte-identical one, and frontier pipelines run
+    * exactly this MinHash pass against their eval sets before release.
+    * Reuses the banded LSH + exact-verify pair pipeline, keeping only
+    * pairs with EXACTLY ONE side in the benchmark set (benchmark-vs-
+    * benchmark and train-vs-train pairs are other queries' business).
+    * The benchmark id set rides as a literal IN-list — eval sets are
+    * small by nature; at scale this stays a broadcast semi-filter, never
+    * a join reshuffle. */
+  def nearContamination(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8,
+                        benchmarkIds: Seq[Long] =
+                          TextAnalysis.BenchmarkDocIds): DataFrame = {
+    val ids = benchmarkIds.map(java.lang.Long.valueOf)
+    val b1 = col("d1").isin(ids: _*)
+    val b2 = col("d2").isin(ids: _*)
+    minhashLshPairs(spark, dir, threshold)
+      .filter(b1 =!= b2)
+      .select(
+        when(b1, col("d2")).otherwise(col("d1")).as("doc_id"),
+        when(b1, col("d1")).otherwise(col("d2")).as("benchmark_doc_id"),
+        col("jacc"))
+      .orderBy("doc_id", "benchmark_doc_id")
+  }
+
   /** Near-dup CLUSTERS over the MinHash-LSH verified pairs — the step a
     * dedup pipeline runs after pair generation (pairs → components →
     * one canonical keeper per cluster): bounded-round min-label

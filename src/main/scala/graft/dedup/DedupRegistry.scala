@@ -79,6 +79,10 @@ object DedupRegistry {
     }.mkString(" UNION ALL ")
   }
 
+  /** The benchmark id set, inlined for the decontamination oracle. */
+  private val BenchIds =
+    graft.text.TextAnalysis.BenchmarkDocIds.mkString(", ")
+
   /** CTE chain: MinHash verified pairs → symmetrized edge set → unrolled
     * min-label rounds c0..cN (twin of GraphAlgs.pairComponents over
     * Dedup.minhashLshPairs). */
@@ -121,6 +125,7 @@ object DedupRegistry {
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
       "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
       "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(s, d)),
+      "dedup_near_contamination" -> ((s, d) => Dedup.nearContamination(s, d)),
       "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
       "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d))
@@ -159,6 +164,33 @@ object DedupRegistry {
            |           ON b1.band = b2.band AND b1.key = b2.key
            |          AND b1.doc_id < b2.doc_id),
            |${verifySql(0.8)}""".stripMargin,
+      // Verified near-dup pairs with exactly one side in the benchmark
+      // id set — the fuzzy decontamination gate.
+      "dedup_near_contamination" ->
+        s"""WITH $ShingleCtes,
+           |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
+           |buckets AS ($BandSelects),
+           |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+           |         FROM buckets b1 JOIN buckets b2
+           |           ON b1.band = b2.band AND b1.key = b2.key
+           |          AND b1.doc_id < b2.doc_id),
+           |common AS (
+           |  SELECT c.d1, c.d2, count(*) AS c
+           |  FROM cand c JOIN sh a ON a.doc_id = c.d1
+           |              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+           |  GROUP BY c.d1, c.d2),
+           |ver AS (
+           |  SELECT d1, d2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
+           |  FROM common JOIN sizes n1 ON n1.doc_id = d1
+           |              JOIN sizes n2 ON n2.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.8)
+           |SELECT CASE WHEN d1 IN ($BenchIds) THEN d2 ELSE d1 END AS doc_id,
+           |  CASE WHEN d1 IN ($BenchIds) THEN d1 ELSE d2 END
+           |    AS benchmark_doc_id,
+           |  jacc
+           |FROM ver
+           |WHERE (d1 IN ($BenchIds)) <> (d2 IN ($BenchIds))
+           |ORDER BY doc_id, benchmark_doc_id""".stripMargin,
       // Unrolled min-label rounds over the verified pair set — the same
       // bounded-round semantics the Spark loop computes (the
       // sim_dup_clusters pattern, over MinHash text pairs).

@@ -90,6 +90,37 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("near-contamination flags benchmark near-copies, one side only") {
+    import spark.implicits._
+    // The real corpus has no benchmark near-dups (its max cross-Jaccard
+    // is ~0.03), so the registry row is honestly empty; prove the
+    // operator non-vacuously on a fixture where it must fire.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = java.nio.file.Files.createTempDirectory("graft-nearcont").toString
+    Seq(
+      (0L, base),                          // benchmark doc
+      (10L, base + " phi"),                // benchmark near-copy of 0
+      (100L, base.replace("gamma", "hacked")), // train near-copy of 0
+      (101L, base.replace("gamma", "hacked")), // its exact twin (train-train)
+      (200L, "totally unrelated words about completely different topics " +
+        "that share no trigram with anything else at all here"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.nearContamination(spark, d, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Train docs 100/101 each pair with benchmark docs 0 and 10; the
+    // bench-bench pair (0,10) and the train-train pair (100,101) are
+    // excluded by the exactly-one-side rule; 200 pairs with nothing.
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      Set((100L, 0L), (100L, 10L), (101L, 0L), (101L, 10L)),
+      rows.mkString(", "))
+    assert(rows.forall(_._3 >= 0.5))
+    // And on the real corpus the gate is clean — verified empty, which
+    // is the release-gate answer, not a missing result.
+    assert(Dedup.nearContamination(spark, dir).isEmpty)
+  }
+
   test("minhash clusters reconcile with the verified pair set") {
     val pairs = Dedup.minhashLshPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
