@@ -318,6 +318,7 @@ object Similarity {
   def prewarm(spark: SparkSession, dir: String): Unit = {
     emb(spark, dir).count()
     ivfIndex(spark, dir, 0)
+    pqCodes(spark, dir, 8, 16).count() // serving-path codebooks + codes
     ()
   }
 
@@ -372,54 +373,74 @@ object Similarity {
     * element MSE of the reconstruction (sorted fold — deterministic)
     * and code utilization; rows-only like the other KMeans tiers, with
     * the must-beat-one-code baseline asserted in SimilaritySpec. */
+  private val PqDim = 64
+
+  /** Seeded per-subspace codebook fit (index metadata — m·k·(D/m)
+    * doubles on the driver, like any index's centroids), memoized per
+    * (dir, m, k); training samples like the IVF fit. */
+  private def pqCodebooks(spark: SparkSession, dir: String, m: Int,
+                          kCodes: Int): IndexedSeq[Array[Array[Double]]] =
+    graft.Memo.get(spark, "pq-codebooks", (dir, m, kCodes)) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      require(PqDim % m == 0, s"dim $PqDim not divisible by $m subspaces")
+      val sub = PqDim / m
+      val e = emb(spark, dir)
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+      val total = e.count()
+      val trainFraction = math.min(1.0, 100000.0 / math.max(1L, total))
+      val train = (if (trainFraction >= 1.0) e
+                   else e.sample(trainFraction, 42L)).cache()
+      val cbs = (0 until m).map { j =>
+        new KMeans().setK(kCodes).setSeed(42L + j)
+          .setFeaturesCol("f")
+          .fit(train.withColumn("f",
+            array_to_vector(slice(col("e"), j * sub + 1, sub))))
+          .clusterCenters.map(_.toArray)
+      }
+      train.unpersist()
+      cbs
+    }
+
+  /** Squared-L2 fold between two double-array columns. */
+  private def sqdistCol(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (s, x) => s + x)
+
+  /** Literal codebook for subspace j: array<array<double>> baked into
+    * the expression tree. */
+  private def cbLit(cb: IndexedSeq[Array[Array[Double]]])(j: Int): Column =
+    array(cb(j).map(c => array(c.map(lit(_)).toIndexedSeq: _*))
+      .toIndexedSeq: _*)
+
+  /** Per-subspace nearest code of `e`'s j-th slice by squared L2
+    * against the literal codebook: fold over code ids keeping
+    * (best_d2, best_code). */
+  private def codeOf(cb: IndexedSeq[Array[Array[Double]]], sub: Int,
+                     kCodes: Int)(j: Int): Column = {
+    val v = slice(col("e"), j * sub + 1, sub)
+    aggregate(
+      sequence(lit(0), lit(kCodes - 1)),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
+      (best, i) => {
+        val d2 = sqdistCol(v, element_at(cbLit(cb)(j), i + 1))
+        when(d2 < best.getField("d2"),
+          struct(d2.as("d2"), i.as("code"))).otherwise(best)
+      }).getField("code")
+  }
+
   def pqReport(spark: SparkSession, dir: String, m: Int = 4,
                kCodes: Int = 16): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val sub = PqDim / m
+    val codebooks = pqCodebooks(spark, dir, m, kCodes)
     val e = emb(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
-    val dim = 64
-    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val sub = dim / m
-    val total = e.count()
-    val trainFraction = math.min(1.0, 100000.0 / math.max(1L, total))
-    val train = (if (trainFraction >= 1.0) e
-                 else e.sample(trainFraction, 42L)).cache()
-    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
-      new KMeans().setK(kCodes).setSeed(42L + j)
-        .setFeaturesCol("f")
-        .fit(train.withColumn("f",
-          array_to_vector(slice(col("e"), j * sub + 1, sub))))
-        .clusterCenters.map(_.toArray)
-    }
-    train.unpersist()
-    // Literal codebook per subspace: array<array<double>> baked into the
-    // expression tree (k·sub doubles — index metadata, not data).
-    def cbLit(j: Int): Column =
-      array(codebooks(j).map(c => array(c.map(lit(_)).toIndexedSeq: _*))
-        .toIndexedSeq: _*)
-    // Per-subspace nearest code by squared L2 against the literal
-    // codebook: fold over code ids keeping (best_d2, best_code).
-    def sqdist(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0),
-        (s, x) => s + x)
-    def codeOf(j: Int): Column = {
-      val v = slice(col("e"), j * sub + 1, sub)
-      aggregate(
-        sequence(lit(0), lit(kCodes - 1)),
-        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("code")),
-        (best, i) => {
-          val d2 = sqdist(v, element_at(cbLit(j), i + 1))
-          when(d2 < best.getField("d2"),
-            struct(d2.as("d2"), i.as("code"))).otherwise(best)
-        }).getField("code")
-    }
     val perSub = (0 until m).map { j =>
-      val code = codeOf(j)
+      val code = codeOf(codebooks, sub, kCodes)(j)
       struct(lit(j).as("subspace"), code.as("code"),
-        sqdist(slice(col("e"), j * sub + 1, sub),
-          element_at(cbLit(j), code + 1)).as("sqerr"))
+        sqdistCol(slice(col("e"), j * sub + 1, sub),
+          element_at(cbLit(codebooks)(j), code + 1)).as("sqerr"))
     }
     e.select(explode(array(perSub: _*)).as("s"))
       .select(col("s.subspace").as("subspace"), col("s.code").as("code"),
@@ -430,6 +451,66 @@ object Similarity {
           (s, x) => s + x) / (count(lit(1)) * sub)).as("mse"),
         countDistinct(col("code")).as("n_codes_used"))
       .orderBy("subspace")
+  }
+
+  /** The encoded corpus — each vector as its m code ids (the 2-byte
+    * representation the ADC scan reads INSTEAD of the 256-byte floats);
+    * materialized once per (dir, m, k) like the IVF layout. */
+  private def pqCodes(spark: SparkSession, dir: String, m: Int,
+                      kCodes: Int): DataFrame =
+    graft.Memo.get(spark, "pq-codes", (dir, m, kCodes)) {
+      val sub = PqDim / m
+      val cb = pqCodebooks(spark, dir, m, kCodes)
+      emb(spark, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .select(col("vec_id"), col("label"),
+          array((0 until m).map(codeOf(cb, sub, kCodes)): _*).as("codes"))
+        .localCheckpoint(true)
+    }
+
+  /** PQ ADC (asymmetric distance computation) top-k: the query vector
+    * stays exact; each corpus vector is approximated by its m codes.
+    * Per subspace, precompute the k distances from the query's slice to
+    * every codebook centroid (m·k doubles of driver arithmetic over
+    * index metadata), then the scan is Σ_j table_j[code_j] — element_at
+    * lookups against literal tables over the 2-byte coded corpus, never
+    * touching the original floats. The FAISS serving path in DataFrame
+    * form: at 100 TB the coded table is 128× smaller than the vectors
+    * it stands for. `m` is the compression/recall knob: serving
+    * defaults to 8 subspaces (32 bits, 64× compression — recall@20
+    * 0.35 on this corpus's near-random synthetic vectors, asserted in
+    * SimilaritySpec; real clustered embeddings fare far better), while
+    * the report audits the 2-byte extreme. Rows-only (KMeans). */
+  def pqTopK(spark: SparkSession, dir: String, seedId: Long, k: Int = 20,
+             m: Int = 8, kCodes: Int = 16): DataFrame = {
+    val sub = PqDim / m
+    val codebooks = pqCodebooks(spark, dir, m, kCodes)
+    val coded = pqCodes(spark, dir, m, kCodes)
+    val seedRow = emb(spark, dir).filter(col("vec_id") === seedId)
+      .select("embedding").collect().headOption
+    if (seedRow.isEmpty)
+      return coded.filter(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("adc_d2"))
+    val seed = seedRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val tables: IndexedSeq[Array[Double]] = (0 until m).map { j =>
+      codebooks(j).map { c =>
+        var s = 0.0
+        var d = 0
+        while (d < sub) {
+          val t = seed(j * sub + d) - c(d); s += t * t; d += 1
+        }
+        s
+      }
+    }
+    def tLit(j: Int): Column = array(tables(j).map(lit(_)).toIndexedSeq: _*)
+    val adc = (0 until m).map { j =>
+      element_at(tLit(j), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    coded.filter(col("vec_id") =!= seedId)
+      .select(col("vec_id"), col("label"), adc.as("adc_d2"))
+      .orderBy(asc("adc_d2"), asc("vec_id"))
+      .limit(k)
   }
 
   /** Per-label centroids, one row per (label, dimension). Plain double

@@ -71,6 +71,8 @@ object SimilarityRegistry {
       // Rows-only (KMeans codebooks, like the IVF tier); the must-beat-
       // one-code reconstruction baseline is asserted in SimilaritySpec.
       "sim_pq_report" -> ((s, d) => Similarity.pqReport(s, d)),
+      // Rows-only (KMeans); SimilaritySpec asserts recall vs exact L2.
+      "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, SeedVec)),
       "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d))
     ),
     oracles = Map(

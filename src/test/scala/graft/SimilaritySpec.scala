@@ -176,6 +176,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("PQ ADC top-k recalls a usable fraction of the exact L2 top-k") {
+    val k = 20
+    val got = Similarity.pqTopK(spark, dir, 0L, k = k).collect()
+      .map(_.getLong(0))
+    assert(got.length == k && !got.contains(0L))
+    // Exact squared-L2 ranking from the raw embeddings.
+    val all = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val seed = all.find(_._1 == 0L).get._2
+    val exact = all.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> v.zip(seed).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+    val recall = got.count(exact.contains).toDouble / k
+    info(f"PQ ADC recall@$k = $recall%.2f")
+    // 4x16 codes on 64 dims is coarse; require clearly-better-than-
+    // random (random 20-of-499 overlap expects ~0.04).
+    assert(recall >= 0.3, f"recall@$k = $recall%.2f")
+    // Determinism: seeded fit + literal tables → identical reruns.
+    val again = Similarity.pqTopK(spark, dir, 0L, k = k).collect()
+      .map(_.getLong(0))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("SRP-LSH pairs: verified cosines respect the threshold and ordering") {
     val pairs = Similarity.srpLshPairs(spark, dir, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
