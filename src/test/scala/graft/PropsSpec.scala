@@ -99,6 +99,51 @@ class PropsSpec extends SparkTestBase {
     })
   }
 
+  test("transition matrix: counts conserve pairs and probabilities sum to 1") {
+    import spark.implicits._
+    val evGen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 30L),
+      Gen.oneOf("a", "b", "c")))
+    check(Prop.forAll(evGen) { evs =>
+      // distinct event_ids; ts collisions are exercised on purpose
+      val df = evs.zipWithIndex.map { case ((u, ts, et), i) =>
+        (u, i.toLong, et, ts)
+      }.toDF("user_id", "event_id", "et", "ts_us")
+      val rows = graft.operators.Transitions.eventTransitionsOf(df).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      val total = rows.map(_._3).sum
+      // each user with n events contributes exactly n-1 transitions
+      val perUser = evs.groupBy(_._1).view.mapValues(_.size).values
+      val expect = perUser.map(n => math.max(0, n - 1)).sum
+      val pSums = rows.groupBy(_._1).values
+        .map(_.map(_._4).sum)
+      total == expect && pSums.forall(s => math.abs(s - 1.0) < 1e-9)
+    })
+  }
+
+  test("packing assignments tile each split without gaps or overlaps") {
+    import spark.implicits._
+    val docsG = Gen.listOfN(25, Gen.choose(0, 40))
+    check(Prop.forAll(docsG) { lens =>
+      val df = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val d = java.nio.file.Files.createTempDirectory("graft-packp").toString
+      df.write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val rows = graft.pipeline.Curation.packAssignments(spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      rows.groupBy(_._2).values.forall { ds =>
+        var cum = 0L
+        ds.sortBy(_._1).forall { case (_, _, n, pid, off) =>
+          val ok = pid == cum / 256 && off == cum % 256
+          cum += n
+          ok
+        }
+      }
+    })
+  }
+
   test("contamination is monotone in the benchmark set") {
     import spark.implicits._
     check(Prop.forAll(Gen.someOf(0L to 5L), docsGen) { (ids, texts) =>
