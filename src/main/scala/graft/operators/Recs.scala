@@ -173,6 +173,51 @@ object Recs {
     else primary
   }
 
+  /** Session co-visitation — the behavioral-events counterpart of the
+    * order-basket co-occurrence arm: products VIEWED within the same
+    * 30-minute-gap user session form a pair; pair counts across all
+    * sessions are the co-visitation matrix modern retrieval stacks
+    * train their "customers also viewed" candidates on. Sessionization
+    * is the batch sessions derivation (same gap rule and (ts_us,
+    * event_id) tie-break as `stream_sessions`); the pair stage reuses
+    * the all-pairs posture — sessions above `maxSessionItems` distinct
+    * products are dropped BEFORE the self-join, so the blow-up is
+    * bounded by cap² per session and a bot session that never sleeps
+    * cannot go quadratic. */
+  def sessionCovisitation(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30, maxSessionItems: Int = 100,
+                          k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val views = Tables.load(spark, dir, "events")
+      .filter(lower(col("event_type")) === "view")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("pid"))
+      .filter(col("pid").isNotNull)
+    val items = views
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("sess_no", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "sess_no", "pid").distinct()
+    val sane = items.groupBy("user_id", "sess_no")
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") <= maxSessionItems)
+      .select("user_id", "sess_no")
+    val bounded = items.join(sane, Seq("user_id", "sess_no"))
+    bounded.select(col("user_id"), col("sess_no"), col("pid").as("p1"))
+      .join(bounded.select(col("user_id"), col("sess_no"),
+        col("pid").as("p2")), Seq("user_id", "sess_no"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("p1"), asc("p2"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of the two product arms — the modern recsys
     * alternative to the reference's fallback CASCADE: instead of "rich
     * arm, else cheap arm", rank each arm's full candidate list and fuse

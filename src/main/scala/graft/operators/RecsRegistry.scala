@@ -17,7 +17,8 @@ object RecsRegistry {
       "rec_customer" -> ((s, d) => Recs.customerRecs(s, d, SeedCust)),
       "rec_customer_category" -> ((s, d) =>
         Recs.customerCategoryRecs(s, d, SeedCust)),
-      "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart))
+      "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart)),
+      "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d))
     ),
     oracles = Map(
       "rec_cooccurrence" ->
@@ -67,6 +68,38 @@ object RecsRegistry {
            |FROM cor FULL OUTER JOIN catr USING (product_id)
            |ORDER BY rrf_score DESC, product_id
            |LIMIT 10""".stripMargin,
+      // Session co-visitation: the stream_sessions sessionization CTEs
+      // (same gap rule and tie-break), distinct per-session view items,
+      // cap-bounded pair self-join. Window sum is HUGEINT → cast back.
+      "rec_session_covisit" ->
+        """WITH t AS (
+          |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS pid
+          |  FROM events WHERE lower(event_type) = 'view'),
+          |v AS (SELECT * FROM t WHERE pid IS NOT NULL),
+          |lagged AS (
+          |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id) AS prev_us FROM v),
+          |flagged AS (
+          |  SELECT *, CASE WHEN prev_us IS NULL
+          |      OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM lagged),
+          |numbered AS (
+          |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+          |  FROM flagged),
+          |items AS (SELECT DISTINCT user_id, sess_no, pid FROM numbered),
+          |sane AS (SELECT user_id, sess_no FROM items
+          |         GROUP BY 1, 2 HAVING count(*) <= 100),
+          |bounded AS (SELECT i.* FROM items i JOIN sane USING (user_id, sess_no))
+          |SELECT a.pid AS p1, b.pid AS p2,
+          |  CAST(count(*) AS BIGINT) AS n_sessions
+          |FROM bounded a JOIN bounded b
+          |  ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+          | AND a.pid < b.pid
+          |GROUP BY 1, 2
+          |ORDER BY n_sessions DESC, p1, p2 LIMIT 20""".stripMargin,
       // Cypher count(*) over FULL path bindings (reference main.py:88-104):
       // score(other) = #(o1, p, o2) triples, decomposed as Σ w(o2) with
       // w(o2) = Σ_{p ∈ o2 ∩ mine} m(p), m(p) = #customer orders holding p.

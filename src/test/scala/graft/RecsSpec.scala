@@ -93,6 +93,29 @@ class RecsSpec extends SparkTestBase {
       got.head._2 > expect.filter(_._3 == 2).map(_._2).max - 1e-12)
   }
 
+  test("session co-visitation pairs within sessions, never across") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-covisit").toString
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-05-01 10:00:00").getTime + min * 60000L)
+    Seq(
+      // u1 session A: views 1, 2 → pair (1,2)
+      (1L, ts(0), 1L, "view", """{"k": 1}"""),
+      (2L, ts(1), 1L, "view", """{"k": 2}"""),
+      // u1 session B (2h later): view 3 alone → no pair with session A
+      (3L, ts(120), 1L, "view", """{"k": 3}"""),
+      // u2 one session: views 1, 2 → (1,2) again
+      (4L, ts(0), 2L, "view", """{"k": 1}"""),
+      (5L, ts(2), 2L, "view", """{"k": 2}"""),
+      // a purchase carrying k must NOT create view pairs
+      (6L, ts(3), 2L, "purchase", """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+      .write.parquet(s"$d/events.parquet")
+    val rows = Recs.sessionCovisitation(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 2L)))
+  }
+
   test("CONTAINS edge set collapses duplicate order-items (MERGE semantics)") {
     // Doubled input must produce the identical edge set (A6 idempotency).
     val once = Recs.containsEdges(spark, SeedFixture.dir).collect().toSet
