@@ -196,6 +196,10 @@ object Recs {
         unix_micros(col("ts")).as("ts_us"),
         get_json_object(col("props"), "$.k").cast("long").as("pid"))
       .filter(col("pid").isNotNull)
+    // Materialized ONCE: the session-items relation feeds the size gate
+    // and BOTH sides of the pair self-join — left lazy, the event scan,
+    // its shuffle, and the two session windows execute four times
+    // (plan-audited; at 100 TB that is 4× the corpus scan).
     val items = views
       .withColumn("prev_us", lag("ts_us", 1).over(w))
       .withColumn("new_sess",
@@ -204,6 +208,7 @@ object Recs {
       .withColumn("sess_no", sum("new_sess").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("user_id", "sess_no", "pid").distinct()
+      .localCheckpoint(true)
     val sane = items.groupBy("user_id", "sess_no")
       .agg(count(lit(1)).as("n_items"))
       .filter(col("n_items") <= maxSessionItems)
