@@ -288,6 +288,32 @@ object TextAnalysis {
   def piiCounts(spark: SparkSession, dir: String): DataFrame =
     piiCountsOf(Tables.load(spark, dir, "documents"))
 
+  /** PII REDACTION — the scrub that follows the count audit before a
+    * corpus ships: emails → [EMAIL], phone-shaped numbers → [PHONE],
+    * dotted quads → [IP], applied in that fixed order on both engines
+    * (order is part of the semantics when classes could overlap). The
+    * output row stays narrow — redacted-text fingerprint, post-redaction
+    * length, and a changed flag — so the verify dump is the proof the
+    * redaction applied without shipping full text through the gate. One
+    * codegen'd scan; TextSpec asserts the rewrite on crafted PII (the
+    * driver corpus is word-salad, where redaction is the identity —
+    * itself hash-checked). */
+  def piiRedactOf(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(Ipv4Re), lit("[IP]"))
+    docs.select(col("doc_id"),
+      md5(encode(redacted, "UTF-8")).as("redacted_fp"),
+      length(redacted).cast("bigint").as("n_chars_redacted"),
+      (redacted =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.load(spark, dir, "documents"))
+
   /** Commonness score: mean corpus document-frequency over a document's
     * DISTINCT tokens — a fluency/noise proxy (rare-token-heavy docs are
     * OCR garbage, code, or exotic boilerplate; a unigram-LM log-prob

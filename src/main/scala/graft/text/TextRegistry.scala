@@ -35,6 +35,7 @@ object TextRegistry {
       "text_langid_ngram" -> ((s, d) => TextAnalysis.langIdNgram(s, d)),
       "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
       "text_pii_counts" -> ((s, d) => TextAnalysis.piiCounts(s, d)),
+      "text_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
       "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
       "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d)),
       "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
@@ -159,6 +160,19 @@ object TextRegistry {
            |    AS DOUBLE) / (n - 2)
            |  END AS dup_trigram_frac
            |FROM c ORDER BY doc_id""".stripMargin,
+      // Redaction twin: same regexes, same fixed order, 'g' flag (DuckDB
+      // replaces first-only by default; Spark replaces all).
+      "text_pii_redact" ->
+        s"""WITH r AS (SELECT doc_id, text,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+           |    '${TextAnalysis.PhoneRe}', '[PHONE]', 'g'),
+           |    '${TextAnalysis.Ipv4Re}', '[IP]', 'g') AS red
+           |FROM documents)
+           |SELECT doc_id, md5(red) AS redacted_fp,
+           |  CAST(length(red) AS BIGINT) AS n_chars_redacted,
+           |  red <> text AS changed
+           |FROM r ORDER BY doc_id""".stripMargin,
       "text_pii_counts" ->
         s"""WITH p AS (SELECT doc_id,
            |  CAST(len(regexp_extract_all(text,

@@ -45,6 +45,26 @@ class TextSpec extends SparkTestBase {
       && out(3).getLong(3) === 0 && !out(3).getBoolean(4))
   }
 
+  test("pii redaction rewrites every class and is identity on clean text") {
+    val fixture = docs(
+      1 -> "contact bob@example.com or carol@test.org now",
+      2 -> "call 555-123-4567 from 10.0.0.1 please",
+      3 -> "perfectly clean prose with no identifiers")
+    val out = TextAnalysis.piiRedactOf(fixture).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getBoolean(3) && out(2).getBoolean(3))
+    assert(!out(3).getBoolean(3))
+    // The fingerprint equals md5 of the expected rewritten strings.
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getString(1) ==
+      fp("contact [EMAIL] or [EMAIL] now"))
+    assert(out(2).getString(1) == fp("call [PHONE] from [IP] please"))
+    assert(out(2).getLong(2) == "call [PHONE] from [IP] please".length)
+    assert(out(3).getString(1) ==
+      fp("perfectly clean prose with no identifiers"))
+  }
+
   test("commonness is the mean document-frequency over distinct tokens") {
     // df: shared=3, rare=1, mid=2 → doc 1 mean (3+1)/2, doc 3 mean 3/1.
     val out = TextAnalysis.commonnessOf(docs(
