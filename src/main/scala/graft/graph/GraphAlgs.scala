@@ -315,6 +315,36 @@ object GraphAlgs {
       .limit(k)
   }
 
+  /** The ITEM-ITEM serving table — the batch job behind every
+    * "customers also bought" shelf: top-`perItem` co-occurring products
+    * PER product, precomputed so serving is a point lookup instead of
+    * the per-seed join the /recs hot path runs. Same basket-bounded
+    * in-partition pair generation as [[allPairsCoOccurrence]], emitted
+    * in BOTH directions (the table is per seed), then a rank window
+    * partitioned by product — no global sort, and the window's groups
+    * are per-product candidate lists, already bounded by the basket
+    * cap. */
+  def itemItemTopK(spark: SparkSession, dir: String,
+                   perItem: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = graft.operators.Recs.containsEdges(spark, dir)
+    val baskets = items.groupBy("order_id")
+      .agg(collect_list(col("product_id")).as("ps"))
+      .filter(size(col("ps")) <= MaxBasketSize)
+    val pairs = baskets.select(explode(flatten(transform(col("ps"),
+      p1 => transform(filter(col("ps"), p2 => p2 =!= p1),
+        p2 => struct(p1.as("p"), p2.as("q")))))).as("pair"))
+    pairs.select(col("pair.p").as("product_id"),
+        col("pair.q").as("rec_product_id"))
+      .groupBy("product_id", "rec_product_id")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("rec_rank", row_number().over(
+        Window.partitionBy("product_id")
+          .orderBy(desc("n_orders"), asc("rec_product_id"))))
+      .filter(col("rec_rank") <= perItem)
+      .orderBy("product_id", "rec_rank")
+  }
+
   /** Distinct co-purchase product pairs (p1 < p2), basket-bounded like
     * [[allPairsCoOccurrence]] and generated the same in-partition way.
     * Memoized: feeds every consumer of the undirected product graph. */

@@ -313,6 +313,7 @@ object GraphRegistry {
       "graph_degree_hist" -> ((s, d) => GraphAlgs.degreeHistogram(s, d)),
       "allpairs_cooccurrence" -> ((s, d) =>
         GraphAlgs.allPairsCoOccurrence(s, d)),
+      "item_item_topk" -> ((s, d) => GraphAlgs.itemItemTopK(s, d)),
       "graphx_ppr_top" -> ((s, d) =>
         GraphAlgs.personalizedPageRank(s, d, "P1")),
       "graphx_pagerank_top" -> ((s, d) => GraphAlgs.pageRankTop(s, d)),
@@ -424,6 +425,28 @@ object GraphRegistry {
            |WHERE a.product_id < b.product_id
            |GROUP BY 1, 2
            |ORDER BY n_orders DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin,
+      // Item-item serving table: both-direction pair counts, rank
+      // window per product (row_number is BIGINT in DuckDB → cast to
+      // match Spark's int).
+      "item_item_topk" ->
+        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+           |sane AS (SELECT order_id FROM items GROUP BY order_id
+           |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+           |bounded AS (SELECT i.* FROM items i JOIN sane USING (order_id)),
+           |counts AS (SELECT a.product_id AS product_id,
+           |    b.product_id AS rec_product_id,
+           |    CAST(count(*) AS BIGINT) AS n_orders
+           |  FROM bounded a JOIN bounded b ON a.order_id = b.order_id
+           |   AND a.product_id <> b.product_id
+           |  GROUP BY 1, 2),
+           |ranked AS (SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY product_id
+           |    ORDER BY n_orders DESC, rec_product_id) AS INTEGER)
+           |    AS rec_rank
+           |  FROM counts)
+           |SELECT product_id, rec_product_id, n_orders, rec_rank
+           |FROM ranked WHERE rec_rank <= 3
+           |ORDER BY product_id, rec_rank""".stripMargin,
       // Triangle count is orientation-independent: the Spark side
       // orients edges by degree for skew-bounded wedges, the oracle
       // uses plain id order — each triangle counted exactly once in

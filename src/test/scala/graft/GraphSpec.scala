@@ -120,6 +120,31 @@ class GraphSpec extends SparkTestBase {
     assert(!d.contains("BCAT1")) // categories have no out-edges
   }
 
+  test("item-item serving table agrees with the per-seed hot path") {
+    val sf = "/root/testdata/sf0.001"
+    val table = GraphAlgs.itemItemTopK(spark, sf, perItem = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(table.nonEmpty)
+    // ranks are 1..3 per product, counts non-increasing within a product
+    table.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._3 >= b._3
+        case _ => true
+      })
+    }
+    // the precomputed rows for a seed equal the online query's top-3
+    val seeds = table.map(_._1).distinct.sorted.take(3)
+    seeds.foreach { s =>
+      val online = graft.operators.Recs.coOccurrence(spark, sf, s, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1).toLong))
+      val precomputed = table.filter(_._1 == s).sortBy(_._4)
+        .map(t => (t._2, t._3))
+      assert(precomputed.toSeq == online.toSeq, s"seed $s")
+    }
+  }
+
   test("harmonic centrality equals the per-landmark BFS combination") {
     val lms = Seq("P1", "P2", "P3")
     val per = lms.map(lm =>
