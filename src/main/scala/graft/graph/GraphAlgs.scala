@@ -860,10 +860,17 @@ object GraphAlgs {
       if (coPart) undRaw.repartition(n, col("d1")).sortWithinPartitions("d1")
       else undRaw.repartition(n, col("d2")))
     var comp = members.withColumn("comp", col("id"))
-    for (_ <- 1 to rounds)
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       comp = graft.Layout.stateCheckpoint(
         pairComponentsStep(und, comp, coPart), preserveLayout = coPart)
-    comp
+      // Min-label is monotone: an unchanged round is a fixed point, so
+      // every remaining round is a no-op — skipping them returns exactly
+      // the full unrolling (the componentsFixedSizes argument). The
+      // probe is a scan of the just-checkpointed round.
+      converged = comp.filter(col("changed")).isEmpty
+    }
+    comp.select("id", "comp")
   }
 
   /** One min-label round, UNcheckpointed — split out (like [[rankStep]])
@@ -872,7 +879,9 @@ object GraphAlgs {
     * sort-merge state join, gated must broadcast the label state.
     * min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact keys; the per-d2
     * min fold is in-place under the gate, the round's one
-    * pair-relation-sized exchange over it. */
+    * pair-relation-sized exchange over it. The per-row `changed` flag
+    * rides along so the convergence probe is a scan of the round's
+    * checkpoint, not a second join against the previous state. */
   private[graft] def pairComponentsStep(und: DataFrame, comp: DataFrame,
                                         coPartition: Boolean): DataFrame = {
     val state = comp.withColumnRenamed("id", "d1")
@@ -881,7 +890,8 @@ object GraphAlgs {
       .select(col("d2").as("id"), col("comp").as("ncomp"))
       .groupBy("id").agg(min("ncomp").as("nbr"))
     comp.join(minNbrs, Seq("id"), "left")
-      .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
+      .select(col("id"), least(col("comp"), col("nbr")).as("comp"),
+        (least(col("comp"), col("nbr")) =!= col("comp")).as("changed"))
   }
 
   /** Harmonic centrality toward a landmark set: h(v) = Σ_s 1/d(v,s)
