@@ -73,6 +73,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(grown.count() - appended.count() == 500)
     assert(appended.select("cluster").distinct().collect()
       .forall(r => r.getInt(0) >= 0 && r.getInt(0) < k))
+    // Appends are PROBE-visible: the memoized index handle was swapped
+    // for a post-append reader, so a subsequent ivfTopK (all cells
+    // probed) can rank an appended vector — vec_id 100000 is the base
+    // seed's exact duplicate, so it must appear in its top-k.
+    val topkAfter = Similarity.ivfTopK(spark, dir, 0L, k = 5,
+      nClusters = k, nProbe = k).collect().map(_.getLong(0))
+    assert(topkAfter.contains(100000L), topkAfter.mkString(", "))
   }
 
   test("IVF probes prune at file-listing time: cluster is a partition key") {
