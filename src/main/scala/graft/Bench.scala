@@ -95,12 +95,22 @@ object Bench {
     // A failed query must NOT look like a fast passing one: log the error
     // and record a -1.0 sentinel no timing can produce.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      drainListeners()
-      capturedQe.set(null)
       val t0 = System.nanoTime()
       val (elapsed, shuffled) =
         try {
           val df = fn(spark, sfDir)
+          // Re-arm BETWEEN building the frame and the measured count:
+          // builders with eager internal counts (memoized layout/index
+          // builds, state-gate cardinalities) fire "count" events of
+          // their own, and a slot armed before fn() would capture one of
+          // those — the poll below would then attribute a tiny internal
+          // job's shuffle bytes to the query. Drain so a stray async
+          // event from fn()'s internals (or the previous query) cannot
+          // land after the reset. The timed window is untouched: the
+          // drain cost is inside it, but it is bounded by work the query
+          // itself just did.
+          drainListeners()
+          capturedQe.set(null)
           df.count()
           val elapsed = (System.nanoTime() - t0) / 1e9
           // Poll (outside the timed window) for the async listener event.

@@ -51,19 +51,20 @@ object DedupRegistry {
        |       FROM idx),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Exact-jaccard verification over a `cand(d1,d2)` CTE — twin of
-    * Dedup.verifyJaccard. */
-  private def verifySql(threshold: Double): String =
+  /** Exact-jaccard verification as a CTE chain over a `cand(d1,d2)` CTE
+    * — twin of Dedup.verifyJaccard, shared by every MinHash oracle so
+    * the threshold logic cannot diverge between them. Produces `ver`. */
+  private def verifyCtes(threshold: Double): String =
     s"""common AS (
        |  SELECT c.d1, c.d2, count(*) AS c
        |  FROM cand c JOIN sh a ON a.doc_id = c.d1
        |              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-       |  GROUP BY c.d1, c.d2)
-       |SELECT d1, d2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
-       |FROM common JOIN sizes n1 ON n1.doc_id = d1
-       |            JOIN sizes n2 ON n2.doc_id = d2
-       |WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= $threshold
-       |ORDER BY d1, d2""".stripMargin
+       |  GROUP BY c.d1, c.d2),
+       |ver AS MATERIALIZED (
+       |  SELECT d1, d2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
+       |  FROM common JOIN sizes n1 ON n1.doc_id = d1
+       |              JOIN sizes n2 ON n2.doc_id = d2
+       |  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= $threshold)""".stripMargin
 
   /** Twin of Dedup.minhashSignatures: 16 per-doc min-hashes. */
   private val SigCols = (0 until Dedup.NumHashes)
@@ -79,6 +80,17 @@ object DedupRegistry {
     }.mkString(" UNION ALL ")
   }
 
+  /** Shared MinHash candidate chain (signatures → banded buckets →
+    * distinct bucket-collision pairs), twin of Dedup.minhashLshPairs'
+    * candidate stage. */
+  private def candCtes: String =
+    s"""sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
+       |buckets AS ($BandSelects),
+       |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+       |         FROM buckets b1 JOIN buckets b2
+       |           ON b1.band = b2.band AND b1.key = b2.key
+       |          AND b1.doc_id < b2.doc_id)""".stripMargin
+
   /** The benchmark id set, inlined for the decontamination oracle. */
   private val BenchIds =
     graft.text.TextAnalysis.BenchmarkDocIds.mkString(", ")
@@ -89,22 +101,8 @@ object DedupRegistry {
   private def minhashClusterCtes(rounds: Int): String = {
     val head =
       s"""$ShingleCtes,
-         |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
-         |buckets AS ($BandSelects),
-         |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
-         |         FROM buckets b1 JOIN buckets b2
-         |           ON b1.band = b2.band AND b1.key = b2.key
-         |          AND b1.doc_id < b2.doc_id),
-         |common AS (
-         |  SELECT c.d1, c.d2, count(*) AS c
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-         |              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-         |  GROUP BY c.d1, c.d2),
-         |ver AS MATERIALIZED (
-         |  SELECT d1, d2 FROM common
-         |  JOIN sizes n1 ON n1.doc_id = d1
-         |  JOIN sizes n2 ON n2.doc_id = d2
-         |  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.8),
+         |$candCtes,
+         |${verifyCtes(0.8)},
          |und AS MATERIALIZED (SELECT d1, d2 FROM ver
          |  UNION ALL SELECT d2, d1 FROM ver),
          |c0 AS MATERIALIZED (SELECT DISTINCT d1 AS id, d1 AS comp FROM und)""".stripMargin
@@ -157,33 +155,15 @@ object DedupRegistry {
            |ORDER BY d1, d2""".stripMargin,
       "dedup_minhash_lsh" ->
         s"""WITH $ShingleCtes,
-           |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
-           |buckets AS ($BandSelects),
-           |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
-           |         FROM buckets b1 JOIN buckets b2
-           |           ON b1.band = b2.band AND b1.key = b2.key
-           |          AND b1.doc_id < b2.doc_id),
-           |${verifySql(0.8)}""".stripMargin,
+           |$candCtes,
+           |${verifyCtes(0.8)}
+           |SELECT d1, d2, jacc FROM ver ORDER BY d1, d2""".stripMargin,
       // Verified near-dup pairs with exactly one side in the benchmark
       // id set — the fuzzy decontamination gate.
       "dedup_near_contamination" ->
         s"""WITH $ShingleCtes,
-           |sig AS (SELECT doc_id, $SigCols FROM sh GROUP BY doc_id),
-           |buckets AS ($BandSelects),
-           |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
-           |         FROM buckets b1 JOIN buckets b2
-           |           ON b1.band = b2.band AND b1.key = b2.key
-           |          AND b1.doc_id < b2.doc_id),
-           |common AS (
-           |  SELECT c.d1, c.d2, count(*) AS c
-           |  FROM cand c JOIN sh a ON a.doc_id = c.d1
-           |              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
-           |  GROUP BY c.d1, c.d2),
-           |ver AS (
-           |  SELECT d1, d2, CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
-           |  FROM common JOIN sizes n1 ON n1.doc_id = d1
-           |              JOIN sizes n2 ON n2.doc_id = d2
-           |  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) >= 0.8)
+           |$candCtes,
+           |${verifyCtes(0.8)}
            |SELECT CASE WHEN d1 IN ($BenchIds) THEN d2 ELSE d1 END AS doc_id,
            |  CASE WHEN d1 IN ($BenchIds) THEN d1 ELSE d2 END
            |    AS benchmark_doc_id,

@@ -292,6 +292,16 @@ object GraphAlgs {
     * (testdata max basket ≈ dozens). */
   val MaxBasketSize = 1000
 
+  /** Size-capped order baskets — the shared first stage of every
+    * basket-pair derivation below: ONE shuffle gathers each basket into
+    * a list, oversized baskets dropped per [[MaxBasketSize]]. Centralized
+    * so the cap semantics cannot diverge between the pair consumers. */
+  private def boundedBaskets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Recs.containsEdges(spark, dir)
+      .groupBy("order_id")
+      .agg(collect_list(col("product_id")).as("ps"))
+      .filter(size(col("ps")) <= MaxBasketSize)
+
   /** G5 all-pairs variant — materialized co-occurrence: top-k product pairs
     * by shared orders. ONE shuffle gathers each basket, the pair fan-out
     * happens in-partition via higher-order functions (no self-join — the
@@ -301,13 +311,10 @@ object GraphAlgs {
     * by MaxBasketSize². */
   def allPairsCoOccurrence(spark: SparkSession, dir: String,
                            k: Int = 20): DataFrame = {
-    val items = graft.operators.Recs.containsEdges(spark, dir)
-    val baskets = items.groupBy("order_id")
-      .agg(collect_list(col("product_id")).as("ps"))
-      .filter(size(col("ps")) <= MaxBasketSize)
-    val pairs = baskets.select(explode(flatten(transform(col("ps"),
-      p1 => transform(filter(col("ps"), p2 => p2 > p1),
-        p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
+    val pairs = boundedBaskets(spark, dir)
+      .select(explode(flatten(transform(col("ps"),
+        p1 => transform(filter(col("ps"), p2 => p2 > p1),
+          p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
     pairs.select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
@@ -327,13 +334,10 @@ object GraphAlgs {
   def itemItemTopK(spark: SparkSession, dir: String,
                    perItem: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val items = graft.operators.Recs.containsEdges(spark, dir)
-    val baskets = items.groupBy("order_id")
-      .agg(collect_list(col("product_id")).as("ps"))
-      .filter(size(col("ps")) <= MaxBasketSize)
-    val pairs = baskets.select(explode(flatten(transform(col("ps"),
-      p1 => transform(filter(col("ps"), p2 => p2 =!= p1),
-        p2 => struct(p1.as("p"), p2.as("q")))))).as("pair"))
+    val pairs = boundedBaskets(spark, dir)
+      .select(explode(flatten(transform(col("ps"),
+        p1 => transform(filter(col("ps"), p2 => p2 =!= p1),
+          p2 => struct(p1.as("p"), p2.as("q")))))).as("pair"))
     pairs.select(col("pair.p").as("product_id"),
         col("pair.q").as("rec_product_id"))
       .groupBy("product_id", "rec_product_id")
@@ -350,11 +354,7 @@ object GraphAlgs {
     * Memoized: feeds every consumer of the undirected product graph. */
   def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "co-purchase-pairs", dir) {
-      val items = graft.operators.Recs.containsEdges(spark, dir)
-      val baskets = items.groupBy("order_id")
-        .agg(collect_list(col("product_id")).as("ps"))
-        .filter(size(col("ps")) <= MaxBasketSize)
-      baskets.select(explode(flatten(transform(col("ps"),
+      boundedBaskets(spark, dir).select(explode(flatten(transform(col("ps"),
         p1 => transform(filter(col("ps"), p2 => p2 > p1),
           p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
         .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
@@ -536,11 +536,7 @@ object GraphAlgs {
   /** Co-purchase pairs WITH their order support (p1 < p2) — the counted
     * sibling of [[coPurchasePairs]], same in-partition fan-out. */
   def coPurchasePairsCounted(spark: SparkSession, dir: String): DataFrame = {
-    val items = graft.operators.Recs.containsEdges(spark, dir)
-    val baskets = items.groupBy("order_id")
-      .agg(collect_list(col("product_id")).as("ps"))
-      .filter(size(col("ps")) <= MaxBasketSize)
-    baskets.select(explode(flatten(transform(col("ps"),
+    boundedBaskets(spark, dir).select(explode(flatten(transform(col("ps"),
       p1 => transform(filter(col("ps"), p2 => p2 > p1),
         p2 => struct(p1.as("p1"), p2.as("p2")))))).as("pair"))
       .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))

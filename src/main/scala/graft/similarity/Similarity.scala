@@ -181,22 +181,13 @@ object Similarity {
       .select("d1", "d2", "cos")
   }
 
-  /** Near-dup CLUSTERS from the SRP-LSH pair graph: fixed-round
-    * min-label propagation (the componentsFixedSizes machinery) collapses
-    * transitive near-dup chains into clusters keyed by their min vec_id —
-    * the representative a dedup pass keeps. Long mins → exactly
-    * oracle-checkable; `rounds` bounds the chain length merged (pair
-    * graphs are near-cliques, so small fixed rounds converge). Only
-    * non-singleton clusters emit (singletons aren't duplicates). */
   /** Per-member cluster assignment (vec_id → min-label representative)
-    * over the SRP pair graph — the relation [[dupClusters]] aggregates
-    * and curate_full's near-dup drop reads (members whose comp ≠ id are
-    * the redundant copies a dedup pass removes). Memoized: the
-    * propagation runs once per (session, dir, threshold, rounds). */
-  /** Min-label components over the verified SRP near-dup pairs — the
-    * generic bounded-round propagation ([[graft.graph.GraphAlgs
-    * .pairComponents]], with its exact-count state gate), memoized per
-    * (dir, threshold, rounds). */
+    * over the verified SRP near-dup pairs — the relation [[dupClusters]]
+    * aggregates and curate_full's near-dup drop reads (members whose
+    * comp ≠ id are the redundant copies a dedup pass removes). The
+    * propagation is the generic bounded-round [[graft.graph.GraphAlgs
+    * .pairComponents]] (exact-count state gate, monotone early exit),
+    * memoized per (session, dir, threshold, rounds). */
   def dupAssignments(spark: SparkSession, dir: String,
                      threshold: Double = 0.4, rounds: Int = 5): DataFrame =
     graft.Memo.get(spark, "srp-dup-assign", (dir, threshold, rounds)) {

@@ -308,6 +308,34 @@ object EventStreams {
         gen.getName match { case GenName(n) => n.toInt })
     }
 
+  /** STRICT live snapshot for the WRITE path. Degrade-to-empty is a
+    * READ-side convention: a reader of an expired snapshot gets the
+    * empty typed frame. A WRITER must never see that degradation — a
+    * merge that resolves the live manifest to empty because one
+    * carried-forward dir was transiently unreadable (object-store
+    * eventual consistency, external tampering) would publish a next
+    * generation WITHOUT the untouched partitions, silently dropping
+    * them from the store forever. Fail the merge loudly instead; the
+    * stream retries the batch, and a genuinely damaged store needs an
+    * operator, not an auto-amputation. */
+  private def manifestStrict(storeDir: String): Map[String, Path] = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(hconf())
+    currentGen(storeDir) match {
+      case None => Map.empty
+      case Some(gen) =>
+        val n = gen.getName match { case GenName(x) => x.toInt }
+        val snap = readManifestFile(fs,
+          new Path(new Path(root, s"v$n"), Manifest))
+        val missing = snap.values.filterNot(fs.exists)
+        if (missing.nonEmpty) throw new java.io.IOException(
+          s"edge store $storeDir: live manifest v$n references missing " +
+            s"data dirs ${missing.mkString(", ")} — refusing to publish " +
+            "a generation that would drop carried-forward partitions")
+        snap
+    }
+  }
+
   private def readSnapshot(spark: SparkSession,
                            snap: Map[String, Path]): DataFrame =
     if (snap.isEmpty) {
@@ -351,7 +379,7 @@ object EventStreams {
         .map(_.getString(0)).toSet
       if (touched.isEmpty) return
       val cur = currentGen(storeDir)
-      val curMan = manifest(storeDir)
+      val curMan = manifestStrict(storeDir) // write path: never degraded
       val curN = cur.map(_.getName match { case GenName(n) => n.toInt })
         .getOrElse(0)
       val next = new Path(root, s"v${curN + 1}")
@@ -439,7 +467,7 @@ object EventStreams {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val cur = currentGen(storeDir)
-    val curMan = manifest(storeDir)
+    val curMan = manifestStrict(storeDir) // write path: never degraded
     if (curMan.isEmpty) return
     val curN = cur.map(_.getName match { case GenName(n) => n.toInt }).get
     val next = new Path(root, s"v${curN + 1}")

@@ -352,6 +352,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("edge store write path refuses a degraded manifest; reads still degrade") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-edges-strict")
+      .resolve("store").toString
+    val mem = MemoryStream[SeedFixture.Event]
+    val q = EventStreams.maintainEdgeStore(mem.toDF(), store)
+    try {
+      mem.addData(SeedFixture.events.take(2): _*) // VIEWED + CLICKED
+      q.processAllAvailable()
+      mem.addData(SeedFixture.events(4)) // new gen; VIEWED carried forward
+      q.processAllAvailable()
+    } finally q.stop()
+    // Damage the store: delete a data dir the live manifest carries.
+    val viewedDir = new java.io.File(
+      EventStreams.manifest(store)("VIEWED").toUri.getPath)
+    viewedDir.listFiles().foreach(_.delete()); viewedDir.delete()
+    // READ path: expired/degraded snapshot → empty typed frame.
+    assert(EventStreams.edgeStore(spark, store).isEmpty)
+    // WRITE path: a merge must FAIL LOUDLY, not publish a generation
+    // that silently drops the carried-forward partitions.
+    val batch = Seq(SeedFixture.events(4)).toDF()
+    val ex = intercept[java.io.IOException] {
+      EventStreams.mergeEdgeBatch(
+        EventStreams.dedupedBehavioralEdges(batch), store)
+    }
+    assert(ex.getMessage.contains("refusing to publish"))
+  }
+
   test("edge store survives a simulated crash mid-build: partial generation is invisible and rebuilt") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
