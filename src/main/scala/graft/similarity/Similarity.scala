@@ -310,6 +310,7 @@ object Similarity {
     emb(spark, dir).count()
     ivfIndex(spark, dir, 0)
     pqCodes(spark, dir, 8, 16).count() // serving-path codebooks + codes
+    ivfPqLayout(spark, dir, 8, 16).count() // combined coarse+fine layout
     ()
   }
 
@@ -499,6 +500,81 @@ object Similarity {
       element_at(tLit(j), element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     coded.filter(col("vec_id") =!= seedId)
+      .select(col("vec_id"), col("label"), adc.as("adc_d2"))
+      .orderBy(asc("adc_d2"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The combined IVF-PQ layout — the full FAISS serving structure in
+    * DataFrame form: the coded corpus written CLUSTER-PARTITIONED (the
+    * coarse IVF cells as a partition column over the m-code rows), so a
+    * probe prunes at file-listing time like [[ivfTopK]] AND reads only
+    * 2-byte-scale codes like [[pqTopK]]. Memoized per (dir, m, k) like
+    * the other index layouts. */
+  private def ivfPqLayout(spark: SparkSession, dir: String, m: Int,
+                          kCodes: Int): DataFrame =
+    graft.Memo.get(spark, "ivf-pq-layout", (dir, m, kCodes)) {
+      val (_, assigned, _) = ivfIndex(spark, dir, 0)
+      val coded = pqCodes(spark, dir, m, kCodes)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir#$m#$kCodes#ivfpq".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivfpq-$tag").toString
+      assigned.select("vec_id", "cluster")
+        .join(coded, "vec_id")
+        .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
+      spark.read.parquet(idxDir)
+    }
+
+  /** IVF-PQ ADC top-k — coarse probe + fine ADC rank: rank the nProbe
+    * cells nearest the query (centroid cosine, as [[ivfTopK]]), prune
+    * the cluster-partitioned CODED corpus to those cells at file-listing
+    * time, and rank the survivors by Σ_j table_j[code_j] against the
+    * query's exact per-subspace distance tables. At scale this touches
+    * nProbe/k of the files AND reads 64× fewer bytes per row than the
+    * float scan — the multiplicative win that makes billion-vector
+    * serving a sub-second scan. Rows-only (two KMeans stages); recall
+    * asserted in SimilaritySpec. */
+  def ivfPqTopK(spark: SparkSession, dir: String, seedId: Long,
+                k: Int = 20, m: Int = 8, kCodes: Int = 16,
+                nProbe: Int = 4): DataFrame = {
+    val sub = PqDim / m
+    val codebooks = pqCodebooks(spark, dir, m, kCodes)
+    val layout = ivfPqLayout(spark, dir, m, kCodes)
+    val (model, _, _) = ivfIndex(spark, dir, 0)
+    val seedRow = emb(spark, dir).filter(col("vec_id") === seedId)
+      .select("embedding").collect().headOption
+    if (seedRow.isEmpty)
+      return layout.filter(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("adc_d2"))
+    val seed = seedRow.get.getSeq[Float](0).map(_.toDouble).toArray
+    val seedNorm = math.sqrt(seed.map(x => x * x).sum)
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        val dot = arr.zip(seed).map { case (a, b) => a * b }.sum
+        val cn = math.sqrt(arr.map(x => x * x).sum)
+        (i, if (cn == 0 || seedNorm == 0) Double.NegativeInfinity
+        else dot / (cn * seedNorm))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val tables: IndexedSeq[Array[Double]] = (0 until m).map { j =>
+      codebooks(j).map { c =>
+        var s = 0.0
+        var d = 0
+        while (d < sub) {
+          val t = seed(j * sub + d) - c(d); s += t * t; d += 1
+        }
+        s
+      }
+    }
+    def tLit(j: Int): Column = array(tables(j).map(lit(_)).toIndexedSeq: _*)
+    val adc = (0 until m).map { j =>
+      element_at(tLit(j), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    layout.filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= seedId)
       .select(col("vec_id"), col("label"), adc.as("adc_d2"))
       .orderBy(asc("adc_d2"), asc("vec_id"))
       .limit(k)

@@ -73,6 +73,7 @@ object SimilarityRegistry {
       "sim_pq_report" -> ((s, d) => Similarity.pqReport(s, d)),
       // Rows-only (KMeans); SimilaritySpec asserts recall vs exact L2.
       "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, SeedVec)),
+      "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, SeedVec)),
       "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d))
     ),
     oracles = Map(

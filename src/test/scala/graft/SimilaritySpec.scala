@@ -209,6 +209,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("IVF-PQ combines coarse pruning with ADC ranking, usable recall") {
+    val k = 20
+    val got = Similarity.ivfPqTopK(spark, dir, 0L, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == k && !got.map(_._1).contains(0L))
+    // ADC distances ascend (with the vec_id tie-break).
+    assert(got.toSeq.sliding(2).forall {
+      case Seq(a, b) => a._2 < b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    })
+    // Probing ALL cells makes IVF-PQ degrade to exactly pure-PQ ADC:
+    // same codebooks, same tables, no pruning — results must be equal.
+    val allCells = Similarity.ivfPqTopK(spark, dir, 0L, k = k,
+      nProbe = 1000).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val purePq = Similarity.pqTopK(spark, dir, 0L, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(allCells.toSeq == purePq.toSeq)
+    // Pruned recall vs the exact scan stays clearly better than random.
+    val all = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val seed = all.find(_._1 == 0L).get._2
+    val exact = all.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> v.zip(seed).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains).toDouble / k
+    info(f"IVF-PQ recall@$k = $recall%.2f")
+    assert(recall >= 0.2, f"recall@$k = $recall%.2f")
+  }
+
   test("SRP-LSH pairs: verified cosines respect the threshold and ordering") {
     val pairs = Similarity.srpLshPairs(spark, dir, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
