@@ -580,6 +580,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact squared-L2 top-k — the ADC family's exact baseline (cosine
+    * is [[cosineTopK]]'s): same scan + 1-row broadcast + TakeOrdered
+    * shape. */
+  def l2TopK(spark: SparkSession, dir: String, seedId: Long,
+             k: Int = 20): DataFrame = {
+    val e = emb(spark, dir)
+    val seed = e.filter(col("vec_id") === seedId)
+      .select(transform(col("embedding"), x => x.cast("double")).as("se"))
+    e.crossJoin(broadcast(seed))
+      .filter(col("vec_id") =!= seedId)
+      .select(col("vec_id"), col("label"),
+        sqdistCol(transform(col("embedding"), x => x.cast("double")),
+          col("se")).as("d2"))
+      .orderBy(asc("d2"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN quality report — recall@k of every approximate serving path
+    * against ITS exact baseline (IVF ranks by cosine, the ADC family by
+    * squared L2), for one seed: the monitoring number a vector-store
+    * deployment alerts on when drift or an index rebuild drops recall.
+    * Each input is a k-row TakeOrdered result, so the comparison is a
+    * bounded driver fold over already-limited lists — the sanctioned
+    * serving-shim pattern, never a corpus-wide collect. Rows-only (the
+    * approximate paths are KMeans-derived); per-method recall floors
+    * are asserted in SimilaritySpec. */
+  def annQualityReport(spark: SparkSession, dir: String, seedId: Long = 0L,
+                       k: Int = 20): DataFrame = {
+    import spark.implicits._
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactCos = ids(cosineTopK(spark, dir, seedId, k))
+    val exactL2 = ids(l2TopK(spark, dir, seedId, k))
+    Seq(
+      ("ivf", "cosine", ids(ivfTopK(spark, dir, seedId, k)), exactCos),
+      ("pq_adc", "l2", ids(pqTopK(spark, dir, seedId, k)), exactL2),
+      ("ivf_pq", "l2", ids(ivfPqTopK(spark, dir, seedId, k)), exactL2))
+      .map { case (m, b, got, exact) =>
+        (m, b, got.count(exact.contains).toDouble / k, got.size.toLong)
+      }
+      .toDF("method", "baseline", "recall_at_k", "n_results")
+      .orderBy("method")
+  }
+
   /** Per-label centroids, one row per (label, dimension). Plain double
     * `sum` under groupBy is partition-order-dependent (float addition is
     * non-associative) and float→decimal casts round differently across

@@ -74,6 +74,8 @@ object SimilarityRegistry {
       // Rows-only (KMeans); SimilaritySpec asserts recall vs exact L2.
       "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, SeedVec)),
       "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, SeedVec)),
+      "sim_ann_quality" -> ((s, d) =>
+        Similarity.annQualityReport(s, d, SeedVec)),
       "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d))
     ),
     oracles = Map(

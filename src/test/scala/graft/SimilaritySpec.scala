@@ -241,6 +241,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.2, f"recall@$k = $recall%.2f")
   }
 
+  test("ANN quality report: per-method recall floors against exact baselines") {
+    val rows = Similarity.annQualityReport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("ivf", "pq_adc", "ivf_pq"))
+    assert(rows.values.forall { case (_, rc, n) =>
+      rc >= 0.0 && rc <= 1.0 && n == 20L
+    })
+    assert(rows("ivf")._1 == "cosine" && rows("pq_adc")._1 == "l2")
+    // The floors the serving specs assert individually, through the
+    // report path: IVF well above half, the coded paths above random.
+    assert(rows("ivf")._2 >= 0.5, rows.toString)
+    assert(rows("pq_adc")._2 >= 0.2 && rows("ivf_pq")._2 >= 0.1,
+      rows.toString)
+  }
+
   test("SRP-LSH pairs: verified cosines respect the threshold and ordering") {
     val pairs = Similarity.srpLshPairs(spark, dir, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
