@@ -421,7 +421,7 @@ object Similarity {
       }).getField("code")
   }
 
-  def pqReport(spark: SparkSession, dir: String, m: Int = 4,
+  def pqReport(spark: SparkSession, dir: String, m: Int = 8,
                kCodes: Int = 16): DataFrame = {
     val sub = PqDim / m
     val codebooks = pqCodebooks(spark, dir, m, kCodes)
@@ -472,8 +472,10 @@ object Similarity {
     * it stands for. `m` is the compression/recall knob: serving
     * defaults to 8 subspaces (32 bits, 64× compression — recall@20
     * 0.35 on this corpus's near-random synthetic vectors, asserted in
-    * SimilaritySpec; real clustered embeddings fare far better), while
-    * the report audits the 2-byte extreme. Rows-only (KMeans). */
+    * SimilaritySpec; real clustered embeddings fare far better). The
+    * report audits the SAME serving layout — one codebook fit, shared
+    * through the memo, so the report row measures the encode scan, not
+    * a second training run. Rows-only (KMeans). */
   def pqTopK(spark: SparkSession, dir: String, seedId: Long, k: Int = 20,
              m: Int = 8, kCodes: Int = 16): DataFrame = {
     val sub = PqDim / m

@@ -158,9 +158,9 @@ class SimilaritySpec extends SparkTestBase {
   test("PQ codebooks beat the one-code baseline and use their code budget") {
     val rows = Similarity.pqReport(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_._1).toSeq == (0 until 8))
     assert(rows.forall(_._2 == 500L))
-    // Baseline: quantizing each 16-dim subspace to its single mean
+    // Baseline: quantizing each 8-dim subspace to its single mean
     // vector has MSE = the subspace's per-element variance. A 16-code
     // codebook must do strictly better on every subspace — if it
     // doesn't, the fit or the encode is wrong.
@@ -168,12 +168,12 @@ class SimilaritySpec extends SparkTestBase {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for ((sub, _, mse, used) <- rows) {
-      val dims = (sub * 16) until (sub * 16 + 16)
+      val dims = (sub * 8) until (sub * 8 + 8)
       val n = e.length.toDouble
       val variance = dims.map { d =>
         val mean = e.map(_(d)).sum / n
         e.map(v => (v(d) - mean) * (v(d) - mean)).sum / n
-      }.sum / 16
+      }.sum / 8
       assert(mse < variance * 0.9, s"subspace $sub: $mse !< 0.9*$variance")
       assert(mse >= 0 && used >= 2 && used <= 16)
     }
