@@ -61,6 +61,24 @@ object TextAnalysis {
           .as("quality"))
       .orderBy("doc_id")
 
+  /** Percentile normalization of the quality score — the rank feature a
+    * curation mixture consumes when absolute quality scales drift across
+    * sources (a 0.6 from one scorer ≠ a 0.6 from another; the percentile
+    * is comparable). percent_rank = (rank−1)/(N−1) over the
+    * (quality, doc_id) total order: unique ranks, one exact-integer
+    * division per row — bit-identical in the oracle. The global rank
+    * window is the CALIBRATION posture (quality_floor_calibration's
+    * argument: an exact order statistic pays one global sort, and the
+    * per-batch scale path is the approx-quantile sketch). */
+  def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("pct_rank",
+        percent_rank().over(Window.orderBy("quality", "doc_id")))
+      .orderBy("doc_id")
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "of"),
     "de" -> Seq("der", "die", "das", "und"),

@@ -36,6 +36,8 @@ object TextRegistry {
       "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
       "text_pii_counts" -> ((s, d) => TextAnalysis.piiCounts(s, d)),
       "text_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+      "text_quality_percentiles" -> ((s, d) =>
+        TextAnalysis.qualityPercentiles(s, d)),
       "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
       "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d)),
       "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
@@ -160,6 +162,21 @@ object TextRegistry {
            |    AS DOUBLE) / (n - 2)
            |  END AS dup_trigram_frac
            |FROM c ORDER BY doc_id""".stripMargin,
+      // Percentile normalization: unique (quality, doc_id) ranks →
+      // percent_rank is one exact-integer division per row.
+      "text_quality_percentiles" ->
+        s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it')))
+           |    AS stop_hits
+           |FROM documents),
+           |s AS (SELECT doc_id,
+           |  round(least(n_tokens / 100.0, 1.0) *
+           |        (1.0 - stop_hits * 1.0 / n_tokens), 6) AS quality
+           |FROM q)
+           |SELECT doc_id, quality,
+           |  percent_rank() OVER (ORDER BY quality, doc_id) AS pct_rank
+           |FROM s ORDER BY doc_id""".stripMargin,
       // Redaction twin: same regexes, same fixed order, 'g' flag (DuckDB
       // replaces first-only by default; Spark replaces all).
       "text_pii_redact" ->

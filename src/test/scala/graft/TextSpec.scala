@@ -65,6 +65,20 @@ class TextSpec extends SparkTestBase {
       fp("perfectly clean prose with no identifiers"))
   }
 
+  test("quality percentiles: rank-monotone in quality, exact endpoints") {
+    val rows = TextAnalysis
+      .qualityPercentiles(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, _, p) => p >= 0.0 && p <= 1.0 })
+    // percent_rank over the (quality, doc_id) total order: sorting by
+    // that key must produce 0, 1/(n-1), 2/(n-1), ... exactly.
+    val sorted = rows.sortBy { case (id, q, _) => (q, id) }
+    sorted.zipWithIndex.foreach { case ((id, _, p), i) =>
+      assert(p == i.toDouble / (rows.length - 1), s"doc $id")
+    }
+  }
+
   test("commonness is the mean document-frequency over distinct tokens") {
     // df: shared=3, rare=1, mid=2 → doc 1 mean (3+1)/2, doc 3 mean 3/1.
     val out = TextAnalysis.commonnessOf(docs(
