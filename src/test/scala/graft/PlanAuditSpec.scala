@@ -152,6 +152,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"label state is broadcast over the gate:\n$plan")
   }
 
+  test("item-item table ranks inside per-product partitions, no global window") {
+    // A serving-table build that ranked in ONE window partition would
+    // funnel every pair through a single task at 100 TB. The rank must
+    // execute as a hash-partitioned window (partitionby product), never
+    // the WindowExec-with-empty-partition shape.
+    val plan = SparkEntry.queries("item_item_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Window [") ||
+      plan.contains("partitionBy") || plan.contains("hashpartitioning"),
+      s"rank window shape suspicious:\n$plan")
+    // The concrete assertion: the window's required distribution shows
+    // up as a hashpartitioning exchange on product_id somewhere above
+    // the pair aggregation.
+    assert("hashpartitioning\\(product_id".r.findFirstIn(plan).isDefined,
+      s"no product-keyed partitioning for the rank window:\n$plan")
+  }
+
   test("dedup candidate generation never goes quadratic") {
     // The LSH/blocking families must join on bucket keys — a
     // CartesianProduct or nested-loop join anywhere means the candidate
