@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -24,6 +24,23 @@ object Funnel {
     conversionCountsOf(Tables.load(spark, dir, "events")
       .select(col("user_id"), lower(col("event_type")).as("et"),
         unix_micros(col("ts")).as("ts_us")))
+
+  /** Step-to-step drop-off rates over [[conversionCounts]] — the number
+    * a growth dashboard actually plots (counts are the evidence, rates
+    * are the signal). Exact BIGINT→DOUBLE divisions; a zero denominator
+    * yields NULL, not NaN (engines disagree on NaN hashing, and "no
+    * viewers" has no rate). */
+  def dropoffRates(spark: SparkSession, dir: String): DataFrame = {
+    def rate(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    conversionCounts(spark, dir).select(
+      col("n_viewed"), col("n_carted_after"), col("n_purchased_after"),
+      rate(col("n_carted_after"), col("n_viewed")).as("r_view_to_cart"),
+      rate(col("n_purchased_after"), col("n_carted_after"))
+        .as("r_cart_to_purchase"),
+      rate(col("n_purchased_after"), col("n_viewed"))
+        .as("r_view_to_purchase"))
+  }
 
   val HourUs: Long = 3600L * 1000000L
   val CapHours: Long = 72L

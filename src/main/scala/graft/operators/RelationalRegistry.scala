@@ -6,6 +6,25 @@ import graft.Registry
 object RelationalRegistry {
   private val LookupKey = 42L
 
+  /** The strictly-after funnel CTE chain, shared by the conversion and
+    * drop-off oracles (ev feeds three branches and s1/s2 are each read
+    * twice → MATERIALIZED, the CTE re-inlining gotcha). */
+  private val FunnelCtes =
+    """ev AS MATERIALIZED (
+      |  SELECT user_id, lower(event_type) AS et,
+      |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+      |s1 AS MATERIALIZED (
+      |  SELECT user_id, min(ts_us) AS t1 FROM ev
+      |  WHERE et = 'view' GROUP BY 1),
+      |s2 AS MATERIALIZED (
+      |  SELECT ev.user_id, min(ts_us) AS t2 FROM ev
+      |  JOIN s1 USING (user_id)
+      |  WHERE et = 'add_to_cart' AND ts_us > t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT ev.user_id, min(ts_us) AS t3 FROM ev
+      |  JOIN s2 USING (user_id)
+      |  WHERE et = 'purchase' AND ts_us > t2 GROUP BY 1)""".stripMargin
+
   val registry: Registry = Registry(
     queries = Map(
       "scan_project" -> ((s, d) => Relational.scanProject(s, d)),
@@ -46,6 +65,7 @@ object RelationalRegistry {
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
       "funnel_conversion" -> ((s, d) => Funnel.conversionCounts(s, d)),
       "funnel_time_to_convert" -> ((s, d) => Funnel.timeToConvert(s, d)),
+      "funnel_dropoff" -> ((s, d) => Funnel.dropoffRates(s, d)),
       "event_transitions" -> ((s, d) => Transitions.eventTransitions(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "rfm_features" -> ((s, d) => Cohorts.rfmFeatures(s, d)),
@@ -496,27 +516,32 @@ object RelationalRegistry {
           |      AS BIGINT) AS DOUBLE) AS p_transition
           |FROM counts ORDER BY src_type, dst_type""".stripMargin,
       // Strictly-after funnel: each step's first time must follow the
-      // user's first completion of the previous step. ev feeds three
-      // branches and s1/s2 are each read twice → MATERIALIZED (the CTE
-      // re-inlining gotcha).
+      // user's first completion of the previous step.
       "funnel_conversion" ->
-        """WITH ev AS MATERIALIZED (
-          |  SELECT user_id, lower(event_type) AS et,
-          |    epoch_ns(ts) // 1000 AS ts_us FROM events),
-          |s1 AS MATERIALIZED (
-          |  SELECT user_id, min(ts_us) AS t1 FROM ev
-          |  WHERE et = 'view' GROUP BY 1),
-          |s2 AS MATERIALIZED (
-          |  SELECT ev.user_id, min(ts_us) AS t2 FROM ev
-          |  JOIN s1 USING (user_id)
-          |  WHERE et = 'add_to_cart' AND ts_us > t1 GROUP BY 1),
-          |s3 AS (
-          |  SELECT ev.user_id, min(ts_us) AS t3 FROM ev
-          |  JOIN s2 USING (user_id)
-          |  WHERE et = 'purchase' AND ts_us > t2 GROUP BY 1)
-          |SELECT (SELECT count(*) FROM s1) AS n_viewed,
-          |  (SELECT count(*) FROM s2) AS n_carted_after,
-          |  (SELECT count(*) FROM s3) AS n_purchased_after""".stripMargin,
+        s"""WITH $FunnelCtes
+           |SELECT (SELECT count(*) FROM s1) AS n_viewed,
+           |  (SELECT count(*) FROM s2) AS n_carted_after,
+           |  (SELECT count(*) FROM s3) AS n_purchased_after""".stripMargin,
+      // Drop-off rates over the same strictly-after funnel: exact
+      // BIGINT→DOUBLE divisions, zero denominators → NULL (not NaN —
+      // engines disagree on NaN hashing, and "no viewers" has no rate).
+      "funnel_dropoff" ->
+        s"""WITH $FunnelCtes,
+           |c AS (SELECT (SELECT count(*) FROM s1) AS n_viewed,
+           |  (SELECT count(*) FROM s2) AS n_carted_after,
+           |  (SELECT count(*) FROM s3) AS n_purchased_after)
+           |SELECT n_viewed, n_carted_after, n_purchased_after,
+           |  CASE WHEN n_viewed > 0 THEN
+           |    CAST(n_carted_after AS DOUBLE) / CAST(n_viewed AS DOUBLE)
+           |  END AS r_view_to_cart,
+           |  CASE WHEN n_carted_after > 0 THEN
+           |    CAST(n_purchased_after AS DOUBLE) /
+           |      CAST(n_carted_after AS DOUBLE)
+           |  END AS r_cart_to_purchase,
+           |  CASE WHEN n_viewed > 0 THEN
+           |    CAST(n_purchased_after AS DOUBLE) / CAST(n_viewed AS DOUBLE)
+           |  END AS r_view_to_purchase
+           |FROM c""".stripMargin,
       "set_ops" ->
         """WITH oc AS (SELECT DISTINCT o_custkey AS c FROM orders),
           |ec AS (SELECT DISTINCT user_id AS c FROM events)
