@@ -42,4 +42,25 @@ object Layout {
     * faster per round at bench scale). */
   def stateCheckpoint(df: DataFrame, preserveLayout: Boolean): DataFrame =
     if (preserveLayout) checkpoint(df) else df.localCheckpoint(true)
+
+  /** Per-ROUND checkpoint policy for the gated propagation loops. The
+    * co-partitioned (over-the-gate) path materializes every round: the
+    * next round's exchange-free sort-merge join hangs on the pinned
+    * layout, and at 10⁹-vertex state the plan must stay shallow. The
+    * broadcast path materializes every SECOND round instead: each
+    * round's state broadcast already forces execution of the short lazy
+    * segment behind it, so the odd round's eager localCheckpoint was a
+    * pure extra materialization job (~0.3–0.4 s at bench scale —
+    * measured on the shared 10-round rank loop at sf0.1: 5.8 s with
+    * per-round checkpoints → 3.4 s with K=2; RankProbe). A FULLY lazy
+    * chain does not help (measured 5.9 s: every round still pays its
+    * blocking broadcast collect, and the plan just gets deeper), so K=2
+    * is the floor. The final round is always materialized — consumers
+    * fan out over it. Bit parity is untouched: segmentation only moves
+    * materialization boundaries, never the computation or its order. */
+  def roundCheckpoint(df: DataFrame, preserveLayout: Boolean,
+                      round: Int, last: Boolean): DataFrame =
+    if (preserveLayout) checkpoint(df)
+    else if (last || round % 2 == 0) df.localCheckpoint(true)
+    else df
 }

@@ -133,8 +133,15 @@ object GraphAlgs {
         else joined.repartition(n, col("dst")))
     }
 
-  /** Static undirected distinct edge set, laid out like [[rankEdges]]
-    * (min-label propagation joins its state on src, folds on dst). */
+  /** Static undirected distinct edge set PLUS one marked self-loop row
+    * per node, laid out like [[rankEdges]] (min-label propagation joins
+    * its state on src, folds on dst). The self rows are what let a
+    * min-label round fold least(own, min(nbrs)) in ONE keyed
+    * aggregation with the label state referenced ONCE — a round that
+    * also left-joins the previous state re-executes a lazy round twice
+    * under the K=2 checkpoint policy ([[graft.Layout.roundCheckpoint]]).
+    * Isolated nodes surface through their self row (the old
+    * formulation's left join carried them). */
   private def undirectedEdges(spark: SparkSession, dir: String,
                               bySrc: Boolean): DataFrame =
     graft.Memo.get(spark, "und-edges", (dir, bySrc)) {
@@ -142,6 +149,9 @@ object GraphAlgs {
       val e = GraphBuilder.edges(spark, dir).select("src", "dst")
       val und = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .withColumn("self", lit(false))
+        .unionByName(nodesById(spark, dir).select(col("id").as("src"),
+          col("id").as("dst"), lit(true).as("self")))
       graft.Layout.checkpoint(
         if (bySrc) und.repartition(n, col("src")).sortWithinPartitions("src")
         else und.repartition(n, col("dst")))
@@ -601,9 +611,10 @@ object GraphAlgs {
           when(col("id") === s, lit(1.0)).otherwise(lit(0.0)).as(s"r$j")
       }
       var ranks = nodes.select(col("id") +: inits: _*)
-      for (_ <- 1 to iters)
-        ranks = graft.Layout.stateCheckpoint(
-          rankStep(e, nodes, ranks, seeds, coPart), preserveLayout = coPart)
+      for (i <- 1 to iters)
+        ranks = graft.Layout.roundCheckpoint(
+          rankStep(e, nodes, ranks, seeds, coPart), preserveLayout = coPart,
+          round = i, last = i == iters)
       ranks
     }
 
@@ -687,7 +698,7 @@ object GraphAlgs {
     val e = weightedRankEdges(spark, dir, bySrc = coPart)
     val nodes = nodesById(spark, dir)
     var ranks = nodes.select(col("id"), lit(1.0).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val state = ranks.withColumnRenamed("id", "src")
       val contribs = e
         .join(if (coPart) state.hint("merge") else broadcast(state), "src")
@@ -696,11 +707,11 @@ object GraphAlgs {
       val summed = contribs.groupBy("id")
         .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
           (s, x) => s + x).as("inr"))
-      ranks = graft.Layout.stateCheckpoint(
+      ranks = graft.Layout.roundCheckpoint(
         nodes.join(summed, Seq("id"), "left")
           .select(col("id"),
             (lit(0.15) + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r")),
-        preserveLayout = coPart)
+        preserveLayout = coPart, round = i, last = i == iters)
     }
     ranks.select(col("id"), col("r").as("rank"))
       .orderBy(desc("rank"), asc("id")).limit(k)
@@ -805,23 +816,32 @@ object GraphAlgs {
     while (r < rounds && !converged) {
       r += 1
       val state = comp.withColumnRenamed("id", "src")
-      val minNbrs = und
-        .join(if (coPart) state.hint("merge") else broadcast(state), "src")
-        .select(col("dst").as("id"), col("comp").as("ncomp"))
-        .groupBy("id").agg(min("ncomp").as("nbr"))
-      // least() skips nulls: an isolated node (no row in minNbrs) keeps
-      // its own label. The per-row `changed` flag rides along so the
-      // convergence probe below is a scan of this checkpoint, not a
+      // min(own ∪ nbrs) folded in ONE keyed aggregation over the
+      // self-augmented edge set: the self row carries the node's own
+      // label (isolated nodes surface through it), so no second
+      // reference to the previous state exists anywhere in the round —
+      // a lazy odd round under the K=2 checkpoint policy executes once.
+      // The per-row `changed` flag (new min ≠ own label) rides along so
+      // the convergence probe below is a scan of the checkpoint, not a
       // second join against the previous state.
-      val next = graft.Layout.stateCheckpoint(
-        comp.join(minNbrs, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), col("nbr")).as("comp"),
-            (least(col("comp"), col("nbr")) =!= col("comp")).as("changed")),
-        preserveLayout = coPart)
+      val next = graft.Layout.roundCheckpoint(
+        und
+          .join(if (coPart) state.hint("merge") else broadcast(state), "src")
+          .select(col("dst").as("id"), col("comp").as("ncomp"), col("self"))
+          .groupBy("id")
+          .agg(min("ncomp").as("comp"),
+            min(when(col("self"), col("ncomp"))).as("own"))
+          .select(col("id"), col("comp"),
+            (col("comp") =!= col("own")).as("changed")),
+        preserveLayout = coPart, round = r, last = r == rounds)
       // Min-label is monotone: an unchanged round is a fixed point, so
       // every remaining round is a no-op — skipping them returns exactly
-      // what the oracle's full unrolling computes.
-      if (r < rounds)
+      // what the oracle's full unrolling computes. Probe only on
+      // MATERIALIZED rounds (a probe on a lazy odd round would force the
+      // execution the K=2 round policy just saved); checking every
+      // second round costs at most one no-op extra round after the true
+      // fixed point — still exactly the unrolled result.
+      if (r < rounds && (coPart || r % 2 == 0))
         converged = next.filter(col("changed")).isEmpty
       comp = next.select("id", "comp")
     }
@@ -851,20 +871,31 @@ object GraphAlgs {
     val undRaw = p.unionByName(
       p.select(col("d2").as("d1"), col("d1").as("d2")))
     val members = undRaw.select(col("d1").as("id")).distinct()
+      .localCheckpoint(true)
     val coPart = members.count() > stateBroadcastMaxRows(spark)
+    // Marked self rows, as in undirectedEdges: they let each round fold
+    // least(own, min(nbrs)) with the label state referenced ONCE.
+    val undSelf = undRaw.withColumn("self", lit(false)).unionByName(
+      members.select(col("id").as("d1"), col("id").as("d2"),
+        lit(true).as("self")))
     val und = graft.Layout.checkpoint(
-      if (coPart) undRaw.repartition(n, col("d1")).sortWithinPartitions("d1")
-      else undRaw.repartition(n, col("d2")))
+      if (coPart) undSelf.repartition(n, col("d1")).sortWithinPartitions("d1")
+      else undSelf.repartition(n, col("d2")))
     var comp = members.withColumn("comp", col("id"))
     var converged = false
-    for (_ <- 1 to rounds if !converged) {
-      comp = graft.Layout.stateCheckpoint(
-        pairComponentsStep(und, comp, coPart), preserveLayout = coPart)
+    for (r <- 1 to rounds if !converged) {
+      comp = graft.Layout.roundCheckpoint(
+        pairComponentsStep(und, comp, coPart), preserveLayout = coPart,
+        round = r, last = r == rounds)
       // Min-label is monotone: an unchanged round is a fixed point, so
       // every remaining round is a no-op — skipping them returns exactly
       // the full unrolling (the componentsFixedSizes argument). The
-      // probe is a scan of the just-checkpointed round.
-      converged = comp.filter(col("changed")).isEmpty
+      // probe is a scan of the just-checkpointed round — MATERIALIZED
+      // rounds only (probing a lazy odd round would force the execution
+      // the K=2 round policy just saved); at most one extra no-op round
+      // past the true fixed point.
+      if (coPart || r % 2 == 0 || r == rounds)
+        converged = comp.filter(col("changed")).isEmpty
     }
     comp.select("id", "comp")
   }
@@ -873,21 +904,25 @@ object GraphAlgs {
     * so PlanAuditSpec can assert both join shapes on exactly the plan
     * the loop executes: co-partitioned must be an exchange-light
     * sort-merge state join, gated must broadcast the label state.
-    * min(own ∪ nbrs) ≡ least(own, min(nbrs)) on exact keys; the per-d2
-    * min fold is in-place under the gate, the round's one
-    * pair-relation-sized exchange over it. The per-row `changed` flag
-    * rides along so the convergence probe is a scan of the round's
-    * checkpoint, not a second join against the previous state. */
+    * `und` carries the marked self rows ([[pairComponents]]), so
+    * min(own ∪ nbrs) folds in ONE keyed aggregation — per-d2 in-place
+    * under the gate, the round's one pair-relation-sized exchange over
+    * it — and the label state is referenced exactly once (a second
+    * reference would re-execute a lazy odd round under the K=2
+    * checkpoint policy). The per-row `changed` flag (new min ≠ the self
+    * row's own label) rides along so the convergence probe is a scan of
+    * the round's checkpoint, not a second join against the state. */
   private[graft] def pairComponentsStep(und: DataFrame, comp: DataFrame,
                                         coPartition: Boolean): DataFrame = {
     val state = comp.withColumnRenamed("id", "d1")
-    val minNbrs = und
+    und
       .join(if (coPartition) state.hint("merge") else broadcast(state), "d1")
-      .select(col("d2").as("id"), col("comp").as("ncomp"))
-      .groupBy("id").agg(min("ncomp").as("nbr"))
-    comp.join(minNbrs, Seq("id"), "left")
-      .select(col("id"), least(col("comp"), col("nbr")).as("comp"),
-        (least(col("comp"), col("nbr")) =!= col("comp")).as("changed"))
+      .select(col("d2").as("id"), col("comp").as("ncomp"), col("self"))
+      .groupBy("id")
+      .agg(min("ncomp").as("comp"),
+        min(when(col("self"), col("ncomp"))).as("own"))
+      .select(col("id"), col("comp"),
+        (col("comp") =!= col("own")).as("changed"))
   }
 
   /** Harmonic centrality toward a landmark set: h(v) = Σ_s 1/d(v,s)

@@ -138,11 +138,15 @@ class PlanAuditSpec extends SparkTestBase {
     val n = spark.sessionState.conf.numShufflePartitions
     val pairs = graft.dedup.Dedup.minhashLshPairs(spark, dir)
       .select("d1", "d2").localCheckpoint(true)
+    val undRaw = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val members = undRaw.select(col("d1").as("id")).distinct()
     val und = Layout.checkpoint(
-      pairs.unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      undRaw.withColumn("self", lit(false))
+        .unionByName(members.select(col("id").as("d1"), col("id").as("d2"),
+          lit(true).as("self")))
         .repartition(n, col("d1")).sortWithinPartitions("d1"))
-    val comp = und.select(col("d1").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    val comp = members.withColumn("comp", col("id"))
     val step = graph.GraphAlgs.pairComponentsStep(und, comp,
       coPartition = true)
     val plan = step.queryExecution.executedPlan.toString
