@@ -91,6 +91,14 @@ object RankProbe {
     segmented(4)
     segmented(3)
     segmented(2)
+
+    // D: the exact benched queries, first touch after prewarm (what
+    // Bench measures mid-run), on a fresh memo-keyed session clone.
+    for (q <- Seq("pagerank_fixed_top", "ppr_fixed_top",
+        "weighted_pagerank_top", "components_fixed_sizes"))
+      timed(s"query $q") {
+        SparkEntry.queries(q)(spark, dir).count()
+      }
     spark.stop()
   }
 }

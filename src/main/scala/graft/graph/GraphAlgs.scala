@@ -88,6 +88,15 @@ object GraphAlgs {
     rankEdges(spark, dir, bySrc = coPart).count()
     undirectedEdges(spark, dir, bySrc = coPart).count()
     weightedRankEdges(spark, dir, bySrc = coPart).count()
+    // Compile the propagation-round codegen once, untimed — a serving
+    // JVM's steady state has every round shape Janino-compiled and
+    // C2-JITed (measured ~6 s of one-time compilation otherwise landing
+    // on the FIRST measured propagation query). Two-round runs on
+    // DISTINCT memo keys: the benched 10-round loops still execute
+    // every real round — only class compilation is shared.
+    fixedRanks(spark, dir, SharedRankSeeds, 2).count()
+    weightedPageRankTop(spark, dir, iters = 1, k = 1).count()
+    componentsFixedSizes(spark, dir, rounds = 2).count()
     ()
   }
 
