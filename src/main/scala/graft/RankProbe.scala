@@ -30,6 +30,17 @@ object RankProbe {
       println(f"[probe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
+    // queries-only mode: what Bench sees — prewarm, then straight to
+    // the measured queries with no extra loop executions in between.
+    if (args.contains("queries-only")) {
+      for (q <- Seq("pagerank_fixed_top", "components_fixed_sizes",
+          "weighted_pagerank_top", "graph_clustering_top"))
+        timed(s"query $q") {
+          SparkEntry.queries(q)(spark, dir).count()
+        }
+      spark.stop(); return
+    }
+
     def loop(tag: String, step: DataFrame => DataFrame): Unit = {
       val inits = seeds.zipWithIndex.map {
         case (None, j) => lit(1.0).as(s"r$j")
