@@ -438,6 +438,60 @@ object TextAnalysis {
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contaminationOf(Tables.load(spark, dir, "documents"))
 
+  /** Fixed query-term set for the BM25 registry row — mixed corpus
+    * frequencies so the idf factor actually discriminates. */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "query", "stream", "vector")
+
+  /** BM25 ranked retrieval against a fixed query-term set — the
+    * primitive a curation pipeline uses to pull topical subsets out of
+    * a 100 TB corpus. Robertson saturated-tf shape
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the idf factor kept as
+    * the exact rational (N−df+0.5)/(df+0.5)+1 rather than its ln — the
+    * repo's [[topTerms]] convention: libm last-ulp differences break
+    * cross-engine hashes, and per term the transform is monotone.
+    * Two scans: ONE corpus-stats aggregate collapsed to a single
+    * broadcast row (N, Σdl, per-term df — the only shuffle, a scalar
+    * fold), then one scoring scan with per-doc tf read off the token
+    * array in place and the per-term scores summed in FIXED term order
+    * (left-assoc, mirrored in the oracle) so every double is
+    * bit-reproducible. Constants enter as lit-vs-literal pairs computed
+    * the same way on both engines (1.2 + 1.0, never a pre-folded 2.2 —
+    * Scala's fold and SQL's parse could differ in the last ulp).
+    * Top-k is a TakeOrdered with the id tie-break. */
+  def bm25Search(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Bm25QueryTerms,
+                 k: Int = 20): DataFrame =
+    bm25SearchOf(Tables.load(spark, dir, "documents"), terms, k)
+
+  /** Core over any frame with doc_id + text columns — fixture entry. */
+  def bm25SearchOf(docsIn: DataFrame, terms: Seq[String],
+                   k: Int): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), tokens.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val statsAggs =
+      count(lit(1)).cast("long").as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .as(s"df_$i")
+        }
+    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i").cast("double") + lit(0.5)) + lit(1.0)
+      idf * (tf * (lit(1.2) + lit(1.0))) /
+        (tf + lit(1.2) * ((lit(1.0) - lit(0.75)) +
+          lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        termScores.reduce(_ + _).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

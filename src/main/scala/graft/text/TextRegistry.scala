@@ -43,6 +43,7 @@ object TextRegistry {
       "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
       "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
       "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
+      "text_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -251,9 +252,48 @@ object TextRegistry {
            |  CAST(n12 AS DOUBLE) / n1 AS p_cond
            |FROM n12 JOIN n1 USING (w1)
            |ORDER BY n12 DESC, w1 ASC, w2 ASC
-           |LIMIT 20""".stripMargin
+           |LIMIT 20""".stripMargin,
+      // BM25, mirrored node-for-node: exact-rational idf (the topTerms
+      // ln-avoidance convention), per-term scores summed left-assoc in
+      // fixed term order, and the inexact 1.2 literal forced to DOUBLE
+      // on both engines so (1.2 + 1.0) is the same IEEE add (DuckDB
+      // parses bare decimals as DECIMAL — its exact 2.2 re-rounds
+      // differently in the last ulp than the double sum).
+      "text_bm25_search" -> {
+        val dfs = TextAnalysis.Bm25QueryTerms.zipWithIndex.map {
+          case (t, i) =>
+            s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1" +
+              s" ELSE 0 END) AS BIGINT) AS df_$i"
+        }
+        val scores = TextAnalysis.Bm25QueryTerms.zipWithIndex.map {
+          case (t, i) => bm25TermSql(t, i)
+        }
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+           |  FROM d),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |  ${dfs.mkString(",\n|  ")}
+           |  FROM dd)
+           |SELECT doc_id, dl,
+           |  ${scores.mkString("\n|  + ")} AS bm25
+           |FROM dd, st
+           |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      }
     )
   )
+
+  /** One BM25 term score, structured exactly like the Spark expression
+    * tree in TextAnalysis.bm25Search: ((idf) * (tf · (k1+1))) / (tf +
+    * k1 · ((1−b) + b · (dl / avgdl))). */
+  private def bm25TermSql(t: String, i: Int): String = {
+    val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+    val idf = s"((CAST(n_docs AS DOUBLE) - df_$i + 0.5)" +
+      s" / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)"
+    s"$idf * ($tf * (CAST(1.2 AS DOUBLE) + 1.0))" +
+      s" / ($tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75)" +
+      s" + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+  }
 
   /** Window-fingerprint contamination CTEs ending at `hits`(doc_id, n) —
     * the twin of TextAnalysis.contaminationOf, shared with the curation

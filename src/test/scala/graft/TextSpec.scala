@@ -146,6 +146,20 @@ class TextSpec extends SparkTestBase {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("bm25: zero-hit is exactly 0, tf saturates, rarer term outweighs") {
+    val out = TextAnalysis.bm25SearchOf(docs(
+      1 -> "spark spark spark spark spark", // tf=5 of a df=2 term
+      2 -> "spark a a a a",                 // tf=1 of the same term
+      3 -> "a a a a a",                     // no query terms
+      4 -> "rare a a a a"                   // tf=1 of a df=1 term
+    ), terms = Seq("spark", "rare"), k = 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(3) === 0.0)               // no hits → exact zero mass
+    assert(out(1) > out(2))              // more tf, same dl → higher
+    assert(out(1) < 5 * out(2))          // …but saturated, not linear
+    assert(out(4) > out(2))              // rarer term, same tf/dl → higher
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
