@@ -492,6 +492,41 @@ object TextAnalysis {
       .orderBy(desc("bm25"), asc("doc_id")).limit(k)
   }
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * chunker every training pipeline runs before packing: windows of
+    * `size` tokens at stride `size − overlap`, last partial window
+    * kept iff it adds unseen tokens (start < n). Pure per-row array
+    * slicing inside one codegen'd scan — zero shuffles, so at 100 TB
+    * this runs at parquet-read speed and the output partitioning
+    * inherits the scan's (chunks of a doc stay in its partition).
+    * Chunk ids are (doc_id, chunk_ix) — globally unique without any
+    * windowed numbering. */
+  def chunkTokens(spark: SparkSession, dir: String, chunkSize: Int = 64,
+                  overlap: Int = 16): DataFrame =
+    chunkTokensOf(Tables.load(spark, dir, "documents"), chunkSize, overlap)
+
+  /** Core over any frame with doc_id + text columns — fixture entry. */
+  def chunkTokensOf(docs: DataFrame, chunkSize: Int,
+                    overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0)
+    val stride = chunkSize - overlap
+    // Window count via pure integer ceil-division — exact on both
+    // engines, no float boundary to disagree about.
+    val lastIx = expr(
+      s"CAST((greatest(n - $chunkSize, 0) + ${stride - 1}) div $stride" +
+        " AS INT)")
+    docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lastIx),
+          i => slice(col("toks"), i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_ix"),
+        size(col("col")).cast("long").as("n_chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

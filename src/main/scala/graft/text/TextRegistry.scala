@@ -44,6 +44,7 @@ object TextRegistry {
       "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
       "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
       "text_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+      "text_chunking" -> ((s, d) => TextAnalysis.chunkTokens(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -279,7 +280,23 @@ object TextRegistry {
            |  ${scores.mkString("\n|  + ")} AS bm25
            |FROM dd, st
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
-      }
+      },
+      // Context-window chunker: windows of 64 tokens at stride 48, the
+      // window count an integer ceil-division, list slices 1-based and
+      // end-clipped on both engines.
+      "text_chunking" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+           |w AS (SELECT doc_id, toks,
+           |    unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48))
+           |      AS i
+           |  FROM dd)
+           |SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+           |  CAST(len(toks[i * 48 + 1 : i * 48 + 64]) AS BIGINT)
+           |    AS n_chunk_tokens,
+           |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ')
+           |    AS chunk_text
+           |FROM w ORDER BY doc_id, chunk_ix""".stripMargin
     )
   )
 

@@ -160,6 +160,25 @@ class TextSpec extends SparkTestBase {
     assert(out(4) > out(2))              // rarer term, same tf/dl → higher
   }
 
+  test("chunking: stride windows cover the tail, short docs stay whole") {
+    val out = TextAnalysis.chunkTokensOf(docs(
+      1 -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      2 -> "a b c"                                   // shorter than a chunk
+    ), chunkSize = 4, overlap = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+    // size 4, stride 2 over 10 tokens: windows at 1,3,5,7 — the last
+    // one ends exactly at the tail.
+    assert(out.keys.count(_._1 == 1) === 4)
+    assert(out((1, 0L)).getString(3) === "t1 t2 t3 t4")
+    assert(out((1, 3L)).getString(3) === "t7 t8 t9 t10")
+    assert(out.filterKeys(_._1 == 1).values
+      .forall(_.getLong(2) === 4L))
+    // a 3-token doc is one whole (clipped) chunk
+    assert(out.keys.count(_._1 == 2) === 1)
+    assert(out((2, 0L)).getString(3) === "a b c"
+      && out((2, 0L)).getLong(2) === 3L)
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
