@@ -527,6 +527,47 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_ix")
   }
 
+  /** Corpus-LM likelihood scoring — the surprisal-proxy quality signal:
+    * score each document by the mean (and min) conditional probability
+    * of its adjacent-token bigrams under the corpus's own bigram LM
+    * P(w2|w1) = n12/n1. Natural text scores high; shuffled or
+    * boilerplate-spliced text trips low-probability transitions. Kept
+    * in probability space (no ln — the [[topTerms]] libm-parity
+    * convention); the per-doc mean folds in sorted order (the repo's
+    * canonical float-sum convention) and min is order-free. Docs with
+    * <2 tokens have no bigrams and drop out (the [[repetitionOf]]
+    * NULL-not-fake-zero stance, expressed as absence). Scale shape:
+    * the LM tables are vocab-bounded aggregations, the probability
+    * lookup is a bigram-keyed join (no driver-side model), and the
+    * per-doc fold is doc-length-bounded. */
+  def lmLikelihood(spark: SparkSession, dir: String): DataFrame =
+    lmLikelihoodOf(Tables.load(spark, dir, "documents"))
+
+  /** Core over any frame with doc_id + text columns — fixture entry. */
+  def lmLikelihoodOf(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), tokens.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val n12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val n1 = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val p = bi.join(n12, Seq("w1", "w2")).join(n1, Seq("w1"))
+      .select(col("doc_id"),
+        (col("n12").cast("double") / col("n1")).as("p"))
+    p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(col("p"))), lit(0.0),
+          (s, x) => s + x).as("sum_p"),
+        min(col("p")).as("min_pcond"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_p") / col("n_bigrams")).as("mean_pcond"),
+        col("min_pcond"))
+      .orderBy("doc_id")
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

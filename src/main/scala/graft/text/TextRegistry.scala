@@ -45,6 +45,7 @@ object TextRegistry {
       "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
       "text_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
       "text_chunking" -> ((s, d) => TextAnalysis.chunkTokens(s, d)),
+      "text_lm_likelihood" -> ((s, d) => TextAnalysis.lmLikelihood(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -296,7 +297,26 @@ object TextRegistry {
            |    AS n_chunk_tokens,
            |  array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ')
            |    AS chunk_text
-           |FROM w ORDER BY doc_id, chunk_ix""".stripMargin
+           |FROM w ORDER BY doc_id, chunk_ix""".stripMargin,
+      // Corpus-bigram-LM likelihood: kept in probability space (the
+      // ln-avoidance convention); the per-doc mean is the canonical
+      // sorted-fold, min is order-free; <2-token docs have no bigrams
+      // and drop out on both engines.
+      "text_lm_likelihood" ->
+        s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+           |bi AS MATERIALIZED (
+           |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM (
+           |    SELECT doc_id, ts,
+           |      unnest(generate_series(1, len(ts) - 1)) AS i
+           |    FROM t WHERE len(ts) >= 2)),
+           |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+           |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+           |p AS (SELECT doc_id, CAST(n12 AS DOUBLE) / n1 AS p
+           |  FROM bi JOIN n12 USING (w1, w2) JOIN n1 USING (w1))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  list_sum(list_sort(list(p))) / count(*) AS mean_pcond,
+           |  min(p) AS min_pcond
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   )
 

@@ -179,6 +179,20 @@ class TextSpec extends SparkTestBase {
       && out((2, 0L)).getLong(2) === 3L)
   }
 
+  test("lm likelihood: exact bigram conditionals, sorted-fold mean") {
+    // corpus LM: n12 (a,b)=3 (b,a)=1 (b,c)=1; n1 a=3 b=2
+    // → P(b|a)=1.0, P(a|b)=0.5, P(c|b)=0.5
+    val out = TextAnalysis.lmLikelihoodOf(docs(
+      1 -> "a b a b", // ps [1.0, 0.5, 1.0] → mean 2.5/3, min 0.5
+      2 -> "a b c",   // ps [1.0, 0.5]      → mean 0.75,  min 0.5
+      3 -> "q"        // no bigrams → absent, not a fake zero
+    )).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(1, 2))
+    assert(out(1).getLong(1) === 3L)
+    assert(out(1).getDouble(2) === 2.5 / 3 && out(1).getDouble(3) === 0.5)
+    assert(out(2).getDouble(2) === 0.75 && out(2).getDouble(3) === 0.5)
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
