@@ -329,6 +329,7 @@ object GraphRegistry {
         GraphAlgs.clusteringCoefficientTop(s, d)),
       "association_rules" -> ((s, d) => GraphAlgs.associationRules(s, d)),
       "graph_kcore" -> ((s, d) => GraphAlgs.kCoreSummary(s, d)),
+      "graph_link_prediction" -> ((s, d) => GraphAlgs.linkPrediction(s, d)),
       "weighted_pagerank_top" -> ((s, d) =>
         GraphAlgs.weightedPageRankTop(s, d))
     ),
@@ -529,6 +530,40 @@ object GraphRegistry {
            |ORDER BY lift DESC, ante ASC, cons ASC
            |LIMIT 20""".stripMargin,
       "graph_kcore" -> kCoreSql(GraphAlgs.KCoreK, GraphAlgs.KCoreRounds),
+      // Common neighbors counted through degree-capped centers (the
+      // documented scale bound, mirrored); Jaccard denominator uses
+      // TRUE degrees; candidates are non-adjacent pairs only.
+      "graph_link_prediction" ->
+        s"""WITH items AS MATERIALIZED (
+           |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+           |  FROM lineitem),
+           |sane AS (SELECT order_id FROM items GROUP BY order_id
+           |         HAVING count(*) <= ${GraphAlgs.MaxBasketSize}),
+           |pairs AS MATERIALIZED (
+           |  SELECT DISTINCT a.product_id AS p1, b.product_id AS p2
+           |  FROM items a JOIN items b ON a.order_id = b.order_id
+           |   AND a.product_id < b.product_id
+           |  JOIN sane ON a.order_id = sane.order_id),
+           |und AS MATERIALIZED (
+           |  SELECT p1 AS c, p2 AS n FROM pairs
+           |  UNION ALL SELECT p2, p1 FROM pairs),
+           |deg AS MATERIALIZED (SELECT c AS p, count(*) AS d FROM und
+           |  GROUP BY 1),
+           |adj AS MATERIALIZED (SELECT und.c, und.n FROM und
+           |  JOIN deg ON und.c = deg.p
+           |  WHERE deg.d <= ${GraphAlgs.LinkPredMaxCenterDegree}),
+           |cn AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
+           |  FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+           |  GROUP BY 1, 2),
+           |cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
+           |  LEFT JOIN pairs ON cn.a = pairs.p1 AND cn.b = pairs.p2
+           |  WHERE pairs.p1 IS NULL)
+           |SELECT a AS p1, b AS p2, CAST(cn AS BIGINT) AS cn,
+           |  CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS jaccard
+           |FROM cand JOIN deg da ON cand.a = da.p
+           |JOIN deg db ON cand.b = db.p
+           |ORDER BY jaccard DESC, cn DESC, p1 ASC, p2 ASC
+           |LIMIT 20""".stripMargin,
       "weighted_pagerank_top" -> weightedPageRankSql(5, 20)
     )
   )
