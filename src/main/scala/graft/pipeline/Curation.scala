@@ -229,6 +229,35 @@ object Curation {
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang")
 
+  /** Temperature-flattened source-mixture weights at α = 1/2: the
+    * sampling-weight computation of multilingual/multi-source mixture
+    * design (UNIMAX-style flattening) — w_temp(s) ∝ √n_s vs the
+    * proportional w_prop(s) ∝ n_s, plus the boost each source gets.
+    * α is pinned at 1/2 because sqrt is IEEE-correctly-rounded on both
+    * engines — the one flattening power with no libm parity hazard
+    * (a free pow(n, α) is not reproducible cross-engine; the
+    * [[graft.text.TextAnalysis.topTerms]] convention). The √-weight
+    * normalizer folds in sorted-value order (canonical float-sum
+    * convention); the proportional normalizer is an exact long sum.
+    * One |sources|-row aggregate broadcast back over itself — at any
+    * scale this is a scalar-sized plan after the first fold. */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.load(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", sqrt(col("n_docs").cast("double")))
+    val totals = bySrc.agg(
+      sum(col("n_docs")).as("total_n"),
+      aggregate(sort_array(collect_list(col("sq"))), lit(0.0),
+        (s, x) => s + x).as("total_sq"))
+    bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total_n")).as("w_prop"),
+        (col("sq") / col("total_sq")).as("w_temp"),
+        ((col("sq") / col("total_sq")) /
+          (col("n_docs").cast("double") / col("total_n"))).as("boost"))
+      .orderBy("source")
+  }
+
   /** Quality-weighted downsampling: each document keeps with probability
     * proportional to its quality score, decided by the SAME deterministic
     * md5 bucket as the splits (keep ⇔ bucket < quality·100) — the

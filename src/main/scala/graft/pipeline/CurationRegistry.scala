@@ -28,6 +28,7 @@ object CurationRegistry {
       "split_counts" -> ((s, d) => Curation.splitCounts(s, d)),
       "stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
       "mixture_rebalance_counts" -> ((s, d) => Curation.rebalanceCounts(s, d)),
+      "mixture_temperature" -> ((s, d) => Curation.mixtureTemperature(s, d)),
       "curate_corpus" -> ((s, d) => Curation.curate(s, d)),
       "curate_full" -> ((s, d) => Curation.curateFull(s, d)),
       "forget_cascade" -> ((s, d) => Curation.forgetCascadeReport(s, d)),
@@ -54,6 +55,21 @@ object CurationRegistry {
         s"""SELECT lang, count(*) AS n FROM documents
            |WHERE lang <> 'en' OR $BucketSql < 30
            |GROUP BY lang ORDER BY lang""".stripMargin,
+      // sqrt is IEEE-correctly-rounded on both engines (the only
+      // parity-safe flattening power, hence α pinned at 1/2); the
+      // √-normalizer is the canonical sorted fold, total_n exact.
+      "mixture_temperature" ->
+        """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM documents GROUP BY source),
+          |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_n,
+          |  list_sum(list_sort(list(sqrt(CAST(n_docs AS DOUBLE)))))
+          |    AS total_sq FROM s)
+          |SELECT source, n_docs,
+          |  CAST(n_docs AS DOUBLE) / total_n AS w_prop,
+          |  sqrt(CAST(n_docs AS DOUBLE)) / total_sq AS w_temp,
+          |  (sqrt(CAST(n_docs AS DOUBLE)) / total_sq)
+          |    / (CAST(n_docs AS DOUBLE) / total_n) AS boost
+          |FROM s, t ORDER BY source""".stripMargin,
       "curate_corpus" ->
         s"""WITH $CurateCtes
            |$CurateSelect

@@ -568,6 +568,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-prefix detection: the header/template detector — group
+    * documents by their first `w`-token prefix and surface prefixes
+    * shared by ≥2 documents (scraped corpora carry the same navigation
+    * or license header on thousands of pages; prefix-level grouping
+    * catches what whole-doc dedup cannot once bodies diverge). Docs
+    * shorter than `w` tokens are skipped — a partial prefix is not
+    * evidence of a shared template. One scan + one count aggregation;
+    * the prefix key is w-token-bounded so the shuffle carries short
+    * strings, and min(doc_id) gives a deterministic example. */
+  def boilerplatePrefixes(spark: SparkSession, dir: String, w: Int = 8,
+                          k: Int = 20): DataFrame =
+    boilerplatePrefixesOf(Tables.load(spark, dir, "documents"), w, k)
+
+  /** Core over any frame with doc_id + text columns — fixture entry. */
+  def boilerplatePrefixesOf(docs: DataFrame, w: Int, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), lit(1), lit(w)), " ").as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), asc("prefix")).limit(k)
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

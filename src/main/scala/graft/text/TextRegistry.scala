@@ -46,6 +46,8 @@ object TextRegistry {
       "text_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
       "text_chunking" -> ((s, d) => TextAnalysis.chunkTokens(s, d)),
       "text_lm_likelihood" -> ((s, d) => TextAnalysis.lmLikelihood(s, d)),
+      "text_boilerplate_prefixes" -> ((s, d) =>
+        TextAnalysis.boilerplatePrefixes(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -316,7 +318,17 @@ object TextRegistry {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |  list_sum(list_sort(list(p))) / count(*) AS mean_pcond,
            |  min(p) AS min_pcond
-           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+           |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Shared first-8-token prefixes; short docs skipped (a partial
+      // prefix is not template evidence) on both engines.
+      "text_boilerplate_prefixes" ->
+        s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |p AS (SELECT doc_id, array_to_string(toks[1:8], ' ') AS prefix
+           |  FROM t WHERE len(toks) >= 8)
+           |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(doc_id) AS example_doc
+           |FROM p GROUP BY prefix HAVING count(*) >= 2
+           |ORDER BY n_docs DESC, prefix ASC LIMIT 20""".stripMargin
     )
   )
 

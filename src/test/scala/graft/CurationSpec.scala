@@ -49,6 +49,35 @@ class CurationSpec extends SparkTestBase {
     assert(curated.forall(c => keeps.contains(c._1)))
   }
 
+  test("temperature mixture flattens: weights normalize, small sources boost") {
+    val rows = Curation.mixtureTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9) // w_prop normalizes
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9) // w_temp normalizes
+    // flattening: strictly smaller sources gain weight over larger ones
+    // (equal-sized sources — the sf0.01 fixture — sit exactly at 1.0)
+    val bySize = rows.sortBy(_._2)
+    val (a, b) = (bySize.head, bySize.last)
+    if (a._2 < b._2) assert(a._5 > 1.0 && b._5 < 1.0)
+    else assert(rows.forall(r => math.abs(r._5 - 1.0) < 1e-12))
+    // α = 1/2 exactly: w_temp ratio between two sources is √(n ratio)
+    assert(math.abs(a._4 / b._4 -
+      math.sqrt(a._2.toDouble / b._2)) < 1e-12)
+    // and on a skewed fixture the flattening direction is strict
+    import spark.implicits._
+    val skewDir = java.nio.file.Files
+      .createTempDirectory("graft-mixtemp").toString
+    (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (s, i) => (i.toLong, "t", "en", s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    val skew = Curation.mixtureTemperature(spark, skewDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(skew("small") > 1.0 && skew("big") < 1.0)
+  }
+
   test("quality-weighted sampling keeps a quality-proportional, deterministic subset") {
     val rows = Curation.qualityWeightedCounts(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

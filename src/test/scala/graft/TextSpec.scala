@@ -193,6 +193,20 @@ class TextSpec extends SparkTestBase {
     assert(out(2).getDouble(2) === 0.75 && out(2).getDouble(3) === 0.5)
   }
 
+  test("boilerplate prefixes: shared headers surface, short docs skip") {
+    val header = "terms of service apply to all pages"  // 7 tokens
+    val out = TextAnalysis.boilerplatePrefixesOf(docs(
+      1 -> s"$header here body one",
+      2 -> s"$header here body two entirely different",
+      3 -> s"$header here",                 // 9 tokens, same 8-prefix
+      4 -> "unique document body with enough tokens to qualify fine",
+      5 -> "short doc"                      // < 8 tokens → skipped
+    ), w = 8, k = 10).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === s"$header here")
+    assert(out(0).getLong(1) === 3L && out(0).getInt(2) === 1)
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
