@@ -592,6 +592,27 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .orderBy(desc("n_docs"), asc("prefix")).limit(k)
 
+  /** Chunk-level duplication report: run the context-window chunker,
+    * then measure how much of the chunk stream is repeated text —
+    * the number training pipelines watch because template/boilerplate
+    * duplication INSIDE otherwise-distinct documents survives doc-level
+    * dedup and still burns training tokens. One extra count aggregation
+    * over [[chunkTokens]]'s zero-shuffle scan; the duplicate fraction
+    * is one exact-int division. */
+  def chunkDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val perChunk = chunkTokens(spark, dir)
+      .groupBy("chunk_text").agg(count(lit(1)).as("n"))
+    perChunk.agg(
+      sum(col("n")).as("n_chunks"),
+      count(lit(1)).as("n_distinct"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_in_dup_groups"))
+      .select(col("n_chunks"), col("n_distinct"),
+        (col("n_chunks") - col("n_distinct")).as("n_redundant"),
+        ((col("n_chunks") - col("n_distinct")).cast("double") /
+          col("n_chunks")).as("redundant_frac"),
+        col("n_in_dup_groups"))
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

@@ -48,6 +48,8 @@ object TextRegistry {
       "text_lm_likelihood" -> ((s, d) => TextAnalysis.lmLikelihood(s, d)),
       "text_boilerplate_prefixes" -> ((s, d) =>
         TextAnalysis.boilerplatePrefixes(s, d)),
+      "text_chunk_dedup_report" -> ((s, d) =>
+        TextAnalysis.chunkDedupReport(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -328,7 +330,28 @@ object TextRegistry {
            |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
            |  min(doc_id) AS example_doc
            |FROM p GROUP BY prefix HAVING count(*) >= 2
-           |ORDER BY n_docs DESC, prefix ASC LIMIT 20""".stripMargin
+           |ORDER BY n_docs DESC, prefix ASC LIMIT 20""".stripMargin,
+      // Chunk-stream duplication over the same 64/48 chunker; every
+      // aggregate cast off HUGEINT, the fraction one exact-int division.
+      "text_chunk_dedup_report" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+           |w AS (SELECT doc_id, toks,
+           |    unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48))
+           |      AS i
+           |  FROM dd),
+           |c AS (SELECT array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ')
+           |    AS chunk_text FROM w),
+           |g AS (SELECT chunk_text, count(*) AS n FROM c GROUP BY 1),
+           |s AS (SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+           |    AS n_in_dup_groups FROM g)
+           |SELECT n_chunks, n_distinct,
+           |  n_chunks - n_distinct AS n_redundant,
+           |  CAST(n_chunks - n_distinct AS DOUBLE) / n_chunks
+           |    AS redundant_frac,
+           |  n_in_dup_groups FROM s""".stripMargin
     )
   )
 

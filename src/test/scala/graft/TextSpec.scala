@@ -207,6 +207,20 @@ class TextSpec extends SparkTestBase {
     assert(out(0).getLong(1) === 3L && out(0).getInt(2) === 1)
   }
 
+  test("chunk dedup report: internally consistent against the chunker") {
+    val sf = "/root/testdata/sf0.001"
+    val r = TextAnalysis.chunkDedupReport(spark, sf).head()
+    val (nChunks, nDistinct, nRedundant, frac, nInDup) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))
+    assert(nChunks === TextAnalysis.chunkTokens(spark, sf).count())
+    assert(nRedundant === nChunks - nDistinct && nRedundant >= 0)
+    assert(frac === nRedundant.toDouble / nChunks)
+    // members of dup groups = redundant copies + one original per group
+    assert(nInDup >= nRedundant)
+    assert((nInDup == 0) == (nRedundant == 0))
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
