@@ -329,7 +329,8 @@ object GraphRegistry {
         GraphAlgs.clusteringCoefficientTop(s, d)),
       "association_rules" -> ((s, d) => GraphAlgs.associationRules(s, d)),
       "graph_kcore" -> ((s, d) => GraphAlgs.kCoreSummary(s, d)),
-      "graph_link_prediction" -> ((s, d) => GraphAlgs.linkPrediction(s, d)),
+      "graph_link_prediction" -> ((s, d) =>
+        GraphAlgs.linkPredictionForProduct(s, d)),
       "weighted_pagerank_top" -> ((s, d) =>
         GraphAlgs.weightedPageRankTop(s, d))
     ),
@@ -530,9 +531,9 @@ object GraphRegistry {
            |ORDER BY lift DESC, ante ASC, cons ASC
            |LIMIT 20""".stripMargin,
       "graph_kcore" -> kCoreSql(GraphAlgs.KCoreK, GraphAlgs.KCoreRounds),
-      // Common neighbors counted through degree-capped centers (the
-      // documented scale bound, mirrored); Jaccard denominator uses
-      // TRUE degrees; candidates are non-adjacent pairs only.
+      // Seeded common-neighbor Jaccard (seed product 1): wedges only
+      // through the seed's neighbor set, candidates non-adjacent with
+      // cn >= 1, Jaccard over TRUE degrees.
       "graph_link_prediction" ->
         s"""WITH items AS MATERIALIZED (
            |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
@@ -549,21 +550,18 @@ object GraphRegistry {
            |  UNION ALL SELECT p2, p1 FROM pairs),
            |deg AS MATERIALIZED (SELECT c AS p, count(*) AS d FROM und
            |  GROUP BY 1),
-           |adj AS MATERIALIZED (SELECT und.c, und.n FROM und
-           |  JOIN deg ON und.c = deg.p
-           |  WHERE deg.d <= ${GraphAlgs.LinkPredMaxCenterDegree}),
-           |cn AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
-           |  FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
-           |  GROUP BY 1, 2),
-           |cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
-           |  LEFT JOIN pairs ON cn.a = pairs.p1 AND cn.b = pairs.p2
-           |  WHERE pairs.p1 IS NULL)
-           |SELECT a AS p1, b AS p2, CAST(cn AS BIGINT) AS cn,
-           |  CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS jaccard
-           |FROM cand JOIN deg da ON cand.a = da.p
-           |JOIN deg db ON cand.b = db.p
-           |ORDER BY jaccard DESC, cn DESC, p1 ASC, p2 ASC
-           |LIMIT 20""".stripMargin,
+           |nb AS MATERIALIZED (SELECT n FROM und WHERE c = 1),
+           |cn AS (SELECT u.n AS b, count(*) AS cn
+           |  FROM und u JOIN nb ON u.c = nb.n
+           |  WHERE u.n <> 1 GROUP BY 1),
+           |cand AS (SELECT b, cn FROM cn
+           |  WHERE b NOT IN (SELECT n FROM nb))
+           |SELECT b AS product_id, CAST(cn AS BIGINT) AS cn,
+           |  CAST(cn AS DOUBLE) / (ds.d + db.d - cn) AS jaccard
+           |FROM cand JOIN deg db ON cand.b = db.p,
+           |  (SELECT d FROM deg WHERE p = 1) ds
+           |ORDER BY jaccard DESC, cn DESC, product_id ASC
+           |LIMIT 10""".stripMargin,
       "weighted_pagerank_top" -> weightedPageRankSql(5, 20)
     )
   )

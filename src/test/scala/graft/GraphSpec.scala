@@ -227,25 +227,25 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
-  test("link prediction matches brute-force capped-Jaccard at sf0.001") {
+  test("seeded link prediction matches brute-force Jaccard at sf0.001") {
     val sf = "/root/testdata/sf0.001"
+    val seed = 1L
     val pairs = GraphAlgs.coPurchasePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val adj = pairs
       .foldLeft(Map.empty[Long, Set[Long]].withDefaultValue(Set.empty[Long])) {
         case (m, (a, b)) => m.updated(a, m(a) + b).updated(b, m(b) + a)
       }
-    val cn = adj.toSeq
-      .filter(_._2.size <= GraphAlgs.LinkPredMaxCenterDegree)
-      .flatMap { case (_, ns) =>
-        ns.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) } }
-      .groupBy(identity).view.mapValues(_.size.toLong).toMap
-      .filter { case ((a, b), _) => !adj(a)(b) } // non-adjacent only
-    val expected = cn.map { case ((a, b), c) =>
-      (a, b, c, c.toDouble / (adj(a).size + adj(b).size - c))
-    }.toSeq.sortBy { case (a, b, c, j) => (-j, -c, a, b) }.take(20)
-    val got = GraphAlgs.linkPrediction(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = adj.keys
+      .filter(b => b != seed && !adj(seed)(b))
+      .map { b =>
+        val c = (adj(seed) intersect adj(b)).size.toLong
+        (b, c, c.toDouble / (adj(seed).size + adj(b).size - c))
+      }
+      .filter(_._2 >= 1) // zero-overlap products are not predictions
+      .toSeq.sortBy { case (b, c, j) => (-j, -c, b) }.take(10)
+    val got = GraphAlgs.linkPredictionForProduct(spark, sf, seed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq
     assert(got == expected)
   }
