@@ -166,6 +166,27 @@ object Dedup {
     verifyJaccard(sh, candidates, threshold)
   }
 
+  /** Cross-source near-duplicate matrix: where duplication comes FROM —
+    * MinHash-verified near-dup pairs attributed to their (source_a,
+    * source_b) combination, unordered (least/greatest) so each source
+    * pair is one row. The mirror-crawl detector: heavy off-diagonal
+    * cells mean two feeds scrape the same upstream, and the diagonal is
+    * within-source duplication. Reuses the banded-LSH pair pipeline
+    * (never candidate×candidate); the source lookup is two doc_id-keyed
+    * joins against the narrow (doc_id, source) projection. */
+  def crossSourceMatrix(spark: SparkSession, dir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val src = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    minhashLshPairs(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** NEAR-duplicate decontamination — the fuzzy counterpart of the
     * exact-fingerprint `text_contamination` gate: a training doc that is
     * an 80%-Jaccard near-copy of a benchmark doc leaks the benchmark

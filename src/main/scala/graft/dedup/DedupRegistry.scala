@@ -122,6 +122,8 @@ object DedupRegistry {
       "dedup_token_set" -> ((s, d) => Dedup.tokenSetDups(s, d)),
       "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
       "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+      "dedup_cross_source_matrix" -> ((s, d) =>
+        Dedup.crossSourceMatrix(s, d)),
       "dedup_minhash_clusters" -> ((s, d) => Dedup.minhashClusters(s, d)),
       "dedup_near_contamination" -> ((s, d) => Dedup.nearContamination(s, d)),
       "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
@@ -158,6 +160,17 @@ object DedupRegistry {
            |$candCtes,
            |${verifyCtes(0.8)}
            |SELECT d1, d2, jacc FROM ver ORDER BY d1, d2""".stripMargin,
+      // Verified pairs attributed to their unordered source combination.
+      "dedup_cross_source_matrix" ->
+        s"""WITH $ShingleCtes,
+           |$candCtes,
+           |${verifyCtes(0.8)}
+           |SELECT least(da.source, db.source) AS source_a,
+           |  greatest(da.source, db.source) AS source_b,
+           |  count(*) AS n_pairs
+           |FROM ver JOIN documents da ON ver.d1 = da.doc_id
+           |         JOIN documents db ON ver.d2 = db.doc_id
+           |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
       // Verified near-dup pairs with exactly one side in the benchmark
       // id set — the fuzzy decontamination gate.
       "dedup_near_contamination" ->

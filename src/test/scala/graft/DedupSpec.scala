@@ -6,18 +6,19 @@ import graft.dedup.Dedup
 /** Dedup tiers on a hand-built corpus with known exact/near/shuffled
   * duplicates. */
 object DedupFixture {
-  case class Doc(doc_id: Long, text: String)
+  case class Doc(doc_id: Long, text: String, source: String)
 
   // 12 tokens; doc2 = exact dup of doc1; doc3 = doc1 shuffled
   // (token-set dup); doc4 = doc1 with the last token replaced
   // (3-gram jaccard = 9/11 ≈ 0.818); doc5 unrelated.
   val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   val docs: Seq[Doc] = Seq(
-    Doc(1, base),
-    Doc(2, base),
-    Doc(3, base.split(" ").reverse.mkString(" ")),
-    Doc(4, base.split(" ").init.mkString(" ") + " nu"),
-    Doc(5, "completely different words entirely unrelated content here now"))
+    Doc(1, base, "web"),
+    Doc(2, base, "mirror"),
+    Doc(3, base.split(" ").reverse.mkString(" "), "web"),
+    Doc(4, base.split(" ").init.mkString(" ") + " nu", "books"),
+    Doc(5, "completely different words entirely unrelated content here now",
+      "books"))
 
   lazy val dir: String = {
     val spark = TestSpark.spark
@@ -119,6 +120,16 @@ class DedupSpec extends SparkTestBase {
     // And on the real corpus the gate is clean — verified empty, which
     // is the release-gate answer, not a missing result.
     assert(Dedup.nearContamination(spark, dir).isEmpty)
+  }
+
+  test("cross-source matrix partitions the verified pair set") {
+    val total = Dedup.minhashLshPairs(spark, dir).count()
+    val rows = Dedup.crossSourceMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === total) // every pair lands in one cell
+    rows.foreach { case (a, b, n) =>
+      assert(a <= b && n >= 1) // unordered keys, no empty cells
+    }
   }
 
   test("minhash clusters reconcile with the verified pair set") {
