@@ -613,6 +613,45 @@ object TextAnalysis {
         col("n_in_dup_groups"))
   }
 
+  /** Quality-signal agreement: exact Pearson correlation between the
+    * heuristic quality score and the corpus-LM mean bigram likelihood —
+    * the sanity check a curation pipeline runs before blending or
+    * swapping quality signals (uncorrelated scorers gate different
+    * documents; a high r says the cheap heuristic is a fair proxy).
+    * The five moment sums fold through one doc_id-chunked level first
+    * (the [[graft.similarity.Similarity.labelCentroids]] fixed-fan-in
+    * posture — no |docs|-sized array in a single task at 100 TB), each
+    * partial in sorted order, and sqrt is IEEE-exact, so r is
+    * bit-reproducible. One row out. */
+  def qualitySignalCorrelation(spark: SparkSession,
+                               dir: String): DataFrame = {
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(c), lit(0.0), (s, x) => s + x)
+    val xy = qualityScore(spark, dir).select(col("doc_id"),
+        col("quality").as("x"))
+      .join(lmLikelihood(spark, dir).select(col("doc_id"),
+        col("mean_pcond").as("y")), "doc_id")
+    val lvl = xy
+      .groupBy(shiftright(col("doc_id"), 10).as("chunk"))
+      .agg(count(lit(1)).as("n"),
+        foldSum(collect_list(col("x"))).as("sx"),
+        foldSum(collect_list(col("y"))).as("sy"),
+        foldSum(collect_list(col("x") * col("y"))).as("sxy"),
+        foldSum(collect_list(col("x") * col("x"))).as("sxx"),
+        foldSum(collect_list(col("y") * col("y"))).as("syy"))
+    lvl.agg(sum(col("n")).as("n"),
+        foldSum(collect_list(col("sx"))).as("sx"),
+        foldSum(collect_list(col("sy"))).as("sy"),
+        foldSum(collect_list(col("sxy"))).as("sxy"),
+        foldSum(collect_list(col("sxx"))).as("sxx"),
+        foldSum(collect_list(col("syy"))).as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("pearson_r"))
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

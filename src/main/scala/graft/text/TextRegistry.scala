@@ -50,6 +50,8 @@ object TextRegistry {
         TextAnalysis.boilerplatePrefixes(s, d)),
       "text_chunk_dedup_report" -> ((s, d) =>
         TextAnalysis.chunkDedupReport(s, d)),
+      "text_quality_lm_agreement" -> ((s, d) =>
+        TextAnalysis.qualitySignalCorrelation(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -351,7 +353,48 @@ object TextRegistry {
            |  n_chunks - n_distinct AS n_redundant,
            |  CAST(n_chunks - n_distinct AS DOUBLE) / n_chunks
            |    AS redundant_frac,
-           |  n_in_dup_groups FROM s""".stripMargin
+           |  n_in_dup_groups FROM s""".stripMargin,
+      // Pearson r between the quality heuristic and the LM mean
+      // likelihood: five moment sums through one doc_id-chunked fold
+      // level (the centroid-tree posture), every partial sorted, sqrt
+      // IEEE-exact on both engines.
+      "text_quality_lm_agreement" ->
+        s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+           |bi AS MATERIALIZED (
+           |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM (
+           |    SELECT doc_id, ts,
+           |      unnest(generate_series(1, len(ts) - 1)) AS i
+           |    FROM t WHERE len(ts) >= 2)),
+           |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+           |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+           |pp AS (SELECT doc_id, CAST(n12 AS DOUBLE) / n1 AS p
+           |  FROM bi JOIN n12 USING (w1, w2) JOIN n1 USING (w1)),
+           |lm AS (SELECT doc_id, list_sum(list_sort(list(p))) / count(*)
+           |    AS y FROM pp GROUP BY doc_id),
+           |q0 AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it')))
+           |    AS stop_hits FROM documents),
+           |q AS (SELECT doc_id, round(least(n_tokens / 100.0, 1.0) *
+           |    (1.0 - stop_hits * 1.0 / n_tokens), 6) AS x FROM q0),
+           |j AS (SELECT q.doc_id, x, y FROM q JOIN lm USING (doc_id)),
+           |lvl AS (SELECT doc_id // 1024 AS chunk, count(*) AS n,
+           |  list_sum(list_sort(list(x))) AS sx,
+           |  list_sum(list_sort(list(y))) AS sy,
+           |  list_sum(list_sort(list(x * y))) AS sxy,
+           |  list_sum(list_sort(list(x * x))) AS sxx,
+           |  list_sum(list_sort(list(y * y))) AS syy
+           |  FROM j GROUP BY 1),
+           |s AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+           |  list_sum(list_sort(list(sx))) AS sx,
+           |  list_sum(list_sort(list(sy))) AS sy,
+           |  list_sum(list_sort(list(sxy))) AS sxy,
+           |  list_sum(list_sort(list(sxx))) AS sxx,
+           |  list_sum(list_sort(list(syy))) AS syy FROM lvl)
+           |SELECT n, (n * sxy - sx * sy) /
+           |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           |    AS pearson_r
+           |FROM s""".stripMargin
     )
   )
 

@@ -221,6 +221,27 @@ class TextSpec extends SparkTestBase {
     assert((nInDup == 0) == (nRedundant == 0))
   }
 
+  test("quality-LM agreement equals the brute Pearson over joined signals") {
+    val sf = "/root/testdata/sf0.001"
+    val x = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val y = TextAnalysis.lmLikelihood(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ks = x.keySet intersect y.keySet
+    val n = ks.size.toDouble
+    val (sx, sy) = (ks.toSeq.map(x).sum, ks.toSeq.map(y).sum)
+    val sxy = ks.toSeq.map(k => x(k) * y(k)).sum
+    val (sxx, syy) = (ks.toSeq.map(k => x(k) * x(k)).sum,
+      ks.toSeq.map(k => y(k) * y(k)).sum)
+    val brute = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val row = TextAnalysis.qualitySignalCorrelation(spark, sf).head()
+    assert(row.getLong(0) === ks.size.toLong)
+    val r = row.getDouble(1)
+    assert(r >= -1.0 && r <= 1.0)
+    assert(math.abs(r - brute) < 1e-9) // fold order differs → tolerance
+  }
+
   test("length histogram buckets by 64 chars with exact sums") {
     val a = "x" * 10   // bucket 0
     val b = "y" * 100  // bucket 1
