@@ -679,6 +679,31 @@ object Similarity {
     * fold tree as [[labelCentroids]], and the cross-dimension sum of
     * squared differences is itself a sorted fold → the final double is
     * bit-identical across engines. */
+  /** Embedding-outlier gate: cosine of every vector to its OWN label
+    * centroid, reported per label (count, below-threshold count, worst
+    * cosine) — the mislabeled-or-garbage detector a pipeline runs
+    * before training on labeled embeddings. Centroids come from the
+    * fixed-fan-in fold tree ([[labelCentroids]] — bit-identical means),
+    * the per-vector cosine is the positional [[cosineFold]] both
+    * engines share, and the flag compare is against an exact 0.5.
+    * Scale shape: |labels|-sized centroid table broadcast into one
+    * scan; the per-label report is one count fold. */
+  def centroidOutliers(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val cvec = labelCentroids(spark, dir)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("mean")))), s => s.getField("mean")).as("cvec"))
+    emb(spark, dir).join(broadcast(cvec), "label")
+      .select(col("label"),
+        cosineFold(col("embedding"), col("cvec")).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("cos") < threshold, 1)).as("n_outliers"),
+        min(col("cos")).as("min_cos"))
+      .orderBy("label")
+  }
+
   def centroidShift(spark: SparkSession, dir: String): DataFrame = {
     def foldSum(c: Column): Column =
       aggregate(sort_array(c), lit(0.0), (s, x) => s + x)

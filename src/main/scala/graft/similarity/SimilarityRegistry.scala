@@ -63,6 +63,8 @@ object SimilarityRegistry {
     queries = Map(
       "sim_norms" -> ((s, d) => Similarity.norms(s, d)),
       "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+      "sim_centroid_outliers" -> ((s, d) =>
+        Similarity.centroidOutliers(s, d)),
       "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, SeedVec)),
       "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
       "sim_dup_clusters" -> ((s, d) => Similarity.dupClusters(s, d)),
@@ -98,6 +100,30 @@ object SimilarityRegistry {
           |  list_sum(list_sort(list(ps))) / sum(c) AS mean
           |FROM l1 GROUP BY label, dim
           |ORDER BY label, dim""".stripMargin,
+      // Same fold tree as the centroids; the per-vector cosine is the
+      // positional dot both engines share, the flag an exact 0.5.
+      "sim_centroid_outliers" ->
+        s"""WITH u AS (SELECT vec_id, label, unnest(embedding) AS x,
+           |  unnest(generate_series(1, len(embedding))) AS ord
+           |FROM embeddings),
+           |l0 AS (SELECT label, ord - 1 AS dim, vec_id // 32 AS chunk,
+           |  list_sum(list_sort(list(CAST(x AS DOUBLE)))) AS ps, count(*) AS c
+           |FROM u GROUP BY 1, 2, 3),
+           |l1 AS (SELECT label, dim, chunk // 32 AS chunk,
+           |  list_sum(list_sort(list(ps))) AS ps, sum(c) AS c
+           |FROM l0 GROUP BY 1, 2, 3),
+           |m AS (SELECT label, dim,
+           |  list_sum(list_sort(list(ps))) / sum(c) AS mean
+           |FROM l1 GROUP BY label, dim),
+           |cv AS (SELECT label, list(mean ORDER BY dim) AS cvec
+           |  FROM m GROUP BY label),
+           |cs AS (SELECT e.label, ${cosSql("e.embedding", "cv.cvec")} AS cos
+           |  FROM embeddings e JOIN cv USING (label))
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           |  CAST(count(CASE WHEN cos < 0.5 THEN 1 END) AS BIGINT)
+           |    AS n_outliers,
+           |  min(cos) AS min_cos
+           |FROM cs GROUP BY label ORDER BY label""".stripMargin,
       // Both halves run the same fold tree; the cross-dim Σdiff² is a
       // sorted fold too, so the final sqrt is bit-identical.
       "sim_centroid_shift" ->

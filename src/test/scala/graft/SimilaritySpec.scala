@@ -135,6 +135,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(l0.length > 1)
   }
 
+  test("centroid outliers: brute parity on counts and the worst cosine") {
+    val cents = Similarity.labelCentroids(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).foldLeft(0.0)(_ + _)
+      val na = a.map(x => x * x).foldLeft(0.0)(_ + _)
+      val nb = b.map(x => x * x).foldLeft(0.0)(_ + _)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = emb.groupBy(_._1).map { case (label, vs) =>
+      val c = vs.head._2.indices.map(d => cents((label, d))).toArray
+      val coss = vs.map(v => cos(v._2, c))
+      label -> (vs.length.toLong, coss.count(_ < 0.5).toLong, coss.min)
+    }
+    val got = Similarity.centroidOutliers(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === brute.keySet)
+    for ((label, (n, out, mn)) <- brute) {
+      assert(got(label)._1 === n)
+      assert(got(label)._2 === out, s"label $label outlier count")
+      assert(math.abs(got(label)._3 - mn) < 1e-9)
+    }
+  }
+
   test("centroid shift: matches the brute half-split L2 within fp error") {
     val rows = Similarity.centroidShift(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
