@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -361,5 +362,104 @@ object Curation {
           .join(victims, col("user_id") === col("uid"), "left"),
         col("uid")))
       .orderBy("tbl")
+  }
+
+  /** Micro-unit quality per doc (round(·,6)·10⁶ is integer-valued — the
+    * sourceMixReport convention), the shared input of the drift gates. */
+  private def qualityMicro(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
+
+  /** Train-vs-test drift gate: the exact two-sample Kolmogorov–Smirnov
+    * statistic over the quality distribution of the deterministic
+    * splits. D = max_x |F_train(x) − F_test(x)| computed as an exact
+    * integer numerator max|cum_tr·M − cum_te·N| (no float until the one
+    * final division), so the row is bit-identical in the oracle. The
+    * cumulative window is global but BOUNDED: it runs over the distinct
+    * micro-unit quality values, a domain of at most 10⁶+1 rows whatever
+    * the corpus size — the per-doc work (split hash, histogram) is the
+    * distributed part. Exact up to ~3·10⁹ docs per split (the int64
+    * cross-product bound); beyond that the numerator needs a decimal
+    * widening. */
+  def splitDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val s = qualityMicro(spark, dir)
+      .withColumn("split", splitOf(col("doc_id")))
+      .filter(col("split").isin("train", "test"))
+    val hist = s.groupBy("q6").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+    val w = Window.orderBy("q6")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(
+      sum("tr").over(w).as("ctr"), sum("te").over(w).as("cte"))
+    val tot = s.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy("n_train", "n_test")
+      .agg(max(abs(col("ctr") * col("n_test") - col("cte") * col("n_train")))
+        .as("ks_num"))
+      .select(col("n_train"), col("n_test"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_train") * col("n_test")).cast("double")).as("ks"))
+  }
+
+  /** Per-source distribution-drift gate: total-variation distance
+    * between each source's quality-decile histogram and the rest of the
+    * corpus — TV = ½ Σ_d |n_sd/N_s − rest_d/N_rest|. Counts stay exact
+    * integers; the ten per-bin fractions are two divisions each and the
+    * ½-sum folds them through the canonical sorted fold, so the double
+    * is bit-identical in the oracle. Bins are DENSE (a source absent
+    * from a decile still pays |0 − rest share|) via a sources×10 frame
+    * that is broadcast-sized at any corpus scale. */
+  def sourceDriftTv(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents").select("doc_id", "source")
+      .join(qualityMicro(spark, dir), "doc_id")
+      .select(col("source"),
+        least(expr("q6 div 100000"), lit(9L)).as("dc"))
+    val counts = d.groupBy("source", "dc").agg(count(lit(1)).as("n_sd"))
+    val dense = d.select("source").distinct()
+      .crossJoin(spark.range(10).select(col("id").as("dc")))
+      .join(counts, Seq("source", "dc"), "left")
+      .na.fill(0L, Seq("n_sd"))
+    val decTot = d.groupBy("dc").agg(count(lit(1)).as("n_d"))
+    val srcTot = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    dense
+      .join(broadcast(decTot), Seq("dc"), "left").na.fill(0L, Seq("n_d"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        abs(col("n_sd").cast("double") / col("n_s") -
+          (col("n_d") - col("n_sd")).cast("double") / (col("n") - col("n_s")))
+          .as("xd"))
+      .groupBy("source", "n_s")
+      .agg((aggregate(sort_array(collect_list(col("xd"))), lit(0.0),
+        (acc, v) => acc + v) * lit(0.5)).as("tv"))
+      .select(col("source"), col("n_s").as("n_docs"), col("tv"))
+      .orderBy("source")
+  }
+
+  /** Semantic train/test contamination: a test-split vector with a
+    * verified SRP-LSH near-duplicate in the train split is a leaked
+    * evaluation item the text-fingerprint decontamination gate cannot
+    * see (paraphrases share no 8-token window). Reads the same memoized
+    * verified pair relation as the dedup tier — banded bucket join,
+    * never candidate×candidate — and classifies both endpoints with the
+    * deterministic split hash, so the whole gate adds only a hash
+    * filter and a per-test-vec fold on top of work already paid. */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.similarity.Similarity.verifiedPairs(spark, dir)
+    val sym = p.unionByName(
+      p.select(col("d2").as("d1"), col("d1").as("d2"), col("cos")))
+    sym
+      .filter(splitOf(col("d1")) === "test" &&
+        splitOf(col("d2")) === "train")
+      .groupBy(col("d1"))
+      .agg(count(lit(1)).as("n_train_dups"), max(col("cos")).as("max_cos"))
+      .select(col("d1").as("test_vec_id"), col("n_train_dups"),
+        col("max_cos"))
+      .orderBy("test_vec_id")
   }
 }

@@ -12,16 +12,36 @@ object CurationRegistry {
   private def digitSql(h: String, p: Int): String =
     s"(ascii(substring($h,$p,1)) - CASE WHEN ascii(substring($h,$p,1)) >= 97 THEN 87 ELSE 48 END)"
 
-  /** Twin of Curation.hashBucket over md5(CAST(doc_id AS VARCHAR)). */
-  private val BucketSql = {
-    val h = "md5(CAST(doc_id AS VARCHAR))"
+  /** Twin of Curation.hashBucket over md5(CAST(key AS VARCHAR)). */
+  private def bucketSqlOf(key: String): String = {
+    val h = s"md5(CAST($key AS VARCHAR))"
     (0 until 4).map(i => s"${digitSql(h, i + 1)} * ${1 << (4 * (3 - i))}")
       .mkString("(", " + ", ") % 100")
   }
 
+  private val BucketSql = bucketSqlOf("doc_id")
+
+  /** Twin of Curation.splitOf over an arbitrary key expression. */
+  private def splitSqlOf(key: String): String =
+    s"CASE WHEN ${bucketSqlOf(key)} < 80 THEN 'train' " +
+      s"WHEN ${bucketSqlOf(key)} < 90 THEN 'val' ELSE 'test' END"
+
   private val SplitSql =
     s"""CASE WHEN $BucketSql < 80 THEN 'train'
        |     WHEN $BucketSql < 90 THEN 'val' ELSE 'test' END""".stripMargin
+
+  /** Shared micro-unit quality CTEs (`q6t(doc_id, q6)`) — the
+    * source_mix_report convention hoisted for the drift gates. */
+  private val Q6Ctes =
+    s"""q AS (SELECT doc_id, len($Toks) AS n_tokens,
+       |  len(list_filter($Toks,
+       |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS stop_hits
+       |FROM documents),
+       |q6t AS (SELECT doc_id,
+       |  CAST(round(round(least(n_tokens / 100.0, 1.0) *
+       |    (1.0 - stop_hits * 1.0 / n_tokens), 6) * 1000000.0) AS BIGINT)
+       |    AS q6
+       |FROM q)""".stripMargin
 
   val registry: Registry = Registry(
     queries = Map(
@@ -40,7 +60,10 @@ object CurationRegistry {
       "packing_report" -> ((s, d) => Curation.packingReport(s, d)),
       "pack_assignments" -> ((s, d) => Curation.packAssignments(s, d)),
       "quality_floor_calibration" -> ((s, d) =>
-        Curation.qualityFloorCalibration(s, d))
+        Curation.qualityFloorCalibration(s, d)),
+      "drift_split_ks" -> ((s, d) => Curation.splitDriftKs(s, d)),
+      "drift_source_tv" -> ((s, d) => Curation.sourceDriftTv(s, d)),
+      "split_contamination" -> ((s, d) => Curation.splitContamination(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -175,6 +198,86 @@ object CurationRegistry {
            |  SELECT 90, quality FROM r, n
            |    WHERE rk = CAST(ceil(c * 90 / 100.0) AS BIGINT)
            |) ORDER BY keep_pct""".stripMargin,
+      // Exact two-sample KS: integer cross-product numerator (the
+      // hourly_count_anomalies convention — no float before the single
+      // final division), cumulative counts over the bounded micro-unit
+      // quality domain.
+      "drift_split_ks" ->
+        s"""WITH $Q6Ctes,
+           |s AS (SELECT q6, $SplitSql AS split FROM q6t),
+           |f AS (SELECT q6, split FROM s WHERE split IN ('train', 'test')),
+           |h AS (SELECT q6,
+           |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS tr,
+           |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS te
+           |  FROM f GROUP BY q6),
+           |c AS (SELECT
+           |  CAST(sum(tr) OVER (ORDER BY q6
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS ctr,
+           |  CAST(sum(te) OVER (ORDER BY q6
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cte
+           |  FROM h),
+           |t AS (SELECT
+           |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_train,
+           |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_test
+           |  FROM f)
+           |SELECT n_train, n_test,
+           |  CAST(max(abs(ctr * n_test - cte * n_train)) AS BIGINT) AS ks_num,
+           |  CAST(max(abs(ctr * n_test - cte * n_train)) AS DOUBLE)
+           |    / (n_train * n_test) AS ks
+           |FROM c, t GROUP BY n_train, n_test""".stripMargin,
+      // Per-source total-variation distance vs the rest of the corpus:
+      // exact integer decile counts, two divisions per bin, ½-sum via
+      // the canonical sorted fold; bins DENSE through the sources×10
+      // cross join.
+      "drift_source_tv" ->
+        s"""WITH $Q6Ctes,
+           |d AS (SELECT doc.source, least(q6 // 100000, 9) AS dc
+           |  FROM documents doc JOIN q6t USING (doc_id)),
+           |srcs AS (SELECT DISTINCT source FROM d),
+           |bins AS (SELECT unnest(generate_series(0, 9)) AS dc),
+           |cnt AS (SELECT source, dc, CAST(count(*) AS BIGINT) AS n_sd
+           |  FROM d GROUP BY 1, 2),
+           |fl AS (SELECT s.source, b.dc, coalesce(c.n_sd, 0) AS n_sd
+           |  FROM srcs s CROSS JOIN bins b
+           |  LEFT JOIN cnt c ON c.source = s.source AND c.dc = b.dc),
+           |dt AS (SELECT dc, CAST(count(*) AS BIGINT) AS n_d
+           |  FROM d GROUP BY 1),
+           |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           |  FROM d GROUP BY 1),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+           |x AS (SELECT f.source, st.n_s,
+           |    abs(CAST(f.n_sd AS DOUBLE) / st.n_s
+           |      - CAST(coalesce(dt.n_d, 0) - f.n_sd AS DOUBLE)
+           |        / (t.n - st.n_s)) AS xd
+           |  FROM fl f JOIN st USING (source)
+           |  LEFT JOIN dt ON dt.dc = f.dc CROSS JOIN t)
+           |SELECT source, n_s AS n_docs,
+           |  list_sum(list_sort(list(xd))) * 0.5 AS tv
+           |FROM x GROUP BY source, n_s ORDER BY source""".stripMargin,
+      // Semantic leakage across the deterministic splits: the
+      // SimilarityRegistry pair CTEs (signatures → bands → verified
+      // pairs at 0.4) symmetrized, endpoints classified by the split
+      // hash over vec_id.
+      "split_contamination" -> {
+        s"""WITH ${graft.similarity.SimilarityRegistry.PairCtes},
+           |pv AS (SELECT p.d1, p.d2, v.cos FROM pairs p
+           |  JOIN ver v ON v.d1 = p.d1 AND v.d2 = p.d2),
+           |sym AS (SELECT d1, d2, cos FROM pv
+           |  UNION ALL SELECT d2 AS d1, d1 AS d2, cos FROM pv),
+           |hits AS (SELECT d1, d2, cos FROM sym
+           |  WHERE ${splitSqlOf("d1")} = 'test'
+           |    AND ${splitSqlOf("d2")} = 'train')
+           |SELECT d1 AS test_vec_id,
+           |  CAST(count(*) AS BIGINT) AS n_train_dups,
+           |  max(cos) AS max_cos
+           |FROM hits GROUP BY d1 ORDER BY test_vec_id""".stripMargin
+      },
       // The full release gate: curate_corpus's three text gates + the
       // near-dup representative drop (SimilarityRegistry's assignment
       // propagation, vec_id ↔ doc_id) + the contamination gate

@@ -140,6 +140,12 @@ object Similarity {
                   threshold: Double = 0.4): DataFrame =
     srpLshPairsCore(spark, dir, threshold).orderBy("d1", "d2")
 
+  /** Unsorted verified pair relation (d1, d2, cos) at the default
+    * threshold — the cross-tier read surface (split-contamination gate
+    * in [[graft.pipeline.Curation]]). */
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    srpLshPairsCore(spark, dir, 0.4)
+
   /** Unsorted verified pair relation, memoized + persisted: the pairs
     * row and the cluster row both read it (sort only at the boundary). */
   private def srpLshPairsCore(spark: SparkSession, dir: String,

@@ -243,4 +243,75 @@ class CurationSpec extends SparkTestBase {
       }
     }
   }
+
+  test("split drift KS equals the brute-force exact ECDF max difference") {
+    import org.apache.spark.sql.functions._
+    val row = Curation.splitDriftKs(spark, dir).collect().head
+    val q = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select(round(col("quality") * lit(1000000.0)).cast("long").as("q6"),
+        Curation.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tr = q.filter(_._2 == "train").map(_._1)
+    val te = q.filter(_._2 == "test").map(_._1)
+    val (n, m) = (tr.length.toLong, te.length.toLong)
+    val ksNum = (tr ++ te).distinct.map { x =>
+      math.abs(tr.count(_ <= x) * m - te.count(_ <= x) * n)
+    }.max
+    assert(row.getLong(0) == n && row.getLong(1) == m)
+    assert(row.getLong(2) == ksNum)
+    assert(row.getDouble(3) == ksNum.toDouble / (n * m))
+  }
+
+  test("source drift TV: bounded in [0,1], exact brute parity per source") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.sourceDriftTv(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    val q6 = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.round(
+          col("quality") * org.apache.spark.sql.functions.lit(1000000.0))
+          .cast("long").as("q6")).collect()
+      .map(r => (r.getLong(0), math.min(r.getLong(1) / 100000L, 9L))).toMap
+    val byDoc = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getString(1), q6(r.getLong(0))))
+    val nAll = byDoc.length.toLong
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = byDoc.filter(_._1 == src)
+      val nS = mine.length.toLong
+      assert(r.getLong(1) == nS)
+      val xds = (0L to 9L).map { d =>
+        val nSd = mine.count(_._2 == d).toLong
+        val rest = byDoc.count(_._2 == d).toLong - nSd
+        math.abs(nSd.toDouble / nS - rest.toDouble / (nAll - nS))
+      }
+      assert(r.getDouble(2) == xds.sorted.foldLeft(0.0)(_ + _) * 0.5)
+    }
+  }
+
+  test("split contamination rows are exactly the verified cross-split pairs") {
+    def bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.take(4), 16) % 100
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val pairs = graft.similarity.Similarity.verifiedPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs ++ pairs.map { case (a, b, c) => (b, a, c) }
+    val expect = sym
+      .filter { case (a, b, _) => split(a) == "test" && split(b) == "train" }
+      .groupBy(_._1).view
+      .mapValues(ps => (ps.length.toLong, ps.map(_._3).max)).toMap
+    val got = Curation.splitContamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty) // the sf0.01 fixture has real cross-split dups
+  }
 }
