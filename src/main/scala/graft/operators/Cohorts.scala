@@ -161,4 +161,31 @@ object Cohorts {
           .as("m_score"))
       .orderBy("custkey")
   }
+
+  /** Temporal concept-drift monitor: each event type's share of traffic
+    * in the early vs the late half of the stream (midpoint of the
+    * observed time range), with the absolute share difference per type —
+    * the table a pipeline watches to catch a source whose behavior mix
+    * shifts under it. The half boundary is the exact integer test
+    * us·2 < lo+hi (no division, no rounding rule to match); counts stay
+    * integers until the two final share divisions. One scan plus a
+    * 1-row broadcast of the range; the per-type relation is bounded by
+    * the type vocabulary. */
+  def eventTypeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(lower(col("event_type")).as("et"),
+        unix_micros(col("ts")).as("us"))
+    val mm = ev.agg(min("us").as("lo"), max("us").as("hi"))
+    val perType = ev.crossJoin(broadcast(mm))
+      .select(col("et"), (col("us") * 2 < col("lo") + col("hi")).as("early"))
+      .groupBy("et").agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+    val tot = perType.agg(sum("n_early").as("ne"), sum("n_late").as("nl"))
+    perType.crossJoin(broadcast(tot))
+      .select(col("et"), col("n_early"), col("n_late"),
+        abs(col("n_early").cast("double") / col("ne") -
+          col("n_late").cast("double") / col("nl")).as("share_diff"))
+      .orderBy("et")
+  }
 }

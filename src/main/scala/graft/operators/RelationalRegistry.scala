@@ -72,6 +72,7 @@ object RelationalRegistry {
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
       "hourly_count_anomalies" -> ((s, d) =>
         Cohorts.hourlyCountAnomalies(s, d)),
+      "event_type_drift" -> ((s, d) => Cohorts.eventTypeDrift(s, d)),
       "incremental_agg_merge" -> ((s, d) =>
         Relational.incrementalAggMerge(s, d)),
       "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
@@ -421,6 +422,25 @@ object RelationalRegistry {
            |SELECT c.et, hr, x FROM c JOIN s ON c.et = s.et
            |WHERE (n * x - s.s) * (n * x - s.s) > 9 * (n * q - s.s * s.s)
            |ORDER BY c.et, hr""".stripMargin,
+      // Early/late half boundary via the exact integer test us·2 < lo+hi
+      // (no division to round); the two share divisions are the only
+      // floats.
+      "event_type_drift" ->
+        """WITH ev AS (SELECT lower(event_type) AS et,
+          |    epoch_ns(ts) // 1000 AS us FROM events),
+          |mm AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+          |pt AS (SELECT et,
+          |  CAST(sum(CASE WHEN us * 2 < lo + hi THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_early,
+          |  CAST(sum(CASE WHEN us * 2 < lo + hi THEN 0 ELSE 1 END)
+          |    AS BIGINT) AS n_late
+          |  FROM ev, mm GROUP BY et),
+          |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS ne,
+          |  CAST(sum(n_late) AS BIGINT) AS nl FROM pt)
+          |SELECT et, n_early, n_late,
+          |  abs(CAST(n_early AS DOUBLE) / ne - CAST(n_late AS DOUBLE) / nl)
+          |    AS share_diff
+          |FROM pt, t ORDER BY et""".stripMargin,
       // Observed-pair audience overlap; the one double division is
       // engine-portable.
       "audience_overlap" ->

@@ -140,6 +140,27 @@ object Similarity {
                   threshold: Double = 0.4): DataFrame =
     srpLshPairsCore(spark, dir, threshold).orderBy("d1", "d2")
 
+  /** Vector-coverage audit: per source, how many documents carry an
+    * embedding (vec_id keys doc_id; at some SFs only a prefix of docs
+    * has a vector — FIXTURES.md §1). The completeness gate a pipeline
+    * checks before trusting ANN-side dedup or retrieval over a corpus
+    * slice: a source at 40% coverage silently escapes semantic dedup.
+    * One doc_id-keyed left join (shuffle-hash on the key at corpus
+    * scale), exact counts, one final division. */
+  def vectorCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val vecs = emb(spark, dir).select(col("vec_id").as("doc_id"))
+    docs.join(vecs, Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_with_vec"))
+      .join(docs.groupBy("source").agg(count(lit(1)).as("n_docs")),
+        Seq("source"), "right")
+      .na.fill(0L, Seq("n_with_vec"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"),
+        (col("n_with_vec").cast("double") / col("n_docs")).as("coverage"))
+      .orderBy("source")
+  }
+
   /** Unsorted verified pair relation (d1, d2, cos) at the default
     * threshold — the cross-tier read surface (split-contamination gate
     * in [[graft.pipeline.Curation]]). */

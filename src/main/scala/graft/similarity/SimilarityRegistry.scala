@@ -78,12 +78,22 @@ object SimilarityRegistry {
       "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, SeedVec)),
       "sim_ann_quality" -> ((s, d) =>
         Similarity.annQualityReport(s, d, SeedVec)),
-      "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d))
+      "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
+      "emb_coverage" -> ((s, d) => Similarity.vectorCoverage(s, d))
     ),
     oracles = Map(
       "sim_norms" ->
         s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
            |FROM embeddings ORDER BY vec_id""".stripMargin,
+      // Semi-join coverage: exact counts, one final division.
+      "emb_coverage" ->
+        """WITH wv AS (SELECT doc_id FROM documents
+          |  WHERE doc_id IN (SELECT vec_id FROM embeddings))
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(w.doc_id) AS BIGINT) AS n_with_vec,
+          |  CAST(count(w.doc_id) AS DOUBLE) / count(*) AS coverage
+          |FROM documents d LEFT JOIN wv w USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin,
       // Mirrors the fixed-fan-in fold tree (Similarity.labelCentroids,
       // chunkBits 5/10): vec_id // 32 leaf chunks, // 32 merge, root fold.
       "sim_label_centroids" ->

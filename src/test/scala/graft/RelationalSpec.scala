@@ -301,4 +301,24 @@ class RelationalSpec extends SparkTestBase {
     assert(byFk("lineitem.l_orderkey->orders") ==
       Tables.load(spark, dir, "lineitem").count())
   }
+
+  test("event type drift: halves partition the stream, share diffs exact") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Cohorts.eventTypeDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, dir, "events")
+      .select(lower(col("event_type")).as("et"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val ne = rows.map(_._2).sum
+    val nl = rows.map(_._3).sum
+    assert(ne + nl == ev.length)
+    rows.foreach { case (et, e, l, d) =>
+      val mine = ev.filter(_._1 == et)
+      assert(e == mine.count(_._2 * 2 < lo + hi))
+      assert(l == mine.length - e)
+      assert(d == math.abs(e.toDouble / ne - l.toDouble / nl))
+    }
+  }
 }

@@ -292,4 +292,23 @@ class SimilaritySpec extends SparkTestBase {
     // pairs are unique
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
+
+  test("vector coverage: per-source counts reconcile with a brute semi-join") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.vectorCoverage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val vecIds = Tables.load(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._2).sum == docs.length)
+    rows.foreach { case (src, n, withV, cov) =>
+      val mine = docs.filter(_._2 == src)
+      assert(n == mine.length)
+      assert(withV == mine.count(d => vecIds(d._1)))
+      assert(cov == withV.toDouble / n && cov >= 0.0 && cov <= 1.0)
+    }
+  }
 }
