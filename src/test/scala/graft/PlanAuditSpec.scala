@@ -206,4 +206,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges == 0,
       s"expected 0 exchanges under the broadcast gate, found $exchanges:\n$plan")
   }
+
+  test("drift KS windows over the bounded histogram, not per-doc rows") {
+    // The global cumulative window is scale-safe ONLY because its input
+    // is the per-q6 histogram (≤10⁶+1 rows whatever the corpus size):
+    // the single-partition exchange must sit ABOVE a hash aggregation,
+    // i.e. the distributed groupBy runs first and only the bounded
+    // domain funnels to one partition.
+    val plan = planOf("drift_split_ks")
+    val winAt = plan.indexOf("Window")
+    val spAt = plan.indexOf("Exchange SinglePartition")
+    val aggAfterSp = plan.indexOf("HashAggregate", spAt)
+    assert(winAt >= 0 && spAt > winAt && aggAfterSp > spAt,
+      s"expected Window → SinglePartition → HashAggregate(q6 histogram):\n$plan")
+  }
+
+  test("split contamination adds no second SRP scan over the pair relation") {
+    // The gate must reuse the memoized verified pair relation (one
+    // InMemory/checkpoint scan symmetrized), not rebuild the banded
+    // bucket join: no srp signature scan of the embeddings parquet may
+    // appear in its plan.
+    graft.similarity.Similarity.verifiedPairs(spark, dir).count() // warm
+    val plan = planOf("split_contamination")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"quadratic shape:\n$plan")
+    // The printed InMemoryRelation embeds its cached BUILD plan (which
+    // legitimately scans parquet); the executable region is everything
+    // above the first InMemoryRelation marker.
+    assert(plan.contains("InMemoryTableScan"),
+      s"pair relation not read from the memoized cache:\n$plan")
+    val live = plan.take(math.max(plan.indexOf("InMemoryRelation"), 0))
+    assert(!live.contains("Scan parquet"),
+      s"live region rebuilds the pair relation from parquet:\n$live")
+  }
 }
