@@ -68,6 +68,29 @@ object Dedup {
       .select("keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
 
+  /** Normalization-dedup report: how much content collapses when the
+    * fingerprint canonicalizes first — lowercase, every non-alphanumeric
+    * run to one space, trim — vs the raw exact fingerprint. The standard
+    * pass a pipeline runs before near-dup detection (exact() alone
+    * misses "Hello,  world!" vs "hello world"); n_merged quantifies the
+    * punctuation/casing duplicate mass. One scan, one multi-distinct
+    * aggregation (a single Expand, plan-audited for the stats tier); the
+    * regex class [^a-z0-9]+ means the same thing to Java regex and RE2,
+    * so the fingerprints are engine-portable. */
+  def normalizedDedupReport(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupReportOf(Tables.load(spark, dir, "documents"))
+
+  def normalizedDedupReportOf(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(lower(trim(col("text")))).as("e"),
+        md5(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " "))).as("nrm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("e")).as("n_exact"),
+        countDistinct(col("nrm")).as("n_normalized"))
+      .select(col("n_docs"), col("n_exact"), col("n_normalized"),
+        (col("n_exact") - col("n_normalized")).as("n_merged"))
+
   /** Token-set dedup: same distinct token multiset-insensitive content
     * (sorted distinct tokens) — catches shuffled word order. Emits only
     * groups with >1 member. */

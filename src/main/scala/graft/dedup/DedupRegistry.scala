@@ -128,13 +128,27 @@ object DedupRegistry {
       "dedup_near_contamination" -> ((s, d) => Dedup.nearContamination(s, d)),
       "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
       "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
-      "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d))
+      "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
+      "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d))
     ),
     oracles = Map(
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(lower(trim(text)))
           |ORDER BY keep_doc_id""".stripMargin,
+      // regexp_replace is global in DuckDB only with 'g'; the class
+      // [^a-z0-9]+ is identical in Java regex and RE2.
+      "dedup_normalized" ->
+        """WITH f AS (SELECT md5(lower(trim(text))) AS e,
+          |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+          |    AS nrm
+          |FROM documents)
+          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT e) AS BIGINT) AS n_exact,
+          |  CAST(count(DISTINCT nrm) AS BIGINT) AS n_normalized,
+          |  CAST(count(DISTINCT e) - count(DISTINCT nrm) AS BIGINT)
+          |    AS n_merged
+          |FROM f""".stripMargin,
       "dedup_token_set" ->
         s"""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
            |FROM documents

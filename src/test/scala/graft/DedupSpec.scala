@@ -153,4 +153,23 @@ class DedupSpec extends SparkTestBase {
       .filter(_._2 > 1).toMap
     assert(clusters == expect)
   }
+
+  test("normalized dedup merges casing/punct/whitespace variants only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,  world!"), (2L, "hello world"), (3L, "HELLO WORLD"),
+      (4L, "a distinct text"), (5L, "a distinct text"), // exact dups
+      (6L, "another one")
+    ).toDF("doc_id", "text")
+    val r = Dedup.normalizedDedupReportOf(docs).collect().head
+    assert(r.getLong(0) == 6)
+    // exact already lowercases: {1},{2,3},{4,5},{6} → 4; the
+    // normalization pass additionally strips punctuation and collapses
+    // whitespace, merging 1 into {1,2,3} → 3
+    assert(r.getLong(1) == 4 && r.getLong(2) == 3 && r.getLong(3) == 1)
+    // the fixture report reconciles: n_merged = n_exact - n_normalized
+    val f = Dedup.normalizedDedupReport(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(f.getLong(3) == f.getLong(1) - f.getLong(2) && f.getLong(3) >= 0)
+  }
 }
