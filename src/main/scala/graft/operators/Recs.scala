@@ -268,4 +268,57 @@ object Recs {
       .orderBy(desc("rrf_score"), asc("product_id"))
       .limit(k)
   }
+
+  /** Deterministic negative sampling — the contrastive-pair generator a
+    * two-tower / ranking trainer runs over the interaction log: for
+    * every customer, `k` popular products they did NOT purchase.
+    * Popularity-biased negatives (vs uniform) are the standard hard-ish
+    * negative scheme: a never-bought popular item is informative, a
+    * never-bought obscure item is noise. "Sampling" is a hash order —
+    * row_number over md5(custkey:product) — so the draw is uniform-ish
+    * per customer yet exactly reproducible on both engines (no RNG to
+    * disagree about).
+    *
+    * Scale shape: the candidate set is the top-`nCand` products by
+    * distinct-order count — a bounded broadcast, like every seed side
+    * here. Purchases are pruned to candidate products BEFORE the
+    * anti-join (broadcast semi-join on the fact table's scan), so the
+    * anti-join right side is ≤ nCand rows per customer, never the full
+    * interaction log. Everything downstream is linear in
+    * |customers|·nCand: one anti-join shuffle keyed (custkey, product)
+    * and one per-customer rank window keyed custkey, both over that
+    * bounded relation. No cross join with the catalog, no RNG, no
+    * driver-side sampling. */
+  def negativeSamples(spark: SparkSession, dir: String, nCand: Int = 50,
+                      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = rawItems(spark, dir)
+    // Eagerly pinned: the frame feeds TWO subtrees (the candidate cross
+    // join and the purchase prune) and Catalyst does not dedupe common
+    // subplans — without the checkpoint the popularity agg would scan
+    // the fact table twice.
+    val pop = li.groupBy("product_id")
+      .agg(countDistinct(col("order_id")).as("n_orders"))
+      .orderBy(desc("n_orders"), asc("product_id")).limit(nCand)
+      .localCheckpoint(true)
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("custkey"))
+    val purchased = li
+      .join(broadcast(pop.select("product_id")), "product_id")
+      .join(orders, "order_id")
+      .select("custkey", "product_id").distinct()
+    val customers = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"))
+    val hash = md5(concat(col("custkey").cast("string"), lit(":"),
+      col("product_id").cast("string")))
+    customers.crossJoin(broadcast(pop))
+      .join(purchased, Seq("custkey", "product_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("custkey").orderBy(hash.asc,
+          col("product_id").asc)).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select("custkey", "product_id", "n_orders", "neg_rank")
+      .orderBy("custkey", "neg_rank")
+  }
 }

@@ -18,7 +18,8 @@ object RecsRegistry {
       "rec_customer_category" -> ((s, d) =>
         Recs.customerCategoryRecs(s, d, SeedCust)),
       "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart)),
-      "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d))
+      "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d)),
+      "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d))
     ),
     oracles = Map(
       "rec_cooccurrence" ->
@@ -68,6 +69,34 @@ object RecsRegistry {
            |FROM cor FULL OUTER JOIN catr USING (product_id)
            |ORDER BY rrf_score DESC, product_id
            |LIMIT 10""".stripMargin,
+      // Hash-ordered negative sampling: top-50 products by distinct-
+      // order count, per-customer md5(custkey:product) rank over the
+      // non-purchased ones, k=3. md5 hex is lowercase on both engines;
+      // row_number/count casts align the integer widths.
+      "rec_negative_samples" ->
+        """WITH items AS (SELECT DISTINCT l_orderkey AS order_id,
+          |    l_partkey AS product_id FROM lineitem),
+          |pop AS (SELECT product_id,
+          |    CAST(count(*) AS BIGINT) AS n_orders
+          |  FROM items GROUP BY 1
+          |  ORDER BY n_orders DESC, product_id ASC LIMIT 50),
+          |pur AS (SELECT DISTINCT o.o_custkey AS custkey,
+          |    i.product_id
+          |  FROM items i
+          |  JOIN pop USING (product_id)
+          |  JOIN orders o ON o.o_orderkey = i.order_id),
+          |cand AS (SELECT c.c_custkey AS custkey, p.product_id,
+          |    p.n_orders
+          |  FROM customer c CROSS JOIN pop p),
+          |neg AS (SELECT custkey, product_id, n_orders,
+          |    CAST(row_number() OVER (PARTITION BY custkey
+          |      ORDER BY md5(CAST(custkey AS VARCHAR) || ':' ||
+          |        CAST(product_id AS VARCHAR)), product_id)
+          |      AS BIGINT) AS neg_rank
+          |  FROM cand ANTI JOIN pur USING (custkey, product_id))
+          |SELECT custkey, product_id, n_orders, neg_rank FROM neg
+          |WHERE neg_rank <= 3
+          |ORDER BY custkey, neg_rank""".stripMargin,
       // Session co-visitation: the stream_sessions sessionization CTEs
       // (same gap rule and tie-break), distinct per-session view items,
       // cap-bounded pair self-join. Window sum is HUGEINT → cast back.

@@ -613,6 +613,56 @@ object TextAnalysis {
         col("n_in_dup_groups"))
   }
 
+  /** Cross-document repeated-passage detection: slide a `w`-token
+    * window at stride `s` over every document and surface passages that
+    * appear in ≥2 DISTINCT documents — the passage-granularity
+    * boilerplate detector. Overlapping windows (s < w) catch a shared
+    * passage whenever its occurrences sit at offsets congruent mod `s`
+    * — always true for cloned templates (same position in every page)
+    * and 1/s-recall for arbitrarily shifted repeats; s=1 is the
+    * exhaustive setting at w× exploded width. The fixed-chunk stream of
+    * [[chunkDedupReport]] only catches chunk-aligned repeats, and
+    * [[boilerplatePrefixes]] only position-0 templates — this covers
+    * footers, injected license blocks, navigation snippets sitting
+    * mid-document. Cross-doc only: within-doc repetition is
+    * [[repetitionOf]]'s signal, so occurrences are counted but the ≥2
+    * gate is on distinct doc_ids. Docs shorter than `w` are skipped — a
+    * partial window is not passage evidence (the [[boilerplatePrefixes]]
+    * stance).
+    *
+    * Scale shape: one codegen'd scan explodes ≈ n_tokens/s windows per
+    * doc; the single shuffle groups by the w-token-bounded passage
+    * string with map-side partial aggregation soaking up within-
+    * partition repeats. No pairwise comparison anywhere — cost is
+    * linear in corpus tokens at any scale, ~w/s× the raw token stream
+    * in exploded width. Top-k compiles to TakeOrderedAndProject. */
+  def repeatedPassages(spark: SparkSession, dir: String, w: Int = 16,
+                       s: Int = 4, k: Int = 20): DataFrame =
+    repeatedPassagesOf(Tables.load(spark, dir, "documents"), w, s, k)
+
+  /** Core over any frame with doc_id + text columns — fixture entry. */
+  def repeatedPassagesOf(docs: DataFrame, w: Int, s: Int,
+                         k: Int): DataFrame = {
+    require(w > 0 && s > 0 && s <= w)
+    // Last window start via exact integer division — n ≥ w is already
+    // filtered, so (n − w) div s is non-negative on both engines.
+    val lastIx = expr(s"CAST((n - $w) div $s AS INT)")
+    docs.select(col("doc_id"), tokens.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lastIx),
+          i => array_join(slice(col("toks"), i * s + 1, lit(w)), " ")))
+          .as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), asc("passage"))
+      .limit(k)
+  }
+
   /** Quality-signal agreement: exact Pearson correlation between the
     * heuristic quality score and the corpus-LM mean bigram likelihood —
     * the sanity check a curation pipeline runs before blending or

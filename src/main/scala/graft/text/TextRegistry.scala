@@ -50,6 +50,8 @@ object TextRegistry {
         TextAnalysis.boilerplatePrefixes(s, d)),
       "text_chunk_dedup_report" -> ((s, d) =>
         TextAnalysis.chunkDedupReport(s, d)),
+      "text_repeated_passages" -> ((s, d) =>
+        TextAnalysis.repeatedPassages(s, d)),
       "text_quality_lm_agreement" -> ((s, d) =>
         TextAnalysis.qualitySignalCorrelation(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
@@ -333,6 +335,25 @@ object TextRegistry {
            |  min(doc_id) AS example_doc
            |FROM p GROUP BY prefix HAVING count(*) >= 2
            |ORDER BY n_docs DESC, prefix ASC LIMIT 20""".stripMargin,
+      // Sliding 16-token windows at stride 4; the ≥2 gate is on
+      // DISTINCT docs (cross-doc passages only), counts cast off
+      // HUGEINT; passage is the group key so the order is total.
+      "text_repeated_passages" ->
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d
+           |  WHERE len(toks) >= 16),
+           |w AS (SELECT doc_id, toks,
+           |    unnest(generate_series(0, (n - 16) // 4)) AS i
+           |  FROM dd),
+           |p AS (SELECT doc_id,
+           |  array_to_string(toks[i * 4 + 1 : i * 4 + 16], ' ') AS passage
+           |  FROM w)
+           |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occurrences,
+           |  min(doc_id) AS example_doc
+           |FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
+           |LIMIT 20""".stripMargin,
       // Chunk-stream duplication over the same 64/48 chunker; every
       // aggregate cast off HUGEINT, the fraction one exact-int division.
       "text_chunk_dedup_report" ->

@@ -65,6 +65,42 @@ class RecsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((12L, 3.0, "co-occurrence")))
   }
 
+  test("negative sampling: candidates minus purchases, hand-checkable") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-neg").toString
+    Seq(1L, 2L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    // Popularity by distinct orders: P2:3, P1:1, P3:1.
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = Recs.negativeSamples(spark, d, nCand = 3, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // C1 bought {P1,P2} → only negative is P3; C2 bought {P2,P3} → P1.
+    assert(rows.toSeq == Seq((1L, 3L, 1L, 1L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("negative sampling invariants at sf0.001: no purchased pair, " +
+    "ranks contiguous from 1, ≤k per customer") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val neg = Recs.negativeSamples(spark, sf)
+    val pur = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("order_id"),
+        col("l_partkey").as("product_id"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey").as("order_id"),
+          col("o_custkey").as("custkey")), "order_id")
+      .select("custkey", "product_id").distinct()
+    assert(neg.join(pur, Seq("custkey", "product_id")).isEmpty)
+    val bad = neg.groupBy("custkey")
+      .agg(max("neg_rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") || col("n") > 3)
+    assert(bad.isEmpty)
+  }
+
   test("rrf fusion combines both arm rankings and outranks single-arm hits") {
     val sf = "/root/testdata/sf0.001"
     val big = 1 << 30 // un-truncated arm rankings

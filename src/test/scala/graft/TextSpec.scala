@@ -207,6 +207,22 @@ class TextSpec extends SparkTestBase {
     assert(out(0).getLong(1) === 3L && out(0).getInt(2) === 1)
   }
 
+  test("repeated passages: cross-doc windows surface, within-doc and " +
+    "short docs do not") {
+    val out = TextAnalysis.repeatedPassagesOf(docs(
+      1 -> "c1 c2 c3 c4 a b",        // shared passage at offset 0
+      2 -> "x y c1 c2 c3 c4",        // same passage at offset 2 (≡ mod s)
+      3 -> "unrelated tokens entirely here now",
+      4 -> "c1 c2 c3",               // < w tokens → skipped
+      5 -> "r1 r2 r3 r4 r1 r2 r3 r4" // within-doc repeat only → gated out
+    ), w = 4, s = 2, k = 10).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "c1 c2 c3 c4")
+    assert(out(0).getLong(1) === 2L)   // distinct docs
+    assert(out(0).getLong(2) === 2L)   // occurrences
+    assert(out(0).getInt(3) === 1)     // example_doc = min
+  }
+
   test("chunk dedup report: internally consistent against the chunker") {
     val sf = "/root/testdata/sf0.001"
     val r = TextAnalysis.chunkDedupReport(spark, sf).head()
