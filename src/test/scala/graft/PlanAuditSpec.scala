@@ -239,4 +239,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!live.contains("Scan parquet"),
       s"live region rebuilds the pair relation from parquet:\n$live")
   }
+
+  test("repeated passages pre-aggregate in-partition before the shuffle") {
+    // The exploded window stream (≈ n_tokens/stride rows) must hit a
+    // partial HashAggregate INSIDE its scan partition — the shuffle then
+    // carries per-partition-distinct passages, not the raw window
+    // stream. Print order is top-down, so the deepest Exchange must have
+    // a HashAggregate and then the Generate BELOW it; top-k stays a
+    // TakeOrderedAndProject (no global sort).
+    val plan = planOf("text_repeated_passages")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrderedAndProject:\n$plan")
+    val gen = plan.lastIndexOf("Generate")
+    val ex = plan.lastIndexOf("Exchange hashpartitioning")
+    val partialAgg = plan.indexOf("HashAggregate", ex)
+    assert(gen > ex && partialAgg > ex && partialAgg < gen,
+      s"no partial aggregation between the last exchange and explode:\n$plan")
+  }
+
+  test("negative sampling broadcasts every bounded side, windows per customer") {
+    // Candidates (top-nCand popularity) cross the customer relation as a
+    // broadcast nested-loop with the BOUNDED side built — linear in
+    // |customers| — and the rank window is partitioned by custkey, never
+    // a corpus-global window.
+    val plan = planOf("rec_negative_samples")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"candidate cross join is not a bounded-build broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"purchase anti-join missing:\n$plan")
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 &&
+      plan.substring(winAt, plan.indexOf("\n", winAt)).contains("custkey"),
+      s"rank window is not partitioned by custkey:\n$plan")
+  }
 }
