@@ -18,10 +18,14 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read nanos as long and truncate to Spark's native micros.
-    // (Integer division — the ns epoch exceeds 2^53, double math would
-    // corrupt it.)
+    // events.parquet has shipped `ts` as TIMESTAMP(NANOS) (which Spark's
+    // parquet reader rejects — read nanos as long, truncate to micros with
+    // integer division; the ns epoch exceeds 2^53 so double math would
+    // corrupt it) and as un-annotated micros (which Spark reads as
+    // TIMESTAMP_NTZ). Normalize both to Spark's native instant TIMESTAMP —
+    // the session TZ is pinned UTC, so the NTZ→instant cast is
+    // value-preserving and downstream epoch math (`unix_micros`, windowed
+    // streaming) keeps one code path regardless of the file's physical type.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -30,6 +34,9 @@ object Tables {
           df.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
