@@ -324,6 +324,66 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Systematic probability-proportional-to-size sample, ~`n` picks per
+    * source, weight = n_chars + 1 (the +1 keeps empty docs selectable).
+    * The A-ES / exponential-keys formulation of weighted sampling needs
+    * `u^(1/w)` — a libm `pow`/`ln` with no cross-engine bit parity (the
+    * [[mixtureTemperature]] argument). Systematic PPS needs NO floats at
+    * all: order each source's docs by the deterministic md5 permutation,
+    * run an exact integer cumulative weight `cw`, and pick every doc
+    * whose weight interval `(cw−w, cw]` crosses a grid boundary — i.e.
+    * `(cw−w)·n div W < cw·n div W` with `W` the source's total weight.
+    * Pure int64 arithmetic (exact while `W·n < 2^63`; at corpus scale
+    * widen to decimal), each doc's pick probability ∝ its weight, and a
+    * doc heavier than `W/n` is guaranteed in (it may straddle several
+    * boundaries, so the sample size is ≤ n — PPS semantics, documented
+    * rather than papered over). One scan + one per-source window pair
+    * (single shuffle on `source`): the same plan at 100 TB, no global
+    * sort, no driver state — THE one-pass weighted subsampling shape. */
+  def weightedPpsSample(spark: SparkSession, dir: String,
+                        n: Int = 20): DataFrame = {
+    val cum = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("source")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + lit(1L)).as("w"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(whole))
+      .filter(expr(s"((cw - w) * $n) div tw") < expr(s"(cw * $n) div tw"))
+      .select(col("source"), col("doc_id"), col("w"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Per-language token-budget selection — "give each language B tokens
+    * of the best data" (the mixture-building step after quality scoring):
+    * rank docs by quality within language, admit in rank order while the
+    * running token total stays ≤ B. Quality travels as exact micro-units
+    * (the [[sourceMixReport]] convention) so the rank order and the
+    * running sum are both integer-exact — no float enters the plan.
+    * The window is partitioned by lang: the global-sort cost a single
+    * knapsack would pay never appears, and at corpus scale each language
+    * ranks in parallel (the calibration posture: an exact order
+    * statistic per GROUP, not per corpus). */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+                        budget: Long = 5000L): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
+    val win = Window.partitionBy("lang")
+      .orderBy(desc("q6"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents").select("doc_id", "lang")
+      .join(q, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("lang", "cum_tokens", "doc_id")
+  }
+
   /** Right-to-be-forgotten cascade report: a deterministic deletion
     * cohort (md5 bucket < pct of customers) propagated through every
     * table that references them — orders directly, lineitem through its

@@ -63,7 +63,9 @@ object CurationRegistry {
         Curation.qualityFloorCalibration(s, d)),
       "drift_split_ks" -> ((s, d) => Curation.splitDriftKs(s, d)),
       "drift_source_tv" -> ((s, d) => Curation.sourceDriftTv(s, d)),
-      "split_contamination" -> ((s, d) => Curation.splitContamination(s, d))
+      "split_contamination" -> ((s, d) => Curation.splitContamination(s, d)),
+      "sample_weighted_pps" -> ((s, d) => Curation.weightedPpsSample(s, d)),
+      "curate_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -323,7 +325,33 @@ object CurationRegistry {
            |$CurateSelect
            |  AND doc_id NOT IN (SELECT doc_id FROM nd_drop)
            |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n > 0)
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      // DuckDB window sum(BIGINT) is HUGEINT; cw/tw stay internal to the
+      // integer-division filter (exact in both engines), and the emitted
+      // w is cast back to BIGINT per the established convention.
+      "sample_weighted_pps" ->
+        """WITH d AS (SELECT doc_id, source, n_chars + 1 AS w,
+          |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          |c AS (SELECT doc_id, source, w,
+          |  sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+          |  sum(w) OVER (PARTITION BY source) AS tw
+          |FROM d)
+          |SELECT source, doc_id, CAST(w AS BIGINT) AS w FROM c
+          |WHERE ((cw - w) * 20) // tw < (cw * 20) // tw
+          |ORDER BY source, doc_id""".stripMargin,
+      "curate_token_budget" ->
+        s"""WITH $Q6Ctes,
+           |sel AS (SELECT d.lang, q.doc_id, q.n_tokens,
+           |  sum(q.n_tokens) OVER (PARTITION BY d.lang
+           |    ORDER BY q6t.q6 DESC, q.doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |FROM documents d JOIN q ON d.doc_id = q.doc_id
+           |                 JOIN q6t ON d.doc_id = q6t.doc_id)
+           |SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(cum AS BIGINT) AS cum_tokens
+           |FROM sel WHERE cum <= 5000
+           |ORDER BY lang, cum_tokens, doc_id""".stripMargin
     )
   )
 

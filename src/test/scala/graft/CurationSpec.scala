@@ -314,4 +314,73 @@ class CurationSpec extends SparkTestBase {
     assert(got == expect)
     assert(got.nonEmpty) // the sf0.01 fixture has real cross-split dups
   }
+
+  test("systematic PPS sample: ≤ n per source, weight-proportional, exact") {
+    import org.apache.spark.sql.functions._
+    val n = 20
+    val picked = Curation.weightedPpsSample(spark, dir, n).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(picked.nonEmpty)
+    val perSource = picked.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perSource.values.forall(_ <= n))
+    // Hand-replay one source's grid walk from the raw table: the scan
+    // order is md5(doc_id) then doc_id, cw is the inclusive running
+    // weight, and a doc is picked iff its interval crosses a boundary.
+    val src = picked.head._1
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.load(spark, dir, "documents")
+      .filter(col("source") === src)
+      .select(col("doc_id"), (col("n_chars") + lit(1L)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val tw = rows.map(_._2).sum
+    var cw = 0L
+    val expect = rows.flatMap { case (id, w) =>
+      val before = cw * n / tw
+      cw += w
+      if (cw * n / tw > before) Some(id) else None
+    }.toSet
+    assert(picked.filter(_._1 == src).map(_._2).toSet == expect)
+    // guaranteed-inclusion: any doc heavier than the grid step is picked
+    val heavy = rows.filter(_._2 > tw / n).map(_._1).toSet
+    assert(heavy.subsetOf(expect))
+    // deterministic: a rerun picks the identical sample
+    assert(Curation.weightedPpsSample(spark, dir, n).collect().toSeq ==
+      Curation.weightedPpsSample(spark, dir, n).collect().toSeq)
+  }
+
+  test("token-budget selection: per-lang budget respected, quality-greedy") {
+    val budget = 5000L
+    val rows = Curation.tokenBudgetSelect(spark, dir, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((lang, group) <- rows.groupBy(_._1)) {
+      // the running total never exceeds the budget and is consistent
+      assert(group.map(_._4).max <= budget)
+      assert(group.map(_._3).sum == group.map(_._4).max,
+        s"cum_tokens of $lang must equal the sum of admitted n_tokens")
+    }
+    // greedy by quality: every admitted doc's quality ≥ any rejected
+    // doc's quality within the same language (modulo the doc_id
+    // tie-break), checked on the micro-unit score the plan ranks by.
+    import org.apache.spark.sql.functions._
+    val q6 = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"),
+        round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langOf = Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val admitted = rows.map(_._2).toSet
+    for ((lang, group) <- rows.groupBy(_._1)) {
+      val minAdmitted = group.map(g => q6(g._2)).min
+      val rejected = langOf.collect {
+        case (id, l) if l == lang && !admitted.contains(id) => q6(id)
+      }
+      // docs strictly better than the worst admitted one are all in
+      assert(rejected.forall(_ <= minAdmitted))
+    }
+  }
 }
