@@ -60,4 +60,20 @@ object Tables {
     * `app/etl.py:46-47,65`). */
   def healthProbe(spark: SparkSession): DataFrame =
     spark.range(1).toDF("ok")
+
+  /** Round-robin spread for CPU-heavy derivations over unsplittable
+    * inputs. A single-row-group parquet file hands the WHOLE scan to one
+    * task, and whole-stage codegen then fuses every narrow step —
+    * tokenize, hash, explode, partial aggregation — into that one task:
+    * a 32-core host runs the entire map side serially (measured 3-10× on
+    * the co-purchase and SimHash families when the testdata arrived
+    * re-encoded as one row group per table). The explicit partition
+    * count keeps AQE from coalescing the spread away; the gate keeps
+    * this a no-op precisely when it would hurt — at warehouse scale the
+    * source arrives as many files/row-groups, the scan already has ≥
+    * parallelism partitions, and no extra shuffle is added. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

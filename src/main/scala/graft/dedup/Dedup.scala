@@ -48,7 +48,7 @@ object Dedup {
     * corpus. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "dedup-shingles", dir) {
-      Tables.load(spark, dir, "documents")
+      Tables.spread(spark, Tables.load(spark, dir, "documents"))
         .withColumn("toks", TextAnalysis.tokens)
         .filter(size(col("toks")) >= ShingleN)
         .select(col("doc_id"), explode(
@@ -95,7 +95,7 @@ object Dedup {
     * (sorted distinct tokens) — catches shuffled word order. Emits only
     * groups with >1 member. */
   def tokenSetDups(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.spread(spark, Tables.load(spark, dir, "documents"))
       .groupBy(md5(concat_ws(" ",
         array_sort(array_distinct(TextAnalysis.tokens)))).as("fp"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -286,7 +286,7 @@ object Dedup {
       // No orderBy here: a sort inside the persisted plan would be paid on
       // every materialization and is useless to the pair join's shuffle.
       // Consumers that need order (the registry dump) sort at the boundary.
-      Tables.load(spark, dir, "documents")
+      Tables.spread(spark, Tables.load(spark, dir, "documents"))
         .select(col("doc_id"),
           graft.functions.GraftFunctions.simHash64(TextAnalysis.tokens)
             .as("simhash"))
@@ -310,7 +310,7 @@ object Dedup {
     * vote aggregation must run once per (session, dir). */
   private def simhashesMd5Core(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "dedup-simhash-md5", dir) {
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.spread(spark, Tables.load(spark, dir, "documents"))
       val toks = docs
         .select(col("doc_id"), explode(TextAnalysis.tokens).as("t"))
         .withColumn("h", md5(col("t")))

@@ -32,7 +32,9 @@ object Recs {
     * consumers that genuinely need the full edge set (graph build,
     * all-pairs). */
   def containsEdges(spark: SparkSession, dir: String): DataFrame =
-    rawItems(spark, dir).distinct()
+    // Spread before the dedup: the distinct's map-side hash agg is the
+    // expensive half, and an unsplittable scan would run it one-task.
+    Tables.spread(spark, rawItems(spark, dir)).distinct()
 
   /** J1+A1+O1 — basket co-occurrence for a seed product, the flagship read
     * path (reference `app/main.py:51-60`):
@@ -292,7 +294,9 @@ object Recs {
   def negativeSamples(spark: SparkSession, dir: String, nCand: Int = 50,
                       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = rawItems(spark, dir)
+    // Spread: both consumers run a partial hash agg (countDistinct /
+    // distinct) that an unsplittable scan would serialize into one task.
+    val li = Tables.spread(spark, rawItems(spark, dir))
     // Eagerly pinned: the frame feeds TWO subtrees (the candidate cross
     // join and the purchase prune) and Catalyst does not dedupe common
     // subplans — without the checkpoint the popularity agg would scan
