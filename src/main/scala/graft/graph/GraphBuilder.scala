@@ -148,7 +148,9 @@ object GraphBuilder {
     // Behavioral: user -> props.k product, relabeled per event type
     // (etl.py:249-279). Both endpoints MATCH-validated (dangling user 0 /
     // k 0 drop); MERGE collapses repeats to one edge per (src,dst,type).
-    val behavioral = Tables.load(spark, dir, "events")
+    // Spread: relTypeOf + per-row JSON extraction would otherwise fuse
+    // onto an unsplittable single-task scan (Tables.spread rationale).
+    val behavioral = Tables.spread(spark, Tables.load(spark, dir, "events"))
       .withColumn("rel_type", Relational.relTypeOf)
       .filter(col("rel_type").isNotNull)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
