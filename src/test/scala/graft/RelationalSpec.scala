@@ -27,6 +27,18 @@ class RelationalSpec extends SparkTestBase {
     assert(ok.count() == 5)
   }
 
+  test("spread widens an unsplittable frame and is a no-op above the floor") {
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(1000).toDF("x").coalesce(1)
+    val widened = Tables.spread(spark, narrow)
+    assert(widened.rdd.getNumPartitions == target)
+    assert(widened.agg(org.apache.spark.sql.functions.sum("x")).head.getLong(0)
+      == 499500L) // values survive the round robin
+    val wide = spark.range(1000).toDF("x").repartition(target + 5)
+    // already-parallel input: same instance back, no shuffle added
+    assert(Tables.spread(spark, wide) eq wide)
+  }
+
   test("outer join keeps empty dimension rows with zero counts") {
     val rows = Relational.nationCustomerCounts(spark, dir).collect()
     assert(rows.length == 25) // every nation survives the outer join
