@@ -384,6 +384,35 @@ object Curation {
       .orderBy("lang", "cum_tokens", "doc_id")
   }
 
+  /** Release manifest: per-(split, lang) partition of the released
+    * corpus — doc count, token total, and an ORDER-INDEPENDENT exact
+    * content fingerprint (the sum of each doc's 52-bit md5-prefix
+    * value). This is the artifact a training job pins: two releases
+    * diff by comparing manifest rows, and a copied/restored partition
+    * re-verifies by recomputing three aggregates in one scan — no
+    * row-order, file-layout, or partitioning sensitivity. All integer
+    * arithmetic; the int64 fingerprint sum is exact below ~2^11 docs
+    * per cell at 52 bits (at corpus scale widen to decimal128, same
+    * shape). Composes [[curateFull]], so every gate feeding the
+    * manifest is itself an oracle-verified operator. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("text"))
+    val fp52 = ((0 until 13).map(i =>
+      hexDigit(h, i + 1).cast("long") * (1L << (4 * (12 - i))))
+      .reduce(_ + _)).as("fp52")
+    val toks = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    curateFull(spark, dir).select("doc_id", "split")
+      .join(docs, "doc_id").join(toks, "doc_id")
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(fp52).as("content_fp"))
+      .orderBy("split", "lang")
+  }
+
   /** Right-to-be-forgotten cascade report: a deterministic deletion
     * cohort (md5 bucket < pct of customers) propagated through every
     * table that references them — orders directly, lineitem through its

@@ -65,7 +65,8 @@ object CurationRegistry {
       "drift_source_tv" -> ((s, d) => Curation.sourceDriftTv(s, d)),
       "split_contamination" -> ((s, d) => Curation.splitContamination(s, d)),
       "sample_weighted_pps" -> ((s, d) => Curation.weightedPpsSample(s, d)),
-      "curate_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d))
+      "curate_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
+      "curate_release_manifest" -> ((s, d) => Curation.releaseManifest(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -351,7 +352,35 @@ object CurationRegistry {
            |SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            |  CAST(cum AS BIGINT) AS cum_tokens
            |FROM sel WHERE cum <= 5000
-           |ORDER BY lang, cum_tokens, doc_id""".stripMargin
+           |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+      // Same release set as curate_full; the 52-bit md5-prefix value is
+      // the shared ascii-digit arithmetic, summed (order-independent).
+      "curate_release_manifest" -> {
+        val fp52 = (0 until 13)
+          .map(i => s"CAST(${digitSql("hh", i + 1)} AS BIGINT) * ${1L << (4 * (12 - i))}")
+          .mkString(" + ")
+        s"""WITH $CurateCtes,
+           |${graft.similarity.SimilarityRegistry.dupAssignCtes(
+                graft.similarity.SimilarityRegistry.DupRounds)},
+           |nd_drop AS (SELECT id AS doc_id
+           |  FROM c${graft.similarity.SimilarityRegistry.DupRounds}
+           |  WHERE id <> comp),
+           |${graft.text.TextRegistry.ContaminationCtes},
+           |rel AS (
+           |$CurateSelect
+           |  AND doc_id NOT IN (SELECT doc_id FROM nd_drop)
+           |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n > 0)),
+           |fp AS (SELECT doc_id, $fp52 AS fp52
+           |       FROM (SELECT doc_id, md5(text) AS hh FROM documents))
+           |SELECT rel.split, d.lang, count(*) AS n_docs,
+           |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(fp.fp52) AS BIGINT) AS content_fp
+           |FROM rel JOIN documents d ON rel.doc_id = d.doc_id
+           |         JOIN q ON rel.doc_id = q.doc_id
+           |         JOIN fp ON rel.doc_id = fp.doc_id
+           |GROUP BY rel.split, d.lang
+           |ORDER BY split, lang""".stripMargin
+      }
     )
   )
 

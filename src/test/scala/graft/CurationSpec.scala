@@ -351,6 +351,31 @@ class CurationSpec extends SparkTestBase {
       Curation.weightedPpsSample(spark, dir, n).collect().toSeq)
   }
 
+  test("release manifest: brute-replay parity and order independence") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val released = Curation.curateFull(spark, dir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.filter(d => released.contains(d._1))
+      .groupBy(d => (released(d._1), d._2)).view.mapValues { ds =>
+        (ds.length.toLong, ds.map(d => toks(d._1)).sum,
+          ds.map(d => java.lang.Long.parseLong(md5hex(d._3).take(13), 16)).sum)
+      }.toMap
+    val got = Curation.releaseManifest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("token-budget selection: per-lang budget respected, quality-greedy") {
     val budget = 5000L
     val rows = Curation.tokenBudgetSelect(spark, dir, budget).collect()
