@@ -28,19 +28,25 @@ object Tables {
     // streaming) keeps one code path regardless of the file's physical type.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df
-      }
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The one place both physical `ts` encodings normalize to Spark's
+    * instant TIMESTAMP — shared by the batch reader above and the
+    * streaming file source (EventStreams.eventStream), so a new driver
+    * encoding is handled once, never per-path. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** S2: error-tolerant scan (reference `app/etl.py:132-139` `safe_fetch`
     * returns `[]` on failure). Missing/corrupt source → empty DataFrame of
@@ -71,7 +77,14 @@ object Tables {
     * count keeps AQE from coalescing the spread away; the gate keeps
     * this a no-op precisely when it would hurt — at warehouse scale the
     * source arrives as many files/row-groups, the scan already has ≥
-    * parallelism partitions, and no extra shuffle is added. */
+    * parallelism partitions, and no extra shuffle is added.
+    *
+    * PRECONDITION: call this on scan-level frames only (a scan plus
+    * narrow projections/filters). The gate reads df.rdd.getNumPartitions,
+    * and under AQE that finalizes the physical plan — on a frame with
+    * upstream exchanges it would execute those shuffle stages just to
+    * count partitions, and the real action would then re-run them
+    * (exchange reuse does not span separate actions). */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

@@ -369,9 +369,7 @@ object Curation {
     * statistic per GROUP, not per corpus). */
   def tokenBudgetSelect(spark: SparkSession, dir: String,
                         budget: Long = 5000L): DataFrame = {
-    val q = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-        round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
+    val q = qualityMicro(spark, dir)
     val win = Window.partitionBy("lang")
       .orderBy(desc("q6"), asc("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -400,8 +398,7 @@ object Curation {
     val fp52 = ((0 until 13).map(i =>
       hexDigit(h, i + 1).cast("long") * (1L << (4 * (12 - i))))
       .reduce(_ + _)).as("fp52")
-    val toks = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    val toks = qualityMicro(spark, dir).select("doc_id", "n_tokens")
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     curateFull(spark, dir).select("doc_id", "split")
@@ -457,7 +454,7 @@ object Curation {
     * sourceMixReport convention), the shared input of the drift gates. */
   private def qualityMicro(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
 
   /** Train-vs-test drift gate: the exact two-sample Kolmogorov–Smirnov

@@ -38,16 +38,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    stream.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // Un-annotated micros files read as NTZ; same normalization as
-        // Tables.load (session TZ pinned UTC → cast is value-preserving).
-        stream.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => stream
-    }
+    Tables.normalizeTs(stream)
   }
 
   /** Tumbling 1-hour counts per event type with a 10-minute watermark.

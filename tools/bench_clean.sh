@@ -11,27 +11,45 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 ACCEPT="${1:-160}"
 best=999999
+rm -f /tmp/bench_clean_best.json
 for i in 1 2 3 4 5; do
+  # all three load figures quiet — a 15-min tail predicts mid-run noise
   for w in $(seq 1 40); do
-    read l1 l5 _ < /proc/loadavg
-    ok=$(python3 -c "print(1 if $l1<1.0 and $l5<1.5 else 0)")
+    read l1 l5 l15 _ < /proc/loadavg
+    ok=$(python3 -c "print(1 if $l1<1.0 and $l5<1.5 and $l15<2.0 else 0)")
     [ "$ok" = "1" ] && break
     sleep 30
   done
+  # a crashed run must not be scored off a stale artifact from the cwd
+  rm -f BENCH_FULL_LATEST.json "/tmp/bench_clean_$i.json"
   s0=$(awk '/^cpu /{print $9}' /proc/stat); t0=$(date +%s)
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     tools/run.sh graft.Bench > "/tmp/bench_clean_$i.out" 2>"/tmp/bench_clean_$i.err"
+  rc=$?
   t1=$(date +%s); s1=$(awk '/^cpu /{print $9}' /proc/stat)
   steal=$((s1 - s0)); wall=$((t1 - t0))
-  cp BENCH_FULL_LATEST.json "/tmp/bench_clean_$i.json" 2>/dev/null
-  total=$(python3 -c "import json;print(round(json.load(open('/tmp/bench_clean_$i.json'))['value'],1))" 2>/dev/null || echo 9999)
-  echo "attempt $i: total=${total}s wall=${wall}s steal_ticks=${steal} (steal_s=$((steal/100)))"
+  if [ "$rc" != "0" ] || [ ! -f BENCH_FULL_LATEST.json ]; then
+    echo "attempt $i: bench FAILED (rc=$rc), not scored"
+    continue
+  fi
+  cp BENCH_FULL_LATEST.json "/tmp/bench_clean_$i.json"
+  read -r total failed <<< "$(python3 -c "
+import json; b=json.load(open('/tmp/bench_clean_$i.json'))
+print(round(b['value'],1), b.get('failed', 999))")"
+  echo "attempt $i: total=${total}s failed=${failed} wall=${wall}s steal_ticks=${steal} (steal_s=$((steal/100)))"
+  # a run with crashed queries is an invalid artifact whatever its total
+  [ "$failed" != "0" ] && continue
   better=$(python3 -c "print(1 if $total < $best else 0)")
   [ "$better" = "1" ] && { best=$total; cp "/tmp/bench_clean_$i.json" /tmp/bench_clean_best.json; }
   # 64 ticks/wall-second = 2% of a 32-core host
   stop=$(python3 -c "print(1 if $total < $ACCEPT and $steal < $wall*64 else 0)")
   [ "$stop" = "1" ] && break
 done
+if [ ! -f /tmp/bench_clean_best.json ]; then
+  echo "no successful clean run; restoring the committed artifact" >&2
+  git checkout BENCH_FULL_LATEST.json
+  exit 1
+fi
 cp /tmp/bench_clean_best.json BENCH_FULL_LATEST.json
 echo "kept best: ${best}s"
