@@ -36,7 +36,13 @@ object Tables {
     * instant TIMESTAMP — shared by the batch reader above and the
     * streaming file source (EventStreams.eventStream), so a new driver
     * encoding is handled once, never per-path. */
-  def normalizeTs(df: DataFrame): DataFrame =
+  def normalizeTs(df: DataFrame): DataFrame = {
+    // The NTZ→instant cast below is value-preserving ONLY under a UTC
+    // session zone. Every entry point pins it, but correctness must not
+    // depend on each main() remembering — pin it here too (idempotent),
+    // so a future entry point that forgets cannot silently shift every
+    // event timestamp by the host offset.
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -47,6 +53,7 @@ object Tables {
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+  }
 
   /** S2: error-tolerant scan (reference `app/etl.py:132-139` `safe_fetch`
     * returns `[]` on failure). Missing/corrupt source → empty DataFrame of

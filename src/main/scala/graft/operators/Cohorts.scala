@@ -134,12 +134,14 @@ object Cohorts {
     * (days since last order, order count, exact-cents spend) with
     * quintile scores, convention "1 = best" (most recent / most
     * frequent / highest spend). One orders aggregation; the anchor date
-    * (corpus max) arrives as a broadcast scalar. The three ntile windows
-    * are global sorts of the CUSTOMER dimension — feature engineering
-    * over a dim table, not the fact table; at warehouse scale this is
-    * the classic dim-sized pass (and ntile's row-position semantics with
-    * the custkey tie-break make the quintiles deterministic and
-    * engine-identical). */
+    * (corpus max) arrives as a broadcast scalar. The three quintile
+    * assignments are ntile semantics with the custkey tie-break
+    * (deterministic, engine-identical), computed WITHOUT no-partition
+    * ntile windows: each ordering gets an exact global position from
+    * the range-partitioned rank (Ranks.withGlobalPos — the distributed
+    * zipWithIndex) and the bucket is ntile's closed form over that
+    * position, so no task ever sorts more than one range of the
+    * customer dimension. */
   def rfmFeatures(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
     val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
@@ -151,14 +153,17 @@ object Cohorts {
       .select(col("custkey"),
         datediff(col("anchor"), col("last_order")).as("r_days"),
         col("f"), col("m_cents"))
-    import org.apache.spark.sql.expressions.Window
-    base.select(col("custkey"), col("r_days"), col("f"), col("m_cents"),
-        ntile(k).over(Window.orderBy(col("r_days"), col("custkey")))
-          .as("r_score"),
-        ntile(k).over(Window.orderBy(col("f").desc, col("custkey")))
-          .as("f_score"),
-        ntile(k).over(Window.orderBy(col("m_cents").desc, col("custkey")))
-          .as("m_score"))
+    val ranked = Seq(
+      (Seq(col("r_days").asc, col("custkey").asc), "__pr"),
+      (Seq(col("f").desc, col("custkey").asc), "__pf"),
+      (Seq(col("m_cents").desc, col("custkey").asc), "__pm"))
+      .foldLeft(base) { case (df, (keys, pos)) =>
+        Ranks.withGlobalPos(df, keys, pos)
+      }
+    ranked.select(col("custkey"), col("r_days"), col("f"), col("m_cents"),
+        Ranks.ntileBucket("__pr", k).as("r_score"),
+        Ranks.ntileBucket("__pf", k).as("f_score"),
+        Ranks.ntileBucket("__pm", k).as("m_score"))
       .orderBy("custkey")
   }
 

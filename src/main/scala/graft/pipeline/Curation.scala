@@ -333,8 +333,10 @@ object Curation {
     * run an exact integer cumulative weight `cw`, and pick every doc
     * whose weight interval `(cw−w, cw]` crosses a grid boundary — i.e.
     * `(cw−w)·n div W < cw·n div W` with `W` the source's total weight.
-    * Pure int64 arithmetic (exact while `W·n < 2^63`; at corpus scale
-    * widen to decimal), each doc's pick probability ∝ its weight, and a
+    * The cumulative/total weights accumulate as decimal(38,0) — the
+    * exact match for DuckDB's HUGEINT window sum — so the boundary test
+    * is exact far past the int64 `W·n < 2^63` bound a corpus-scale
+    * source would cross; each doc's pick probability ∝ its weight, and a
     * doc heavier than `W/n` is guaranteed in (it may straddle several
     * boundaries, so the sample size is ≤ n — PPS semantics, documented
     * rather than papered over). One scan + one per-source window pair
@@ -350,8 +352,10 @@ object Curation {
       .select(col("doc_id"), col("source"),
         (col("n_chars") + lit(1L)).as("w"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("cw", sum(col("w")).over(cum))
-      .withColumn("tw", sum(col("w")).over(whole))
+      .withColumn("cw", sum(col("w")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(cum))
+      .withColumn("tw", sum(col("w")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).over(whole))
       .filter(expr(s"((cw - w) * $n) div tw") < expr(s"(cw * $n) div tw"))
       .select(col("source"), col("doc_id"), col("w"))
       .orderBy("source", "doc_id")
@@ -389,15 +393,16 @@ object Curation {
     * diff by comparing manifest rows, and a copied/restored partition
     * re-verifies by recomputing three aggregates in one scan — no
     * row-order, file-layout, or partitioning sensitivity. All integer
-    * arithmetic; the int64 fingerprint sum is exact below ~2^11 docs
-    * per cell at 52 bits (at corpus scale widen to decimal128, same
-    * shape). Composes [[curateFull]], so every gate feeding the
-    * manifest is itself an oracle-verified operator. */
+    * arithmetic; the 52-bit per-doc values are summed as
+    * decimal(38,0) (int128 on the DuckDB side), so the fingerprint
+    * stays EXACT to ~10³⁸/2⁵² ≈ 2⁷⁵ docs per cell — no silent int64
+    * wrap at corpus scale. Composes [[curateFull]], so every gate
+    * feeding the manifest is itself an oracle-verified operator. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(col("text"))
-    val fp52 = ((0 until 13).map(i =>
+    val fp52 = (0 until 13).map(i =>
       hexDigit(h, i + 1).cast("long") * (1L << (4 * (12 - i))))
-      .reduce(_ + _)).as("fp52")
+      .reduce(_ + _)
     val toks = qualityMicro(spark, dir).select("doc_id", "n_tokens")
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
@@ -406,7 +411,8 @@ object Curation {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(fp52).as("content_fp"))
+        sum(fp52.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("content_fp"))
       .orderBy("split", "lang")
   }
 

@@ -372,7 +372,8 @@ class CurationSpec extends SparkTestBase {
       }.toMap
     val got = Curation.releaseManifest(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        // content_fp is decimal(38,0); exact-long at this SF
+        (r.getLong(2), r.getLong(3), r.getDecimal(4).longValueExact)).toMap
     assert(got == expect && got.nonEmpty)
   }
 

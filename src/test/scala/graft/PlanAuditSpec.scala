@@ -221,6 +221,43 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected Window → SinglePartition → HashAggregate(q6 histogram):\n$plan")
   }
 
+  /** Every single-partition exchange in the plan must sit above a
+    * HashAggregate (a bounded histogram), never above raw scanned rows
+    * — the shape that lets a global cumulative window survive scale. */
+  private def assertSinglePartitionOnlyAboveAgg(name: String, plan: String): Unit = {
+    var at = plan.indexOf("Exchange SinglePartition")
+    while (at >= 0) {
+      val agg = plan.indexOf("HashAggregate", at)
+      val scan = plan.indexOf("Scan parquet", at)
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        s"$name: single-partition exchange feeds on raw rows, not a histogram:\n$plan")
+      at = plan.indexOf("Exchange SinglePartition", at + 1)
+    }
+  }
+
+  test("quality percentiles never window the corpus in one partition") {
+    // rank(doc) = histogram offset + within-quality rank: the per-doc
+    // window must be hash-partitioned by quality, and the only global
+    // cumulative window runs over the bounded ≤10⁶+1-value histogram.
+    val plan = planOf("text_quality_percentiles")
+    assert("hashpartitioning\\(quality".r.findFirstIn(plan).isDefined,
+      s"per-doc rank window is not partitioned by quality:\n$plan")
+    assertSinglePartitionOnlyAboveAgg("text_quality_percentiles", plan)
+  }
+
+  test("rfm quintiles rank via range partitions, not a global ntile window") {
+    // Each of the three orderings is a range-repartitioned rank: the
+    // per-row windows are partitioned by spark_partition_id and the
+    // only single-partition windows run over the per-partition count
+    // histogram (≤ shuffle-partition rows).
+    val plan = planOf("rfm_features")
+    assert(plan.contains("rangepartitioning"),
+      s"no range repartition for the rank:\n$plan")
+    assert(!plan.contains("ntile("),
+      s"a global ntile window survived:\n$plan")
+    assertSinglePartitionOnlyAboveAgg("rfm_features", plan)
+  }
+
   test("split contamination adds no second SRP scan over the pair relation") {
     // The gate must reuse the memoized verified pair relation (one
     // InMemory/checkpoint scan symmetrized), not rebuild the banded
