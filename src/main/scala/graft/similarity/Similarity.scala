@@ -255,13 +255,21 @@ object Similarity {
     * vector store materializes: centroids (tiny, on the driver like any
     * index metadata) + assignments (the data, partitioned by cell).
     * nClusters ≤ 0 → auto-size to √N. */
-  /** Assign vectors to a model's cells, in the index row layout. */
-  private def assignCells(model: org.apache.spark.ml.clustering.KMeansModel,
+  /** Assign vectors to cells: exact argmin of squared L2 against the
+    * centroid LITERALS (first minimum wins), not `model.transform` —
+    * KMeansModel.predict goes through fastSquaredDistance's
+    * norm-shortcut approximation, whose result no other engine can
+    * bit-reproduce. The explicit left→right fold is the same
+    * deterministic arithmetic the PQ encoder uses ([[codeOf]]), which
+    * is what lets the IVF probe queries carry an exact DuckDB oracle
+    * (SimilarityRegistry.adaptiveOracles) instead of rows-only. */
+  private def assignCells(centers: Array[Array[Double]],
                           vectors: DataFrame): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    model.transform(vectors.withColumn("features",
-        array_to_vector(col("embedding").cast("array<double>"))))
-      .withColumnRenamed("prediction", "cluster")
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val dists = array(centers.map(c =>
+      sqdistCol(e, array(c.map(lit(_)).toIndexedSeq: _*))).toIndexedSeq: _*)
+    vectors.withColumn("cluster",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
       .select("vec_id", "label", "embedding", "cluster")
   }
 
@@ -294,7 +302,7 @@ object Similarity {
           .map("%02x".format(_)).mkString.take(12)
         val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-ivf-$tag").toString
-        assignCells(model, emb(spark, dir))
+        assignCells(model.clusterCenters.map(_.toArray), emb(spark, dir))
           .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
         (model, spark.read.parquet(idxDir), idxDir)
       }
@@ -320,7 +328,7 @@ object Similarity {
   def ivfAppend(spark: SparkSession, dir: String, newVectors: DataFrame,
                 nClusters: Int = 0): DataFrame = {
     val (model, _, idxDir) = ivfIndex(spark, dir, nClusters)
-    assignCells(model, newVectors)
+    assignCells(model.clusterCenters.map(_.toArray), newVectors)
       .write.mode("append").partitionBy("cluster").parquet(idxDir)
     val fresh = spark.read.parquet(idxDir)
     graft.Memo.put(spark, "ivf-index", (dir, nClusters))((model, fresh, idxDir))
@@ -341,33 +349,57 @@ object Similarity {
     ()
   }
 
-  def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
-              k: Int = 20, nClusters: Int = 0, nProbe: Int = 4): DataFrame = {
-    val (model, assigned, _) = ivfIndex(spark, dir, nClusters)
-    // Seed lookup hits the SOURCE table (id-filtered, pushdown scan), not
-    // the index — a vec_id filter on the cluster-partitioned index would
-    // list every cell.
-    val seedRow = emb(spark, dir).filter(col("vec_id") === seedId)
+  /** Seed embedding as driver doubles (1-row pushdown lookup on the
+    * SOURCE table — a vec_id filter on the cluster-partitioned index
+    * would list every cell). */
+  private def seedVector(spark: SparkSession, dir: String,
+                         seedId: Long): Option[Array[Double]] =
+    emb(spark, dir).filter(col("vec_id") === seedId)
       .select("embedding").collect().headOption
-    if (seedRow.isEmpty) {
-      // Missing seed degrades to empty, matching cosineTopK (and the
-      // reference's graceful-empty path) instead of crashing the driver.
-      return assigned.filter(lit(false))
-        .select(col("vec_id"), col("label"), lit(0.0).as("cos"))
-    }
-    val seedVec = seedRow.get.getSeq[Float](0).map(_.toDouble).toArray
-    val seedNorm = math.sqrt(seedVec.map(x => x * x).sum)
-    // Rank probes by cosine, not raw dot — long-norm centroids would
-    // otherwise win over angularly-closer ones and cost recall.
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        val dot = arr.zip(seedVec).map { case (a, b) => a * b }.sum
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Probe ranking shared by the IVF family and the oracle generator:
+    * rank cells by centroid COSINE against the seed (not raw dot —
+    * long-norm centroids would otherwise win over angularly-closer ones
+    * and cost recall); driver doubles over index metadata. */
+  private def probeCells(centers: Array[Array[Double]],
+                         seed: Array[Double], nProbe: Int): Array[Int] = {
+    val seedNorm = math.sqrt(seed.map(x => x * x).sum)
+    centers.zipWithIndex
+      .map { case (arr, i) =>
+        val dot = arr.zip(seed).map { case (a, b) => a * b }.sum
         val cn = math.sqrt(arr.map(x => x * x).sum)
         (i, if (cn == 0 || seedNorm == 0) Double.NegativeInfinity
         else dot / (cn * seedNorm))
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
+  }
+
+  /** Index metadata accessors for the adaptive oracle generator
+    * (SimilarityRegistry) — same memoized state the queries read. */
+  private[similarity] def ivfCenters(spark: SparkSession, dir: String,
+                                     nClusters: Int = 0): Array[Array[Double]] =
+    ivfIndex(spark, dir, nClusters)._1.clusterCenters.map(_.toArray)
+
+  private[similarity] def ivfProbes(spark: SparkSession, dir: String,
+                                    seedId: Long, nClusters: Int = 0,
+                                    nProbe: Int = 4): Array[Int] =
+    seedVector(spark, dir, seedId)
+      .map(s => probeCells(ivfCenters(spark, dir, nClusters), s, nProbe))
+      .getOrElse(Array.empty)
+
+  def ivfTopK(spark: SparkSession, dir: String, seedId: Long,
+              k: Int = 20, nClusters: Int = 0, nProbe: Int = 4): DataFrame = {
+    val (model, assigned, _) = ivfIndex(spark, dir, nClusters)
+    val seedOpt = seedVector(spark, dir, seedId)
+    if (seedOpt.isEmpty) {
+      // Missing seed degrades to empty, matching cosineTopK (and the
+      // reference's graceful-empty path) instead of crashing the driver.
+      return assigned.filter(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("cos"))
+    }
+    val probes = probeCells(model.clusterCenters.map(_.toArray),
+      seedOpt.get, nProbe)
     val seed = emb(spark, dir).filter(col("vec_id") === seedId)
       .select(col("embedding").as("se"))
     assigned.filter(col("cluster").isin(probes.map(Integer.valueOf): _*))
@@ -503,27 +535,41 @@ object Similarity {
     * report audits the SAME serving layout — one codebook fit, shared
     * through the memo, so the report row measures the encode scan, not
     * a second training run. Rows-only (KMeans). */
-  def pqTopK(spark: SparkSession, dir: String, seedId: Long, k: Int = 20,
-             m: Int = 8, kCodes: Int = 16): DataFrame = {
+  /** Per-subspace ADC distance tables for a seed: m·k driver doubles of
+    * index-metadata arithmetic, shared by the ADC scans AND the oracle
+    * generator (both bake the SAME values as literals, so the two
+    * engines cannot diverge on them). */
+  private[similarity] def adcTables(spark: SparkSession, dir: String,
+                                    seedId: Long, m: Int = 8,
+                                    kCodes: Int = 16): Option[IndexedSeq[Array[Double]]] = {
     val sub = PqDim / m
     val codebooks = pqCodebooks(spark, dir, m, kCodes)
-    val coded = pqCodes(spark, dir, m, kCodes)
-    val seedRow = emb(spark, dir).filter(col("vec_id") === seedId)
-      .select("embedding").collect().headOption
-    if (seedRow.isEmpty)
-      return coded.filter(lit(false))
-        .select(col("vec_id"), col("label"), lit(0.0).as("adc_d2"))
-    val seed = seedRow.get.getSeq[Float](0).map(_.toDouble).toArray
-    val tables: IndexedSeq[Array[Double]] = (0 until m).map { j =>
-      codebooks(j).map { c =>
-        var s = 0.0
-        var d = 0
-        while (d < sub) {
-          val t = seed(j * sub + d) - c(d); s += t * t; d += 1
+    seedVector(spark, dir, seedId).map { seed =>
+      (0 until m).map { j =>
+        codebooks(j).map { c =>
+          var s = 0.0
+          var d = 0
+          while (d < sub) {
+            val t = seed(j * sub + d) - c(d); s += t * t; d += 1
+          }
+          s
         }
-        s
       }
     }
+  }
+
+  private[similarity] def pqBooks(spark: SparkSession, dir: String,
+                                  m: Int = 8, kCodes: Int = 16)
+      : IndexedSeq[Array[Array[Double]]] = pqCodebooks(spark, dir, m, kCodes)
+
+  def pqTopK(spark: SparkSession, dir: String, seedId: Long, k: Int = 20,
+             m: Int = 8, kCodes: Int = 16): DataFrame = {
+    val coded = pqCodes(spark, dir, m, kCodes)
+    val tablesOpt = adcTables(spark, dir, seedId, m, kCodes)
+    if (tablesOpt.isEmpty)
+      return coded.filter(lit(false))
+        .select(col("vec_id"), col("label"), lit(0.0).as("adc_d2"))
+    val tables = tablesOpt.get
     def tLit(j: Int): Column = array(tables(j).map(lit(_)).toIndexedSeq: _*)
     val adc = (0 until m).map { j =>
       element_at(tLit(j), element_at(col("codes"), j + 1) + 1)
@@ -568,36 +614,15 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String, seedId: Long,
                 k: Int = 20, m: Int = 8, kCodes: Int = 16,
                 nProbe: Int = 4): DataFrame = {
-    val sub = PqDim / m
-    val codebooks = pqCodebooks(spark, dir, m, kCodes)
     val layout = ivfPqLayout(spark, dir, m, kCodes)
     val (model, _, _) = ivfIndex(spark, dir, 0)
-    val seedRow = emb(spark, dir).filter(col("vec_id") === seedId)
-      .select("embedding").collect().headOption
-    if (seedRow.isEmpty)
+    val seedOpt = seedVector(spark, dir, seedId)
+    if (seedOpt.isEmpty)
       return layout.filter(lit(false))
         .select(col("vec_id"), col("label"), lit(0.0).as("adc_d2"))
-    val seed = seedRow.get.getSeq[Float](0).map(_.toDouble).toArray
-    val seedNorm = math.sqrt(seed.map(x => x * x).sum)
-    val probes = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        val dot = arr.zip(seed).map { case (a, b) => a * b }.sum
-        val cn = math.sqrt(arr.map(x => x * x).sum)
-        (i, if (cn == 0 || seedNorm == 0) Double.NegativeInfinity
-        else dot / (cn * seedNorm))
-      }
-      .sortBy(-_._2).take(nProbe).map(_._1)
-    val tables: IndexedSeq[Array[Double]] = (0 until m).map { j =>
-      codebooks(j).map { c =>
-        var s = 0.0
-        var d = 0
-        while (d < sub) {
-          val t = seed(j * sub + d) - c(d); s += t * t; d += 1
-        }
-        s
-      }
-    }
+    val probes = probeCells(model.clusterCenters.map(_.toArray),
+      seedOpt.get, nProbe)
+    val tables = adcTables(spark, dir, seedId, m, kCodes).get
     def tLit(j: Int): Column = array(tables(j).map(lit(_)).toIndexedSeq: _*)
     val adc = (0 until m).map { j =>
       element_at(tLit(j), element_at(col("codes"), j + 1) + 1)

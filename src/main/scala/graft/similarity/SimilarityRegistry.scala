@@ -200,6 +200,104 @@ object SimilarityRegistry {
     )
   )
 
+  /** Index-adaptive oracle overlay (Verify merges it over the static
+    * map): the IVF/PQ serving queries get EXACT DuckDB twins by pinning
+    * the trained index metadata — KMeans centroids, PQ codebooks, the
+    * seed's ADC tables — as literal arrays in the SQL. The metadata
+    * comes from the SAME memoized index state the dumped Spark results
+    * read (one training run per session), and every per-row computation
+    * on both engines is the identical left→right double fold:
+    * cluster/code = first-argmin of squared L2 against the literals
+    * (Similarity.assignCells/codeOf ↔ list_position(d, list_min(d))),
+    * ADC = the same pinned table values summed left-assoc. What WAS
+    * rows-only because "KMeans is not SQL-expressible" is exact once
+    * the fit is index metadata rather than query-time work. */
+  def adaptiveOracles(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Map[String, String] = {
+    val (m, kCodes) = (8, 16)
+    val sub = 64 / m
+    val centers = Similarity.ivfCenters(spark, dir)
+    val probes = Similarity.ivfProbes(spark, dir, SeedVec)
+    val books = Similarity.pqBooks(spark, dir, m, kCodes)
+    val tablesOpt = Similarity.adcTables(spark, dir, SeedVec, m, kCodes)
+    if (probes.isEmpty || tablesOpt.isEmpty) return Map.empty
+    val tables = tablesOpt.get
+    def arr(c: Array[Double]): String =
+      c.map(_.toString).mkString("[", ", ", "]")
+    // Same fold as Similarity.sqdistCol: zip, per-element (a-b)^2, sum.
+    def sqd(e: String, c: Array[Double]): String =
+      s"list_sum(list_transform(list_zip($e, ${arr(c)}), " +
+        "p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))"
+    val vCte =
+      """v AS MATERIALIZED (SELECT vec_id, label, embedding,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |FROM embeddings)""".stripMargin
+    val clCte =
+      s"""asg AS (SELECT vec_id, label, embedding,
+         |  ${centers.map(c => sqd("e", c)).mkString("[", ",\n   ", "]")} AS dists
+         |FROM v),
+         |cl AS (SELECT vec_id, label, embedding,
+         |  list_position(dists, list_min(dists)) - 1 AS cluster FROM asg)""".stripMargin
+    val dlCte = "dl AS (SELECT vec_id, label,\n" +
+      (0 until m).map { j =>
+        val slice = s"e[${j * sub + 1}:${(j + 1) * sub}]"
+        books(j).map(c => sqd(slice, c))
+          .mkString("  [", ",\n   ", s"] AS dj$j")
+      }.mkString(",\n") + "\nFROM v)"
+    val codesCte = "codes AS (SELECT vec_id, label,\n" +
+      (0 until m).map(j =>
+        s"  list_position(dj$j, list_min(dj$j)) - 1 AS c$j")
+        .mkString(",\n") + "\nFROM dl)"
+    val adcExpr = (0 until m)
+      .map(j => s"(${arr(tables(j))})[c$j + 1]").mkString(" + ")
+    val probeList = probes.mkString(", ")
+    val seedCte =
+      s"s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = $SeedVec)"
+    Map(
+      "sim_ann_ivf_topk" ->
+        s"""WITH $vCte,
+           |$clCte,
+           |$seedCte
+           |SELECT vec_id, label, ${cosSql("embedding", "se")} AS cos
+           |FROM cl, s
+           |WHERE cluster IN ($probeList) AND vec_id <> $SeedVec
+           |ORDER BY cos DESC, vec_id ASC
+           |LIMIT 20""".stripMargin,
+      "sim_pq_topk" ->
+        s"""WITH $vCte,
+           |$dlCte,
+           |$codesCte
+           |SELECT vec_id, label, $adcExpr AS adc_d2
+           |FROM codes
+           |WHERE vec_id <> $SeedVec
+           |ORDER BY adc_d2 ASC, vec_id ASC
+           |LIMIT 20""".stripMargin,
+      "sim_ivfpq_topk" ->
+        s"""WITH $vCte,
+           |$clCte,
+           |$dlCte,
+           |$codesCte
+           |SELECT cl.vec_id, cl.label, $adcExpr AS adc_d2
+           |FROM cl JOIN codes ON cl.vec_id = codes.vec_id
+           |WHERE cl.cluster IN ($probeList) AND cl.vec_id <> $SeedVec
+           |ORDER BY adc_d2 ASC, cl.vec_id ASC
+           |LIMIT 20""".stripMargin,
+      "sim_pq_report" -> {
+        val branches = (0 until m).map { j =>
+          s"SELECT $j AS subspace, " +
+            s"list_position(dj$j, list_min(dj$j)) - 1 AS code, " +
+            s"list_min(dj$j) AS sqerr FROM dl"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $vCte,
+           |$dlCte,
+           |subs AS ($branches)
+           |SELECT subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+           |  list_sum(list_sort(list(sqerr))) / (count(*) * $sub) AS mse,
+           |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
+           |FROM subs GROUP BY subspace ORDER BY subspace""".stripMargin
+      })
+  }
+
   /** Pair graph + unrolled min-label propagation, ending at the
     * assignment relation `c<rounds>`(id, comp) — the twin of
     * Similarity.dupAssignments, shared with the curation tier's

@@ -58,16 +58,65 @@ object SeedFixture {
     Event(4, ts("2024-05-03 12:00:00"), 2, "view", 1.0, """{"k": 2}"""),
     Event(5, ts("2024-05-04 13:00:00"), 2, "add_to_cart", 1.0, """{"k": 4}"""))
 
+  /** The fixture schema as a DDL script — replayed through the S4
+    * runner ([[graft.sources.Ddl]]) so the fixture exercises the same
+    * schema-script path the reference's `run_cypher_file` replays
+    * (reference `app/etl.py:80-88`, `postgres/init/01_schema.sql`). */
+  val FixtureDdl: String =
+    """CREATE TABLE customer (
+      |  c_custkey BIGINT PRIMARY KEY,
+      |  c_name TEXT NOT NULL,
+      |  c_mktsegment TEXT,
+      |  c_join_date DATE NOT NULL
+      |);
+      |-- p_brand carries the reference's category (FIXTURES.md §2)
+      |CREATE TABLE part (
+      |  p_partkey BIGINT PRIMARY KEY,
+      |  p_name TEXT NOT NULL,
+      |  p_brand TEXT,
+      |  p_retailprice DOUBLE NOT NULL
+      |);
+      |CREATE TABLE orders (
+      |  o_orderkey BIGINT PRIMARY KEY,
+      |  o_custkey BIGINT REFERENCES customer(c_custkey),
+      |  o_orderpriority TEXT,
+      |  o_totalprice DOUBLE NOT NULL,
+      |  o_orderdate TIMESTAMPTZ NOT NULL
+      |);
+      |CREATE TABLE lineitem (
+      |  l_orderkey BIGINT REFERENCES orders(o_orderkey),
+      |  l_partkey BIGINT REFERENCES part(p_partkey),
+      |  l_linenumber INT NOT NULL,
+      |  l_quantity DOUBLE NOT NULL,
+      |  PRIMARY KEY (l_orderkey, l_partkey)
+      |);
+      |CREATE TABLE events (
+      |  event_id BIGINT PRIMARY KEY,
+      |  ts TIMESTAMPTZ NOT NULL,
+      |  user_id BIGINT REFERENCES customer(c_custkey),
+      |  event_type TEXT CHECK (event_type IN ('view','click','add_to_cart','purchase')),
+      |  value DOUBLE,
+      |  props TEXT
+      |);""".stripMargin
+
   private def write(spark: SparkSession, path: String, times: Int): String = {
-    import spark.implicits._
-    def dump(df: DataFrame, name: String): Unit =
+    import org.apache.spark.sql.Row
+    val schemas = graft.sources.Ddl.schemas(FixtureDdl)
+    def dump(name: String, rows: Seq[Row]): Unit = {
+      val df = graft.sources.Ddl.seeded(spark, schemas(name), rows)
       (1 to times).map(_ => df).reduce(_ union _)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/$name.parquet")
-    dump(customers.toDF(), "customer")
-    dump(parts.toDF(), "part")
-    dump(orders.toDF(), "orders")
-    dump(lineitems.toDF(), "lineitem")
-    dump(events.toDF(), "events")
+    }
+    dump("customer", customers.map(c =>
+      Row(c.c_custkey, c.c_name, c.c_mktsegment, c.c_join_date)))
+    dump("part", parts.map(p =>
+      Row(p.p_partkey, p.p_name, p.p_brand, p.p_retailprice)))
+    dump("orders", orders.map(o => Row(o.o_orderkey, o.o_custkey,
+      o.o_orderpriority, o.o_totalprice, o.o_orderdate)))
+    dump("lineitem", lineitems.map(l =>
+      Row(l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity)))
+    dump("events", events.map(e =>
+      Row(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props)))
     path
   }
 

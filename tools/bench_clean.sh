@@ -42,8 +42,10 @@ print(round(b['value'],1), b.get('failed', 999))")"
   [ "$failed" != "0" ] && continue
   better=$(python3 -c "print(1 if $total < $best else 0)")
   [ "$better" = "1" ] && { best=$total; cp "/tmp/bench_clean_$i.json" /tmp/bench_clean_best.json; }
-  # 64 ticks/wall-second = 2% of a 32-core host
-  stop=$(python3 -c "print(1 if $total < $ACCEPT and $steal < $wall*64 else 0)")
+  # 2% steal budget, scaled to the configured core count:
+  # cpus * 100 ticks/s * 0.02 = cpus*2 ticks per wall-second
+  cpus="${SPARK_GRAFT_CPUS:-32}"
+  stop=$(python3 -c "print(1 if $total < $ACCEPT and $steal < $wall*$cpus*2 else 0)")
   [ "$stop" = "1" ] && break
 done
 if [ ! -f /tmp/bench_clean_best.json ]; then
