@@ -54,6 +54,13 @@ object Verify {
        catch { case e: Throwable =>
          System.err.println(s"[verify] adaptive oracle probe failed: $e")
          Map.empty[String, String]
+       }) ++
+      // Index-adaptive IVF/PQ twins: pinned centroids/codebooks from the
+      // same memoized index the dumped results read.
+      (try similarity.SimilarityRegistry.adaptiveOracles(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[verify] similarity adaptive oracles failed: $e")
+         Map.empty[String, String]
        })
     val oracles =
       if (only.isEmpty) adaptive

@@ -240,8 +240,10 @@ object Similarity {
     * layout (`…/cluster=17/part-*.parquet`), so a probe's
     * `cluster IN (…)` lands as a PartitionFilter on the scan — only
     * nprobe/k of the files are ever listed or read (plan-asserted in
-    * SimilaritySpec). No SQL oracle — recall vs cosineTopK is asserted in
-    * ScalaTest. */
+    * SimilaritySpec). EXACT oracle: the trained centroids are index
+    * metadata pinned as literals in the adaptive SQL twin
+    * (SimilarityRegistry.adaptiveOracles); recall vs cosineTopK is
+    * additionally asserted in ScalaTest. */
   /** Cluster count for an auto-sized index: the classic IVF balance point
     * √N (each cell holds ~√N vectors, a probe scans ~nprobe·√N rows) —
     * 23 cells at 500 vectors, ~30k at 10⁹; never below 4 so the probe
@@ -534,7 +536,8 @@ object Similarity {
     * SimilaritySpec; real clustered embeddings fare far better). The
     * report audits the SAME serving layout — one codebook fit, shared
     * through the memo, so the report row measures the encode scan, not
-    * a second training run. Rows-only (KMeans). */
+    * a second training run. Exact adaptive oracle (pinned codebooks +
+    * ADC tables) + recall floor in SimilaritySpec. */
   /** Per-subspace ADC distance tables for a seed: m·k driver doubles of
     * index-metadata arithmetic, shared by the ADC scans AND the oracle
     * generator (both bake the SAME values as literals, so the two
@@ -609,8 +612,9 @@ object Similarity {
     * query's exact per-subspace distance tables. At scale this touches
     * nProbe/k of the files AND reads 64× fewer bytes per row than the
     * float scan — the multiplicative win that makes billion-vector
-    * serving a sub-second scan. Rows-only (two KMeans stages); recall
-    * asserted in SimilaritySpec. */
+    * serving a sub-second scan. Exact adaptive oracle (pinned
+    * centroids + codebooks + ADC tables); recall asserted in
+    * SimilaritySpec. */
   def ivfPqTopK(spark: SparkSession, dir: String, seedId: Long,
                 k: Int = 20, m: Int = 8, kCodes: Int = 16,
                 nProbe: Int = 4): DataFrame = {

@@ -7,8 +7,10 @@ import graft.Registry
   * (Similarity.planes), and all vector arithmetic is written as
   * `list_sum(list_transform(...))` over doubles — the same left→right
   * IEEE-754 fold Spark's `aggregate(zip_with(...))` performs, so cosine
-  * values are bit-identical across engines. The IVF query has no SQL
-  * twin (KMeans) → rows-only check + recall ScalaTest.
+  * values are bit-identical across engines. The IVF/PQ serving family
+  * gets EXACT twins through [[adaptiveOracles]] (trained index metadata
+  * pinned as literals); only the composite quality report stays
+  * rows-only.
   */
 object SimilarityRegistry {
   private val SeedVec = 0L
@@ -68,12 +70,12 @@ object SimilarityRegistry {
       "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d, SeedVec)),
       "sim_srp_lsh_pairs" -> ((s, d) => Similarity.srpLshPairs(s, d)),
       "sim_dup_clusters" -> ((s, d) => Similarity.dupClusters(s, d)),
+      // The IVF/PQ serving tier: exact adaptive oracles (pinned index
+      // metadata, [[adaptiveOracles]]) + SimilaritySpec recall floors
+      // and the must-beat-one-code reconstruction baseline.
       "sim_ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d, SeedVec)),
       "sim_quantize_int8" -> ((s, d) => Similarity.quantizeInt8(s, d)),
-      // Rows-only (KMeans codebooks, like the IVF tier); the must-beat-
-      // one-code reconstruction baseline is asserted in SimilaritySpec.
       "sim_pq_report" -> ((s, d) => Similarity.pqReport(s, d)),
-      // Rows-only (KMeans); SimilaritySpec asserts recall vs exact L2.
       "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d, SeedVec)),
       "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d, SeedVec)),
       "sim_ann_quality" -> ((s, d) =>
@@ -222,8 +224,13 @@ object SimilarityRegistry {
     val tablesOpt = Similarity.adcTables(spark, dir, SeedVec, m, kCodes)
     if (probes.isEmpty || tablesOpt.isEmpty) return Map.empty
     val tables = tablesOpt.get
+    // E-notation forces each element to parse as a DOUBLE literal
+    // (17 fractional digits → exact round-trip). Plain decimal notation
+    // would unify the list to a DECIMAL type whose fixed scale rounds
+    // long-mantissa values by 1 ulp before any cast can save them.
     def arr(c: Array[Double]): String =
-      c.map(_.toString).mkString("[", ", ", "]")
+      c.map(d => String.format(java.util.Locale.ROOT, "%.17E", Double.box(d)))
+        .mkString("[", ", ", "]")
     // Same fold as Similarity.sqdistCol: zip, per-element (a-b)^2, sum.
     def sqd(e: String, c: Array[Double]): String =
       s"list_sum(list_transform(list_zip($e, ${arr(c)}), " +
@@ -248,8 +255,12 @@ object SimilarityRegistry {
       (0 until m).map(j =>
         s"  list_position(dj$j, list_min(dj$j)) - 1 AS c$j")
         .mkString(",\n") + "\nFROM dl)"
+    // Each pinned table value casts back to the exact double the Spark
+    // literal holds (shortest-repr round-trip); the sum is then the
+    // same left-assoc double chain as the Spark reduce.
     val adcExpr = (0 until m)
-      .map(j => s"(${arr(tables(j))})[c$j + 1]").mkString(" + ")
+      .map(j => s"CAST((${arr(tables(j))})[c$j + 1] AS DOUBLE)")
+      .mkString(" + ")
     val probeList = probes.mkString(", ")
     val seedCte =
       s"s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = $SeedVec)"
