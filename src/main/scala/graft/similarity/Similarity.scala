@@ -661,9 +661,10 @@ object Similarity {
     * deployment alerts on when drift or an index rebuild drops recall.
     * Each input is a k-row TakeOrdered result, so the comparison is a
     * bounded driver fold over already-limited lists — the sanctioned
-    * serving-shim pattern, never a corpus-wide collect. Rows-only (the
-    * approximate paths are KMeans-derived); per-method recall floors
-    * are asserted in SimilaritySpec. */
+    * serving-shim pattern, never a corpus-wide collect. Exact adaptive
+    * oracle (the recall arithmetic is an integer intersection over the
+    * pinned-metadata rankings); per-method recall floors are asserted
+    * in SimilaritySpec. */
   def annQualityReport(spark: SparkSession, dir: String, seedId: Long = 0L,
                        k: Int = 20): DataFrame = {
     import spark.implicits._

@@ -306,6 +306,55 @@ object SimilarityRegistry {
            |  list_sum(list_sort(list(sqerr))) / (count(*) * $sub) AS mse,
            |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
            |FROM subs GROUP BY subspace ORDER BY subspace""".stripMargin
+      },
+      // Recall@k of each serving path against its exact baseline: every
+      // ranking below is the SAME top-k list its standalone oracle
+      // produces, and recall is an exact integer intersection / k.
+      "sim_ann_quality" -> {
+        val k = 20
+        s"""WITH $vCte,
+           |$clCte,
+           |$dlCte,
+           |$codesCte,
+           |$seedCte,
+           |sd AS (SELECT list_transform(se, x -> CAST(x AS DOUBLE)) AS sed
+           |       FROM s),
+           |exact_cos AS (SELECT vec_id FROM embeddings, s
+           |  WHERE vec_id <> $SeedVec
+           |  ORDER BY ${cosSql("embedding", "se")} DESC, vec_id LIMIT $k),
+           |exact_l2 AS (SELECT vec_id FROM v, sd
+           |  WHERE vec_id <> $SeedVec
+           |  ORDER BY list_sum(list_transform(list_zip(e, sed),
+           |    p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, vec_id LIMIT $k),
+           |ivf AS (SELECT vec_id FROM cl, s
+           |  WHERE cluster IN ($probeList) AND vec_id <> $SeedVec
+           |  ORDER BY ${cosSql("embedding", "se")} DESC, vec_id LIMIT $k),
+           |pq AS (SELECT vec_id FROM codes
+           |  WHERE vec_id <> $SeedVec
+           |  ORDER BY $adcExpr ASC, vec_id LIMIT $k),
+           |ivfpq AS (SELECT cl.vec_id FROM cl JOIN codes
+           |    ON cl.vec_id = codes.vec_id
+           |  WHERE cl.cluster IN ($probeList) AND cl.vec_id <> $SeedVec
+           |  ORDER BY $adcExpr ASC, cl.vec_id LIMIT $k)
+           |SELECT * FROM (
+           |  SELECT 'ivf' AS method, 'cosine' AS baseline,
+           |    CAST((SELECT count(*) FROM ivf
+           |      WHERE vec_id IN (SELECT vec_id FROM exact_cos)) AS DOUBLE)
+           |      / $k AS recall_at_k,
+           |    (SELECT count(*) FROM ivf) AS n_results
+           |  UNION ALL
+           |  SELECT 'pq_adc', 'l2',
+           |    CAST((SELECT count(*) FROM pq
+           |      WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE)
+           |      / $k,
+           |    (SELECT count(*) FROM pq)
+           |  UNION ALL
+           |  SELECT 'ivf_pq', 'l2',
+           |    CAST((SELECT count(*) FROM ivfpq
+           |      WHERE vec_id IN (SELECT vec_id FROM exact_l2)) AS DOUBLE)
+           |      / $k,
+           |    (SELECT count(*) FROM ivfpq)
+           |) ORDER BY method""".stripMargin
       })
   }
 
