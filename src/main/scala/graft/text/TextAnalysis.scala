@@ -68,37 +68,25 @@ object TextAnalysis {
     * (quality, doc_id) total order: unique ranks, one exact-integer
     * division per row — bit-identical in the oracle.
     *
-    * Computed WITHOUT a corpus-global window: quality is rounded to six
-    * decimals in [0,1], so its domain is ≤ 10⁶+1 values whatever the
-    * corpus size. The global rank decomposes as
-    *   rank(doc) = off(quality) + rank-within-quality(doc_id),
-    * where off(q) = #docs with strictly smaller quality. off comes from a
-    * distributed per-value histogram whose cumulative window runs over
-    * the BOUNDED histogram (the splitDriftKs posture,
-    * pipeline/Curation.scala), broadcast back; the within-value rank is a
-    * hash-partitioned window (partitionBy quality). No task ever holds
-    * more than one quality value's documents — the former no-partition
-    * percent_rank funneled the whole corpus through one task. */
+    * Computed WITHOUT a corpus-global window: each document's exact
+    * 1-based position in the (quality, doc_id) total order comes from
+    * the range-partitioned rank (graft.operators.Ranks.withGlobalPos —
+    * the distributed zipWithIndex), and percent_rank is then the one
+    * exact-integer-division (pos−1)/(N−1) per row. Skew-immune by
+    * construction: the range partitioner splits ON THE FULL SORT KEY
+    * (quality, doc_id), so even a corpus where every document shares
+    * one quality value spreads evenly — the per-value-window
+    * alternative would funnel the dominant value through a single
+    * task. The only single-partition window left runs over the
+    * ≤-shuffle-partitions-row partition histogram. */
   def qualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
-    val hist = q.groupBy("quality").agg(count(lit(1)).as("cnt"))
-    val cum = Window.orderBy("quality")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val whole = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = hist
-      .withColumn("off", coalesce(sum("cnt").over(cum), lit(0L)))
-      .withColumn("total", sum("cnt").over(whole))
-    val within = Window.partitionBy("quality").orderBy("doc_id")
-    // (off + rn − 1) and (total − 1) are exact integers; the one double
-    // division is the same IEEE op percent_rank/DuckDB perform.
-    q.join(broadcast(offsets.drop("cnt")), "quality")
-      .withColumn("rn", row_number().over(within))
-      .select(col("doc_id"), col("quality"),
-        when(col("total") > 1,
-          (col("off") + col("rn") - lit(1)).cast("double") /
-            (col("total") - lit(1)).cast("double"))
+    val ranked = graft.operators.Ranks.withGlobalPos(q,
+      Seq(col("quality").asc, col("doc_id").asc), "__pos")
+    ranked.select(col("doc_id"), col("quality"),
+        when(col("__n") > 1,
+          (col("__pos") - lit(1)).cast("double") /
+            (col("__n") - lit(1)).cast("double"))
           .otherwise(lit(0.0)).as("pct_rank"))
       .orderBy("doc_id")
   }

@@ -236,12 +236,15 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("quality percentiles never window the corpus in one partition") {
-    // rank(doc) = histogram offset + within-quality rank: the per-doc
-    // window must be hash-partitioned by quality, and the only global
-    // cumulative window runs over the bounded ≤10⁶+1-value histogram.
+    // The rank is the range-partitioned global position (skew-immune:
+    // the partitioner splits on the full (quality, doc_id) sort key);
+    // no global ntile/percent_rank window, and every single-partition
+    // exchange feeds from the bounded per-partition count histogram.
     val plan = planOf("text_quality_percentiles")
-    assert("hashpartitioning\\(quality".r.findFirstIn(plan).isDefined,
-      s"per-doc rank window is not partitioned by quality:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"no range repartition for the rank:\n$plan")
+    assert(!plan.contains("percent_rank("),
+      s"a global percent_rank window survived:\n$plan")
     assertSinglePartitionOnlyAboveAgg("text_quality_percentiles", plan)
   }
 
