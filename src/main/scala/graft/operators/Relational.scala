@@ -315,6 +315,31 @@ object Relational {
         .as("approx_median"),
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
 
+  /** Exact WHOLE-TABLE quantiles (p50/p90/p99 of order totals) with no
+    * global window: [[Ranks.withGlobalPos]] assigns each row its exact
+    * position in the total order via range partitions (the distributed
+    * zipWithIndex), and the quantile rows are rank-picked at ⌈p·n⌉
+    * (discrete — no interpolation, engine-portable, ties broken by
+    * o_orderkey so the pick is deterministic). The exact complement of
+    * the [[approxQuantiles]] sketch tier: at 100 TB the sketch is the
+    * cheap first answer and this is the auditable exact path, both
+    * scale-clean — here no task ever sees more than one range
+    * partition's rows. A row matching several pick ranks (tiny n)
+    * emits once per rank via the compacted array explode. */
+  def quantilesGlobalExact(spark: SparkSession, dir: String): DataFrame = {
+    val picks = Seq(50, 90, 99)
+    val ranked = Ranks.withGlobalPos(
+      Tables.load(spark, dir, "orders")
+        .select(col("o_totalprice").as("value"), col("o_orderkey")),
+      Seq(col("value"), col("o_orderkey")), "__pos")
+    ranked
+      .withColumn("p", explode(array_compact(array(picks.map(p =>
+        when(col("__pos") === expr(s"(__n * $p + 99) div 100"),
+          lit(p))): _*))))
+      .select(col("p"), col("value"))
+      .orderBy("p")
+  }
+
   /** S7 — liveness probe (reference `SELECT 1`, `app/etl.py:46-47`). */
   def health(spark: SparkSession, dir: String): DataFrame = {
     val _ = dir

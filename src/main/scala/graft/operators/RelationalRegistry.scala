@@ -83,7 +83,9 @@ object RelationalRegistry {
       "q3_shipping_priority" -> ((s, d) => Relational.q3Shipping(s, d)),
       "orders_above_cust_avg" -> ((s, d) =>
         Relational.ordersAboveCustomerAvg(s, d)),
-      "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d))
+      "approx_quantiles" -> ((s, d) => Relational.approxQuantiles(s, d)),
+      "quantiles_global_exact" -> ((s, d) =>
+        Relational.quantilesGlobalExact(s, d))
     ),
     oracles = Map(
       "scan_project" ->
@@ -573,8 +575,22 @@ object RelationalRegistry {
           |UNION ALL
           |SELECT 'union_all', count(*) FROM
           |  (SELECT c FROM oc UNION ALL SELECT c FROM ec)
-          |ORDER BY op""".stripMargin
+          |ORDER BY op""".stripMargin,
       // approx_quantiles: rows-only (sketch families differ across engines)
+      // quantiles_global_exact: the discrete rank-pick is engine-portable;
+      // the oracle's global window is fine at oracle SF — the Spark side
+      // is the distributed Ranks path.
+      "quantiles_global_exact" ->
+        """WITH ranked AS (
+          |  SELECT o_totalprice AS value,
+          |         row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+          |           AS pos,
+          |         count(*) OVER () AS n
+          |  FROM orders)
+          |SELECT p, value
+          |FROM ranked, (VALUES (50), (90), (99)) AS ps(p)
+          |WHERE pos = (n * p + 99) // 100
+          |ORDER BY p""".stripMargin
     )
   )
 }

@@ -88,6 +88,16 @@ class RelationalSpec extends SparkTestBase {
     assert(out("b") === ((7.0, 7.0, 7.0)))
   }
 
+  test("global exact quantiles equal the collected order statistics") {
+    val rows = Relational.quantilesGlobalExact(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val vals = graft.Tables.load(spark, dir, "orders")
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    def pick(p: Int): Double = vals((n * p + 99) / 100 - 1)
+    assert(rows === Map(50 -> pick(50), 90 -> pick(90), 99 -> pick(99)))
+  }
+
   test("pivot matrix cells sum to the event count; absent combos are 0") {
     val rows = Relational.pivotEventMatrix(spark, dir).collect()
     val total = rows.map(r =>
