@@ -256,10 +256,16 @@ object Recs {
         col("p_brand").as("category_id"))
     val seedCat = part.filter(col("product_id") === seedPart)
       .select("category_id")
-    val catRank = part.join(broadcast(seedCat), "category_id")
-      .filter(col("product_id") =!= seedPart)
-      .select(col("product_id"),
-        row_number().over(Window.orderBy(asc("product_id"))).as("r_cat"))
+    // The category arm ranks a category-sized slice of the catalog —
+    // dimension-bounded, but at warehouse scale still a fat list, so the
+    // rank is the range-partitioned global position, not a one-task
+    // window (values identical: same (product_id) total order).
+    val catRank = Ranks.withGlobalPos(
+      part.join(broadcast(seedCat), "category_id")
+        .filter(col("product_id") =!= seedPart)
+        .select(col("product_id")),
+      Seq(asc("product_id")), "r_cat")
+      .select(col("product_id"), col("r_cat"))
     coRank.join(catRank, Seq("product_id"), "full_outer")
       .select(col("product_id"),
         (coalesce(lit(1.0) / (lit(rrfK) + col("r_co")), lit(0.0)) +

@@ -156,21 +156,20 @@ object Curation {
 
   /** Quality-floor calibration: the EXACT threshold that keeps the top
     * `pct`% of documents by quality — the ⌈n·pct/100⌉-th order statistic
-    * descending (ties by doc_id). Exact global order statistics pay one
-    * global sort; that is the point of a calibration run — the per-batch
-    * scale path is the approx-quantile sketch (`approx_quantiles`), with
-    * this as its audit. */
+    * descending (ties by doc_id). The rank is the range-partitioned
+    * global position (`Ranks.withGlobalPos` — no task ever holds more
+    * than one range partition), whose `__n` also supplies the total
+    * count; the per-batch scale path is the approx-quantile sketch
+    * (`approx_quantiles`), with this as its exact audit. */
   def qualityFloorCalibration(spark: SparkSession, dir: String,
                               rates: Seq[Int] = Seq(50, 80, 90)): DataFrame = {
     val q = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("quality").desc, col("doc_id"))
-    val ranked = q.withColumn("rk", row_number().over(w))
-    val n = broadcast(q.agg(count(lit(1)).as("c")))
+    val ranked = graft.operators.Ranks.withGlobalPos(q,
+      Seq(col("quality").desc, col("doc_id")), "rk")
     rates.map { pct =>
-      ranked.crossJoin(n)
-        .filter(col("rk") === ceil(col("c") * pct / lit(100.0)).cast("long"))
+      ranked
+        .filter(col("rk") === ceil(col("__n") * pct / lit(100.0)).cast("long"))
         .select(lit(pct).as("keep_pct"), col("quality").as("floor"))
     }.reduce(_.unionByName(_)).orderBy("keep_pct")
   }

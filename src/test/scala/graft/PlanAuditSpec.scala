@@ -26,6 +26,19 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("no registry query funnels raw scanned rows through one partition") {
+    // The generalization of the per-query pins below: across the WHOLE
+    // registry, every Exchange SinglePartition must feed from a bounded
+    // aggregation (a histogram / scalar / per-partition count), never
+    // directly from scanned rows — the shape that turns a 100 TB scan
+    // into a one-task sort. Queries justified to violate this would be
+    // whitelisted here with a reason; today none need it.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assertSinglePartitionOnlyAboveAgg(name, plan)
+    }
+  }
+
   test("point lookup pushes the key predicate to the parquet scan") {
     val plan = planOf("point_lookup")
     assert(plan.contains("PushedFilters: [") &&
