@@ -1,21 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Distributed exact global ranking — the building block that replaces
   * no-partition window functions (`ntile`/`row_number`/`percent_rank`
   * over a whole table), which funnel every row through ONE task.
   *
   * The shape is the classic distributed zipWithIndex: range-repartition
-  * on the sort keys, rank within each partition, and add per-partition
-  * cumulative offsets. The offsets come from a histogram with one row
-  * per shuffle partition, so the only single-partition window in the
-  * plan runs over ≤ `spark.sql.shuffle.partitions` rows — never the
-  * data. Positions are exact whatever bounds the range sampler picks,
-  * because offsets are computed from the ACTUAL per-partition counts
-  * inside the same plan (the exchange is reused, not re-executed).
+  * on the sort keys, sort within partitions, then ONE shuffle feeds two
+  * jobs over the SAME RDD — a per-partition count pass and the position
+  * pass that adds the cumulative offsets. Sharing the RDD is what makes
+  * this exact: the range sampler's bounds are drawn once and the shuffle
+  * files written once, so the counts and the rows cannot disagree.
+  * (The previous formulation joined a separately-computed offsets
+  * branch; Catalyst planned that as TWO physical range exchanges whose
+  * independently-sampled bounds could differ, silently shifting
+  * positions at partition boundaries — caught by the sf0.01 oracle.)
+  *
+  * Positions are exact whatever bounds the sampler picks, because the
+  * offsets come from the actual per-partition counts of the very
+  * shuffle the rows are read from. No task ever holds more than one
+  * range partition; the count pass is a streamed `it.size` per
+  * partition. The `Row` hop costs one encode/decode per row — the
+  * price of exactness; rank-hungry callers run it once per query.
   */
 object Ranks {
 
@@ -24,22 +33,24 @@ object Ranks {
     * tiebreak column), and `__n` = total row count. */
   private[graft] def withGlobalPos(df: DataFrame, sortCols: Seq[Column],
                                    posName: String): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.drop("__n")
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.drop("__n")
       .repartitionByRange(n, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val cum = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val whole = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offs = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum("__cnt").over(cum), lit(0L)))
-      .withColumn("__n", sum("__cnt").over(whole))
-      .drop("__cnt")
-    val within = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    parted.join(broadcast(offs), "__pid")
-      .withColumn(posName, col("__off") + row_number().over(within))
-      .drop("__pid", "__off")
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd // ONE lineage: shuffle written once, read twice
+    val counts = rdd.mapPartitions(
+      it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val withPos = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      var i = offsets(pid)
+      it.map { row => i += 1L; Row.fromSeq(row.toSeq :+ i) }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(withPos,
+        sorted.schema.add(posName, LongType, nullable = false))
+      .withColumn("__n", lit(total))
   }
 
   /** ntile(k) bucket from a global position — the closed form of the

@@ -44,6 +44,27 @@ class RanksSpec extends SparkTestBase {
     assert(got.sortBy(_._1).map(_._2).toSeq == (1L to 101L))
   }
 
+  test("withGlobalPos is exact past the range sampler's exact window") {
+    // Above ~sampleSizePerPartition·parts rows the range bounds come
+    // from a RANDOM sample. The r7 regression: a separately-planned
+    // offsets branch re-sampled different bounds and shifted positions
+    // at partition boundaries — only visible at this size. One RDD
+    // lineage now feeds both passes, so positions stay exact; three
+    // repetitions guard against sampling luck.
+    val df = randomDf(20000, seed = 3)
+    val keys = Seq(col("noise").desc, col("id").asc)
+    val want = df.withColumn("pos",
+        row_number().over(Window.orderBy(keys: _*)).cast("long"))
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for (rep <- 1 to 3) {
+      val got = Ranks.withGlobalPos(df, keys, "pos")
+        .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == want, s"rep=$rep")
+    }
+  }
+
   test("ntileBucket matches Spark's ntile across sizes and bucket counts") {
     for (n <- Seq(5, 20, 97, 500); k <- Seq(2, 5, 7)) {
       val df = randomDf(n, seed = n * 31L + k)
