@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -789,6 +789,77 @@ object GraphAlgs {
     }
     ranks.select(col("id"), col("r").as("rank"))
       .orderBy(desc("rank"), asc("id")).limit(k)
+  }
+
+  /** Distinct customer→product purchase pairs — the bipartite relation
+    * HITS iterates over; laid out by src (customer) like the other
+    * static rank-edge relations. */
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "hits-purchase-edges", dir) {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val o = graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = graft.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      graft.Layout.checkpoint(e.repartition(n, col("c")))
+    }
+
+  /** Fixed-iteration HITS (hubs & authorities) over the bipartite
+    * customer→product purchase graph — customers are hubs (good buyers
+    * point at good products), products are authorities. Kleinberg's
+    * mutual recursion with L1 normalization each half-step: a ∝ Σ_in h,
+    * h ∝ Σ_out a. L1 (divide by the sorted-fold total) instead of the
+    * usual L2 keeps every operation an exact double chain the DuckDB
+    * twin reproduces bit-for-bit — same fixed point up to a constant
+    * factor, and the per-round rescale is what makes 5 rounds stable.
+    *
+    * Scale shape: the state is one double per CONNECTED node per side,
+    * gated broadcast-vs-merge like [[fixedRanks]] (a warehouse graph
+    * flips to the exchange-free sort-merge path); each half-step pays
+    * one |E|-keyed fold shuffle — the honest cost — plus a 1-row scalar
+    * total broadcast. Per-round state checkpoints via the shared K=2
+    * policy. Output: top-k per side, deterministic total order. */
+  def hitsFixedTop(spark: SparkSession, dir: String, iters: Int = 5,
+                   k: Int = 10): DataFrame = {
+    val coPart = stateCoPartitioned(spark, dir)
+    val e = purchaseEdges(spark, dir)
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (s, x) => s + x)
+    def l1(df: DataFrame, v: String): DataFrame = {
+      val tot = df.agg(foldSum(col(v)).as("__t"))
+      df.crossJoin(broadcast(tot))
+        .select(df.columns.filter(c => c != v && c != "__t").map(col) :+
+          (col(v) / col("__t")).as(v): _*)
+    }
+    def side(df: DataFrame): DataFrame =
+      if (coPart) df.hint("merge") else broadcast(df)
+    var hubs = e.select(col("c")).distinct().withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      auths = graft.Layout.roundCheckpoint(
+        l1(e.join(side(hubs), "c").groupBy("p").agg(foldSum(col("h")).as("a")),
+          "a"),
+        preserveLayout = coPart, round = i, last = i == iters)
+      hubs = graft.Layout.roundCheckpoint(
+        l1(e.join(side(auths), "p").groupBy("c").agg(foldSum(col("a")).as("h")),
+          "h"),
+        preserveLayout = coPart, round = i, last = i == iters)
+    }
+    val aRows = auths.select(lit("authority").as("kind"),
+      col("p").cast("bigint").as("node_id"), col("a").as("score"))
+    val hRows = hubs.select(lit("hub").as("kind"),
+      col("c").cast("bigint").as("node_id"), col("h").as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kind")
+      .orderBy(desc("score"), asc("node_id"))
+    aRows.unionAll(hRows)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("kind"), col("node_id"), col("score"),
+        col("rk").cast("bigint").as("rk"))
+      .orderBy("kind", "rk")
   }
 
   /** Global-column finisher: GraphX renormalizes final ranks to sum to

@@ -115,6 +115,41 @@ object GraphRegistry {
          |ORDER BY rank DESC, id LIMIT $k""".stripMargin
   }
 
+  /** Twin of GraphAlgs.hitsFixedTop: same bipartite purchase relation,
+    * same unrolled L1-normalized half-steps, same sorted folds — every
+    * intermediate double bit-identical. */
+  private def hitsSql(iters: Int, k: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+         |    l_partkey AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS h FROM e)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT p, list_sum(list_sort(list(h.h))) AS a
+         |  FROM e JOIN h${i - 1} h USING (c) GROUP BY p),
+         |at$i AS (SELECT list_sum(list_sort(list(a))) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT p, a / t AS a FROM ar$i, at$i),
+         |hr$i AS (SELECT c, list_sum(list_sort(list(a.a))) AS h
+         |  FROM e JOIN a$i a USING (p) GROUP BY c),
+         |ht$i AS (SELECT list_sum(list_sort(list(h))) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT c, h / t AS h FROM hr$i, ht$i)"""
+        .stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"""
+         |SELECT kind, node_id, score, rk FROM (
+         |  SELECT 'authority' AS kind, CAST(p AS BIGINT) AS node_id,
+         |    a AS score,
+         |    CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT) AS rk
+         |  FROM a$iters
+         |  UNION ALL
+         |  SELECT 'hub', CAST(c AS BIGINT), h,
+         |    CAST(row_number() OVER (ORDER BY h DESC, c) AS BIGINT)
+         |  FROM h$iters
+         |) WHERE rk <= $k ORDER BY kind, rk""".stripMargin
+  }
+
   /** Seed-pinned damped propagation CTE chain (twin of
     * GraphAlgs.pprFixedRanks), ending at r`iters`. */
   private def pprRanksSql(seed: String, iters: Int): String = {
@@ -332,7 +367,8 @@ object GraphRegistry {
       "graph_link_prediction" -> ((s, d) =>
         GraphAlgs.linkPredictionForProduct(s, d)),
       "weighted_pagerank_top" -> ((s, d) =>
-        GraphAlgs.weightedPageRankTop(s, d))
+        GraphAlgs.weightedPageRankTop(s, d)),
+      "hits_fixed_top" -> ((s, d) => GraphAlgs.hitsFixedTop(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -562,7 +598,8 @@ object GraphRegistry {
            |  (SELECT d FROM deg WHERE p = 1) ds
            |ORDER BY jaccard DESC, cn DESC, product_id ASC
            |LIMIT 10""".stripMargin,
-      "weighted_pagerank_top" -> weightedPageRankSql(5, 20)
+      "weighted_pagerank_top" -> weightedPageRankSql(5, 20),
+      "hits_fixed_top" -> hitsSql(5, 10)
     )
   )
 }

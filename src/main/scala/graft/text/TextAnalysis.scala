@@ -91,6 +91,94 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Rule-based document quality gates in the Gopher/C4 style: cheap
+    * per-document heuristics that catch boilerplate, machine-generated
+    * noise, and fragments BEFORE any model-based scorer runs — the
+    * first filter stage of a web-scale curation pipeline, where a
+    * one-scan codegen'd pass over 100 TB is the only affordable shape.
+    * Gates (thresholds as published in the Gopher paper's rule set,
+    * adapted to this corpus's scale): word count in [MinWords, MaxWords],
+    * mean word length in [3, 10], ≥80% of words containing an alphabetic
+    * character, ≥2 distinct stopwords present, and a symbol-to-word
+    * ratio (#/ellipsis) ≤ 0.1. Every signal is exact integer arithmetic
+    * or a single exact int/int→double division, so the flags are
+    * bit-identical across engines. One whole-stage-codegen'd scan, zero
+    * shuffles — runs at parquet-read speed at any scale. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame =
+    gopherFiltersOf(Tables.load(spark, dir, "documents"))
+
+  def gopherFiltersOf(docs: DataFrame): DataFrame = {
+    val flagged = docs
+      .withColumn("toks", tokens)
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_alpha_words",
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))))
+      .withColumn("n_stop_distinct",
+        Stopwords.map(w =>
+          when(array_contains(col("toks"), w), 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("n_symbol_words",
+        size(filter(col("toks"),
+          t => t.contains("#") || t.contains("..."))))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / col("n_words"))
+      .withColumn("pass_word_count",
+        col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords)
+      .withColumn("pass_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_alpha",
+        col("n_alpha_words") * lit(10L) >= col("n_words") * lit(8L))
+      .withColumn("pass_stop", col("n_stop_distinct") >= 2)
+      .withColumn("pass_symbol",
+        col("n_symbol_words") * lit(10L) <= col("n_words"))
+    flagged.select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        col("n_alpha_words"), col("n_stop_distinct"), col("n_symbol_words"),
+        col("pass_word_count"), col("pass_mean_word_len"), col("pass_alpha"),
+        col("pass_stop"), col("pass_symbol"),
+        (col("pass_word_count") && col("pass_mean_word_len") &&
+          col("pass_alpha") && col("pass_stop") && col("pass_symbol"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Attrition funnel through the Gopher gates, applied in the fixed
+    * order above: survivors after each successive gate, plus the final
+    * keep count. The audit a filter-pipeline change ships with — which
+    * gate is doing the cutting. Same one-scan flags, folded to six
+    * integer counts (map-side combinable conditional sums). */
+  def gopherFunnel(spark: SparkSession, dir: String): DataFrame =
+    gopherFunnelOf(Tables.load(spark, dir, "documents"))
+
+  def gopherFunnelOf(docs: DataFrame): DataFrame = {
+    val f = gopherFiltersOf(docs)
+    val gates = Seq("pass_word_count", "pass_mean_word_len", "pass_alpha",
+      "pass_stop", "pass_symbol")
+    val cum = gates.inits.toSeq.reverse.tail // prefixes in gate order
+    val counts = f.agg(
+      count(lit(1)).as("total"),
+      cum.zipWithIndex.map { case (prefix, i) =>
+        sum(when(prefix.map(col).reduce(_ && _), 1L).otherwise(0L))
+          .as(s"s$i")
+      }: _*)
+    val stages = lit("total") +: cum.indices.map(i =>
+      lit(s"after_${gates(i).stripPrefix("pass_")}"))
+    val values = col("total") +: cum.indices.map(i => col(s"s$i"))
+    counts.select(
+        explode(arrays_zip(
+          array(stages: _*).as("stage"),
+          sequence(lit(0), lit(gates.size)).as("stage_idx"),
+          array(values: _*).as("survivors"))).as("z"))
+      .select(col("z.stage_idx").cast("bigint").as("stage_idx"),
+        col("z.stage").as("stage"), col("z.survivors").as("survivors"))
+      .orderBy("stage_idx")
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "is", "of"),
     "de" -> Seq("der", "die", "das", "und"),

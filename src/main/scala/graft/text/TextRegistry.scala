@@ -9,6 +9,38 @@ object TextRegistry {
 
   private val Toks = raw"string_split_regex(trim(text), '\s+')"
 
+  /** Shared CTE prefix of the Gopher-gate oracles: the per-document
+    * flags, expression-for-expression the Spark ones (same stopword
+    * set, same exact-integer cross-multiplies for the ratio gates). */
+  private val GopherFlagsSql: String = {
+    val stopSum = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(w => s"CAST(list_contains(toks, '$w') AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH f AS (SELECT doc_id, $Toks AS toks,
+       |  length(replace(text, ' ', '')) AS nsp
+       |FROM documents),
+       |g AS (SELECT doc_id,
+       |  len(toks) AS n_words,
+       |  len(list_filter(toks,
+       |    t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha_words,
+       |  $stopSum AS n_stop_distinct,
+       |  len(list_filter(toks,
+       |    t -> contains(t, '#') OR contains(t, '...'))) AS n_symbol_words,
+       |  nsp * 1.0 / len(toks) AS mean_word_len,
+       |  len(toks) >= ${TextAnalysis.GopherMinWords}
+       |    AND len(toks) <= ${TextAnalysis.GopherMaxWords}
+       |    AS pass_word_count,
+       |  nsp * 1.0 / len(toks) >= 3.0 AND nsp * 1.0 / len(toks) <= 10.0
+       |    AS pass_mean_word_len,
+       |  len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 10
+       |    >= len(toks) * 8 AS pass_alpha,
+       |  ($stopSum) >= 2 AS pass_stop,
+       |  len(list_filter(toks,
+       |    t -> contains(t, '#') OR contains(t, '...'))) * 10
+       |    <= len(toks) AS pass_symbol
+       |FROM f)""".stripMargin
+  }
+
   val registry: Registry = Registry(
     queries = Map(
       "text_token_counts" -> ((s, d) => {
@@ -38,6 +70,16 @@ object TextRegistry {
       "text_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
       "text_quality_percentiles" -> ((s, d) =>
         TextAnalysis.qualityPercentiles(s, d)),
+      "text_gopher_filters" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        TextAnalysis.gopherFilters(s, d)
+          .withColumn("n_words", col("n_words").cast("bigint"))
+          .withColumn("n_alpha_words", col("n_alpha_words").cast("bigint"))
+          .withColumn("n_stop_distinct",
+            col("n_stop_distinct").cast("bigint"))
+          .withColumn("n_symbol_words", col("n_symbol_words").cast("bigint"))
+      }),
+      "text_gopher_funnel" -> ((s, d) => TextAnalysis.gopherFunnel(s, d)),
       "text_commonness" -> ((s, d) => TextAnalysis.commonness(s, d)),
       "text_length_hist" -> ((s, d) => TextAnalysis.lengthHist(s, d)),
       "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
@@ -93,6 +135,40 @@ object TextRegistry {
            |       WHEN hits_es = mx THEN 'es' ELSE 'fr' END AS lang_pred,
            |  mx AS marker_hits
            |FROM m ORDER BY doc_id""".stripMargin,
+      "text_gopher_filters" -> (GopherFlagsSql +
+        s"""
+           |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+           |  n_alpha_words, n_stop_distinct, n_symbol_words,
+           |  pass_word_count, pass_mean_word_len, pass_alpha,
+           |  pass_stop, pass_symbol,
+           |  (pass_word_count AND pass_mean_word_len AND pass_alpha
+           |   AND pass_stop AND pass_symbol) AS keep
+           |FROM g ORDER BY doc_id""".stripMargin),
+      "text_gopher_funnel" -> (GopherFlagsSql +
+        s""",
+           |c AS (SELECT count(*) AS total,
+           |  CAST(sum(CASE WHEN pass_word_count THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS s0,
+           |  CAST(sum(CASE WHEN pass_word_count AND pass_mean_word_len
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           |  CAST(sum(CASE WHEN pass_word_count AND pass_mean_word_len
+           |    AND pass_alpha THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           |  CAST(sum(CASE WHEN pass_word_count AND pass_mean_word_len
+           |    AND pass_alpha AND pass_stop THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS s3,
+           |  CAST(sum(CASE WHEN pass_word_count AND pass_mean_word_len
+           |    AND pass_alpha AND pass_stop AND pass_symbol
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS s4
+           |FROM g)
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+           |    total AS survivors FROM c
+           |  UNION ALL SELECT 1, 'after_word_count', s0 FROM c
+           |  UNION ALL SELECT 2, 'after_mean_word_len', s1 FROM c
+           |  UNION ALL SELECT 3, 'after_alpha', s2 FROM c
+           |  UNION ALL SELECT 4, 'after_stop', s3 FROM c
+           |  UNION ALL SELECT 5, 'after_symbol', s4 FROM c
+           |) ORDER BY stage_idx""".stripMargin),
       "text_fingerprint" ->
         s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
            |  md5(array_to_string(($Toks)[1:8], ' ')) AS prefix_fp

@@ -184,6 +184,50 @@ class GraphSpec extends SparkTestBase {
       assert(math.abs(r - gx(id)) < 1e-9, s"$id rel=$r gx=${gx(id)}")
   }
 
+  test("HITS matches a literal driver-side iteration at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val o = Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val e = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as[Long], $"l_partkey".as[Long])
+      .distinct().collect().toSeq
+    // literal HITS with the same sorted-ascending summation order
+    def sSum(xs: Seq[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+    var h = e.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 1 to 5) {
+      val ar = e.groupBy(_._2).map { case (p, es) =>
+        p -> sSum(es.map(x => h(x._1)).toSeq)
+      }
+      val at = sSum(ar.values.toSeq)
+      a = ar.map { case (p, v) => p -> v / at }
+      val hr = e.groupBy(_._1).map { case (c, es) =>
+        c -> sSum(es.map(x => a(x._2)).toSeq)
+      }
+      val ht = sSum(hr.values.toSeq)
+      h = hr.map { case (c, v) => c -> v / ht }
+    }
+    val got = GraphAlgs.hitsFixedTop(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wantAuth = a.toSeq.sortBy { case (p, v) => (-v, p) }.take(10)
+    val wantHub = h.toSeq.sortBy { case (c, v) => (-v, c) }.take(10)
+    val gotAuth = got.filter(_._1 == "authority").map(t => (t._2, t._3))
+    val gotHub = got.filter(_._1 == "hub").map(t => (t._2, t._3))
+    assert(gotAuth.map(_._1) == wantAuth.map(_._1))
+    assert(gotHub.map(_._1) == wantHub.map(_._1))
+    gotAuth.zip(wantAuth).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-12) }
+    gotHub.zip(wantHub).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-12) }
+    // L1 invariant: each side's full distribution sums to 1 (check the
+    // top slice is a probability prefix: positive, non-increasing)
+    assert(gotAuth.map(_._2).forall(_ > 0))
+    assert(gotAuth.map(_._2) == gotAuth.map(_._2).sortBy(-_))
+  }
+
   test("canonical write round-trips, partitioned by label/rel_type, idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-canon").toString
     GraphBuilder.writeCanonical(spark, dir, out)

@@ -268,4 +268,46 @@ class TextSpec extends SparkTestBase {
     assert(out(1).getLong(1) === 2 && out(1).getLong(2) === 70
       && out(1).getLong(3) === 100 && out(1).getLong(4) === 170)
   }
+
+  test("gopher gates: each rule fires on its crafted violator") {
+    val good = (("the of word " * 20) + "tail").trim // 61 words, 2+ stops
+    val short = "the of tiny doc"                    // fails word count
+    val numeric = ("1 2 3 4 5 the of " * 10).trim    // <80% alphabetic
+    val noStop = ("word " * 60).trim                 // only 0-1 distinct stops
+    val symbols = (("# ... the of w " * 12)).trim    // symbol ratio > 0.1
+    val out = TextAnalysis.gopherFiltersOf(docs(
+        1 -> good, 2 -> short, 3 -> numeric, 4 -> noStop, 5 -> symbols))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def flag(id: Int, name: String): Boolean = {
+      val r = out(id)
+      r.getBoolean(r.fieldIndex(name))
+    }
+    assert(flag(1, "keep"))
+    assert(!flag(2, "pass_word_count") && !flag(2, "keep"))
+    assert(flag(3, "pass_word_count") && !flag(3, "pass_alpha"))
+    assert(!flag(4, "pass_stop"))
+    assert(!flag(5, "pass_symbol") && flag(5, "pass_stop"))
+  }
+
+  test("gopher funnel: monotone attrition consistent with the flags") {
+    val corpus = (1 to 30).map { i =>
+      i -> (if (i % 3 == 0) "the of tiny" // fails word count
+            else (("the of word w" + i + " ") * 15).trim)
+    }
+    val flags = TextAnalysis.gopherFiltersOf(docs(corpus: _*))
+    val funnel = TextAnalysis.gopherFunnelOf(docs(corpus: _*))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(funnel("total") === 30L)
+    assert(funnel("after_word_count") === 20L)
+    // survivors never increase along the gate order
+    val order = Seq("total", "after_word_count", "after_mean_word_len",
+      "after_alpha", "after_stop", "after_symbol")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(funnel(a) >= funnel(b), s"$a -> $b")
+    }
+    // final stage equals the conjunction count from the flags frame
+    val kept = flags.filter(org.apache.spark.sql.functions.col("keep"))
+      .count()
+    assert(funnel("after_symbol") === kept)
+  }
 }
