@@ -638,6 +638,116 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication report: pairwise cosine
+    * INSIDE each IVF cell (never across — the published SemDeDup
+    * shape), pairs ≥ threshold are semantic duplicates, and the
+    * keep-min-vec_id rule drops every vector with a smaller-id
+    * neighbor in its cell. Per-cell report: size, dup pairs, dropped.
+    *
+    * Scale shape: the quadratic pair set is bounded per cell at ~√N by
+    * the index's autoClusters sizing (Σ n_c² ≈ N·√N candidate terms,
+    * each a codegen'd fold — the same budget the published method
+    * accepts); the join is key-equal on `cluster`, so cells
+    * parallelize across executors and nothing all-pairs ever forms.
+    * Exact adaptive oracle: pinned centroids make the cell assignment
+    * SQL-expressible; the cosine and the keep rule are plain joins. */
+  def semDedupReport(spark: SparkSession, dir: String,
+                     threshold: Double = 0.4): DataFrame = {
+    val (_, assigned, _) = ivfIndex(spark, dir, 0)
+    val x = assigned.select(col("cluster"), col("vec_id"), col("embedding"))
+    val pairs = x.select(col("cluster"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      .join(x.select(col("cluster"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cluster"))
+      .filter(col("v1") < col("v2"))
+      .filter(cosine(col("e1"), col("e2")) >= threshold)
+      .select("cluster", "v1", "v2")
+    val perCell = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"))
+    val pairCnt = pairs.groupBy("cluster")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val dropped = pairs.select(col("cluster"), col("v2")).distinct()
+      .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+    perCell.join(pairCnt, Seq("cluster"), "left")
+      .join(dropped, Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
+      .select(col("cluster").cast("bigint").as("cluster"),
+        col("n_vectors"), col("n_dup_pairs"), col("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  /** Batch k-nearest-neighbor JOIN via the IVF index: every vector
+    * finds its top-k cosine neighbors among the vectors of its nProbe
+    * nearest cells — the all-queries-at-once retrieval shape behind
+    * retrieval augmentation and SemDeDup candidate generation, where
+    * one query at a time (cosineTopK) would be a driver loop.
+    *
+    * Per-vector probe list = the nProbe first entries of the sorted
+    * (centroid-distance, cell) pairs — deterministic tie-break on the
+    * cell id, identical in both engines. The candidate relation is
+    * |V|·nProbe rows keyed by cell joined against the cell-keyed
+    * corpus: each query meets ~nProbe·√N candidates, never N, and the
+    * join parallelizes by cell. The per-query top-k is a window over
+    * each query's bounded candidate set. Exact adaptive oracle via the
+    * pinned centroids. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
+              nProbe: Int = 2): DataFrame = {
+    val (model, assigned, _) = ivfIndex(spark, dir, 0)
+    val centers = model.clusterCenters.map(_.toArray)
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val dists = array(centers.map(c =>
+      aggregate(zip_with(e, array(c.map(lit(_)).toIndexedSeq: _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x))
+      .toIndexedSeq: _*)
+    val idx = sequence(lit(0), lit(centers.length - 1))
+    val probes = slice(transform(
+      array_sort(arrays_zip(dists.as("d"), idx.as("i"))),
+      s => s.getField("i")), 1, nProbe)
+    val queries = assigned
+      .select(col("vec_id").as("q"), col("embedding").as("qe"),
+        explode(probes).as("cluster"))
+    val cand = queries.join(
+        assigned.select(col("cluster"), col("vec_id").as("nn"),
+          col("embedding").as("ne")),
+        Seq("cluster"))
+      .filter(col("q") =!= col("nn"))
+      .select(col("q"), col("nn"),
+        cosine(col("qe"), col("ne")).as("cos"))
+      // a neighbor shared by two probed cells must count once
+      .dropDuplicates("q", "nn")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy(desc("cos"), asc("nn"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q").as("vec_id"), col("nn").as("nn_vec_id"),
+        col("cos"), col("rk").cast("bigint").as("rk"))
+      .orderBy("vec_id", "rk")
+  }
+
+  /** Two-stage ANN serving — coarse-then-refine, the production FAISS
+    * pattern: the IVF-PQ ADC scan nominates `coarse` candidates from
+    * the 2-byte coded corpus (cheap, slightly lossy), then ONLY those
+    * rows' float vectors are re-read for an exact cosine re-rank of
+    * the final top-k. At scale the refine stage touches `coarse` rows
+    * of the float table (a broadcast-semi-join point read), so the
+    * expensive exact math runs on 40 rows, not a billion — recovering
+    * most of the exact ranking at ADC cost. Exact adaptive oracle
+    * (pinned centroids + codebooks + ADC tables feed the same coarse
+    * list). */
+  def ivfRerankTopK(spark: SparkSession, dir: String, seedId: Long,
+                    k: Int = 10, coarse: Int = 40): DataFrame = {
+    val cand = ivfPqTopK(spark, dir, seedId, k = coarse).select("vec_id")
+    val e = emb(spark, dir)
+    val seed = e.filter(col("vec_id") === seedId)
+      .select(col("embedding").as("se"))
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("se")).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Exact squared-L2 top-k — the ADC family's exact baseline (cosine
     * is [[cosineTopK]]'s): same scan + 1-row broadcast + TakeOrdered
     * shape. */

@@ -81,7 +81,11 @@ object SimilarityRegistry {
       "sim_ann_quality" -> ((s, d) =>
         Similarity.annQualityReport(s, d, SeedVec)),
       "sim_centroid_shift" -> ((s, d) => Similarity.centroidShift(s, d)),
-      "emb_coverage" -> ((s, d) => Similarity.vectorCoverage(s, d))
+      "emb_coverage" -> ((s, d) => Similarity.vectorCoverage(s, d)),
+      "sim_semdedup" -> ((s, d) => Similarity.semDedupReport(s, d)),
+      "sim_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+      "sim_ivf_rerank" -> ((s, d) =>
+        Similarity.ivfRerankTopK(s, d, SeedVec))
     ),
     oracles = Map(
       "sim_norms" ->
@@ -307,6 +311,61 @@ object SimilarityRegistry {
            |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes_used
            |FROM subs GROUP BY subspace ORDER BY subspace""".stripMargin
       },
+      // SemDeDup: within-cell pairs at the verify threshold, keep-min
+      // drop rule — cell assignment via the pinned centroids.
+      "sim_semdedup" ->
+        s"""WITH $vCte,
+           |$clCte,
+           |p2 AS (SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2
+           |  FROM cl a JOIN cl b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+           |per AS (SELECT cluster, count(*) AS n_vectors
+           |        FROM cl GROUP BY cluster),
+           |pc AS (SELECT cluster, count(*) AS n_dup_pairs
+           |       FROM p2 GROUP BY cluster),
+           |dr AS (SELECT cluster, count(DISTINCT v2) AS n_dropped
+           |       FROM p2 GROUP BY cluster)
+           |SELECT CAST(per.cluster AS BIGINT) AS cluster,
+           |  CAST(per.n_vectors AS BIGINT) AS n_vectors,
+           |  CAST(coalesce(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           |  CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped
+           |FROM per LEFT JOIN pc ON per.cluster = pc.cluster
+           |         LEFT JOIN dr ON per.cluster = dr.cluster
+           |ORDER BY cluster""".stripMargin,
+      // Batch kNN join: per-vector probe list = nProbe first entries of
+      // the sorted (distance, cell) pairs; candidates keyed by cell.
+      "sim_knn_join" ->
+        s"""WITH $vCte,
+           |$clCte,
+           |pr AS (SELECT vec_id AS q, embedding AS qe, unnest(
+           |    list_transform(list_sort(list_zip(dists,
+           |      range(len(dists)))), p -> p[2])[1:2]) AS cluster
+           |  FROM asg),
+           |cand AS (SELECT DISTINCT pr.q, c.vec_id AS nn,
+           |    ${cosSql("pr.qe", "c.embedding")} AS cos
+           |  FROM pr JOIN cl c
+           |    ON c.cluster = pr.cluster AND c.vec_id <> pr.q)
+           |SELECT q AS vec_id, nn AS nn_vec_id, cos,
+           |  CAST(row_number() OVER (PARTITION BY q
+           |    ORDER BY cos DESC, nn) AS BIGINT) AS rk
+           |FROM cand QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+      // Coarse-then-refine: the IVF-PQ ADC top-40 list re-ranked by
+      // exact cosine over only those rows' float vectors.
+      "sim_ivf_rerank" ->
+        s"""WITH $vCte,
+           |$clCte,
+           |$dlCte,
+           |$codesCte,
+           |$seedCte,
+           |coarse AS (SELECT cl.vec_id FROM cl JOIN codes
+           |    ON cl.vec_id = codes.vec_id
+           |  WHERE cl.cluster IN ($probeList) AND cl.vec_id <> $SeedVec
+           |  ORDER BY $adcExpr ASC, cl.vec_id LIMIT 40)
+           |SELECT v.vec_id, v.label,
+           |  ${cosSql("v.embedding", "se")} AS cos
+           |FROM v JOIN coarse USING (vec_id), s
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
       // Recall@k of each serving path against its exact baseline: every
       // ranking below is the SAME top-k list its standalone oracle
       // produces, and recall is an exact integer intersection / k.

@@ -293,6 +293,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
   }
 
+  test("semdedup: cell totals reconcile, drops fire, keep-min holds") {
+    val rows = Similarity.semDedupReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nVecs = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == nVecs) // every vector in exactly one cell
+    rows.foreach { case (_, n, pairs, dropped) =>
+      assert(dropped <= pairs)           // each drop needs >= 1 pair
+      assert((pairs > 0) == (dropped > 0))
+      assert(dropped < math.max(n, 1L))  // min-id member always survives
+    }
+    // the corpus's planted near-dups co-locate often enough to fire
+    assert(rows.map(_._4).sum > 0, "no semantic duplicates found")
+  }
+
+  test("knn join: k rows per query, self excluded, deterministic") {
+    val rows = Similarity.knnJoin(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    val nVecs = Tables.load(spark, dir, "embeddings").count()
+    assert(byQ.size == nVecs)
+    byQ.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length))
+      assert(g.length <= 3)
+      assert(g.forall(t => t._1 != t._2))
+      // ranks follow cosine descending
+      val sorted = g.sortBy(_._4).map(_._3).toSeq
+      sorted.zip(sorted.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+    val again = Similarity.knnJoin(spark, dir, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(again.toSeq == rows.map(t => (t._1, t._2, t._4)).toSeq)
+  }
+
+  test("rerank: exact-cosine order over the ADC coarse set, recall >= ADC") {
+    val coarse = Similarity.ivfPqTopK(spark, dir, 0L, k = 40).collect()
+      .map(_.getLong(0)).toSet
+    val rr = Similarity.ivfRerankTopK(spark, dir, 0L, k = 10, coarse = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rr.length == 10)
+    assert(rr.forall(t => coarse(t._1))) // refine only re-orders the coarse set
+    val cos = rr.map(_._2)
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    val exact = Similarity.cosineTopK(spark, dir, 0L, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    val adc = Similarity.ivfPqTopK(spark, dir, 0L, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    val rrRecall = (exact intersect rr.map(_._1).toSet).size
+    val adcRecall = (exact intersect adc).size
+    assert(rrRecall >= adcRecall,
+      s"rerank recall $rrRecall below ADC $adcRecall")
+  }
+
   test("vector coverage: per-source counts reconcile with a brute semi-join") {
     import org.apache.spark.sql.functions.col
     val rows = Similarity.vectorCoverage(spark, dir).collect()
