@@ -167,20 +167,26 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Banded LSH candidates + exact verify. Band key = md5 of its rows'
-    * concatenated mins; docs sharing any band bucket become candidates. */
-  def minhashLshPairs(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sig = minhashSignatures(spark, dir)
+  /** Banded bucket relation (doc_id, band, key) over the MinHash
+    * signatures — the LSH candidate index both the full-corpus pair
+    * pass and the incremental batch gate read. */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("key"))
     }
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** Banded LSH candidates + exact verify. Band key = md5 of its rows'
+    * concatenated mins; docs sharing any band bucket become candidates. */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(spark, dir)
+    val buckets = bandBuckets(minhashSignatures(spark, dir))
     val candidates = buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
       .join(buckets.select(col("doc_id").as("d2"), col("band"), col("key")),
         Seq("band", "key"))
@@ -235,6 +241,56 @@ object Dedup {
         when(b1, col("d1")).otherwise(col("d2")).as("benchmark_doc_id"),
         col("jacc"))
       .orderBy("doc_id", "benchmark_doc_id")
+  }
+
+  /** Incremental ingestion dedup gate — the decision a pipeline makes
+    * for EVERY incoming batch: is each new document an exact copy of
+    * the existing corpus, a near-duplicate of it, or genuinely new?
+    * The "new batch" here is the top fifth of the doc_id range (an
+    * exact integer cut, oracle-identical); production swaps in the
+    * actual batch frame.
+    *
+    * Scale shape — this is the operator where the LSH index pays off:
+    * the exact gate is a fingerprint semi-join of the (small) batch
+    * against the corpus fingerprint set, and the near gate joins ONLY
+    * the batch's band buckets against the corpus's persisted buckets
+    * (the memoized signature relation) — candidates are batch×bucket
+    * collisions, never corpus×corpus, and only those candidates pay
+    * the exact-Jaccard verify. Within-batch duplicates are
+    * deliberately out of scope (the ordinary dedup pass owns them).
+    * Verdict precedence: exact beats near beats unique. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val cutDf = docs.agg(expr("(max(doc_id) * 4) div 5").as("cut"))
+    val fp = md5(lower(trim(col("text"))))
+    val withCut = docs.select(col("doc_id"), fp.as("fp"))
+      .crossJoin(broadcast(cutDf))
+    val newFp = withCut.filter(col("doc_id") > col("cut"))
+      .select("doc_id", "fp")
+    val oldFp = withCut.filter(col("doc_id") <= col("cut"))
+      .select("fp").distinct()
+    val exactIds = newFp.join(oldFp, Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("ex", lit(1))
+    val buckets = bandBuckets(minhashSignatures(spark, dir))
+      .crossJoin(broadcast(cutDf))
+    val cand = buckets.filter(col("doc_id") > col("cut"))
+      .select(col("doc_id").as("d2"), col("band"), col("key"))
+      .join(buckets.filter(col("doc_id") <= col("cut"))
+        .select(col("doc_id").as("d1"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("d1", "d2").distinct()
+    val nearIds = verifyJaccard(shingles(spark, dir), cand, threshold)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("nr", lit(1))
+    newFp.select("doc_id")
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex").isNotNull, "exact_dup")
+          .when(col("nr").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"))
+      .orderBy("doc_id")
   }
 
   /** Near-dup CLUSTERS over the MinHash-LSH verified pairs — the step a

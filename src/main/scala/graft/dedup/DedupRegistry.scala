@@ -129,7 +129,8 @@ object DedupRegistry {
       "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
       "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
-      "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d))
+      "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d)),
+      "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d))
     ),
     oracles = Map(
       "dedup_exact" ->
@@ -210,6 +211,29 @@ object DedupRegistry {
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      // Incremental batch gate: new = top fifth of the id range; exact
+      // via fingerprint semi-join, near via the verified pair set
+      // restricted to old→new pairs (same pair-local verify).
+      "dedup_incremental" ->
+        s"""WITH $ShingleCtes,
+           |$candCtes,
+           |${verifyCtes(0.8)},
+           |mx AS (SELECT (max(doc_id) * 4) // 5 AS cut FROM documents),
+           |newd AS (SELECT doc_id, md5(lower(trim(text))) AS fp
+           |         FROM documents, mx WHERE doc_id > cut),
+           |oldd AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+           |         FROM documents, mx WHERE doc_id <= cut),
+           |ex AS (SELECT DISTINCT n.doc_id FROM newd n
+           |       JOIN oldd o USING (fp)),
+           |near AS (SELECT DISTINCT v.d2 AS doc_id FROM ver v, mx
+           |         WHERE v.d1 <= cut AND v.d2 > cut)
+           |SELECT n.doc_id,
+           |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+           |       ELSE 'unique' END AS verdict
+           |FROM newd n LEFT JOIN ex ON n.doc_id = ex.doc_id
+           |            LEFT JOIN near ON n.doc_id = near.doc_id
+           |ORDER BY n.doc_id""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""WITH $SimhashCtes,
            |chunks AS (SELECT doc_id, simhash, c.chunk,

@@ -122,6 +122,38 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.nearContamination(spark, dir).isEmpty)
   }
 
+  test("incremental gate: exact beats near beats unique on a fixture") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "totally unrelated words about completely different " +
+      "topics that share no trigram with anything else at all here"
+    // cut = (max_id*4) div 5 = (100*4) div 5 = 80: docs >80 are the batch
+    val d = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    Seq(
+      (0L, base),                           // corpus
+      (1L, other),                          // corpus
+      (90L, base),                          // batch: exact copy of 0
+      (95L, base + " phi"),                 // batch: near-copy of 0
+      (96L, base.replace("alpha", "hacked") + " omega zz"), // near of 0
+      (100L, "fresh new content entirely its own with many novel " +
+        "tokens never seen before in any earlier document"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = Dedup.incrementalDedup(spark, d, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(90L -> "exact_dup", 95L -> "near_dup",
+      96L -> "near_dup", 100L -> "unique"), got.toString)
+    // real corpus: batch rows are exactly the top fifth, verdicts total
+    val real = Dedup.incrementalDedup(spark, dir).collect()
+    val maxId = Tables.load(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0)
+    val cut = maxId * 4 / 5
+    assert(real.forall(_.getLong(0) > cut))
+    assert(real.map(_.getString(1)).forall(
+      Set("exact_dup", "near_dup", "unique")))
+  }
+
   test("cross-source matrix partitions the verified pair set") {
     val total = Dedup.minhashLshPairs(spark, dir).count()
     val rows = Dedup.crossSourceMatrix(spark, dir).collect()
