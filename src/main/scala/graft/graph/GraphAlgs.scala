@@ -796,6 +796,45 @@ object GraphAlgs {
       .orderBy(desc("rank"), asc("id")).limit(k)
   }
 
+  /** Synchronous label-propagation communities (LPA) over the
+    * undirected graph — every node adopts its neighbors' most common
+    * label each round (ties to the smallest label — fully
+    * deterministic, unlike the async textbook variant), fixed rounds.
+    * Communities are denser-than-component structure: components say
+    * "connected at all", LPA says "who talks to whom most".
+    *
+    * Scale shape: same gated state strategy as the propagation family —
+    * label state broadcasts under the |V| gate, sort-merge joins over
+    * it; the per-round shuffle is the |E|-keyed vote count, and the
+    * argmax window runs per node over ≤ degree-many label rows (never
+    * a global sort). Output: community sizes, top-k deterministic. */
+  def lpaCommunities(spark: SparkSession, dir: String, rounds: Int = 4,
+                     k: Int = 20): DataFrame = {
+    val coPart = stateCoPartitioned(spark, dir)
+    val und = undirectedEdges(spark, dir, bySrc = coPart)
+      .filter(!col("self"))
+    val nodes = nodesById(spark, dir)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (i <- 1 to rounds) {
+      val state = labels.withColumnRenamed("id", "src")
+      val votes = und
+        .join(if (coPart) state.hint("merge") else broadcast(state), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(desc("c"), asc("label"))
+      val best = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("id"), col("label"))
+      labels = graft.Layout.roundCheckpoint(
+        nodes.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label")),
+        preserveLayout = coPart, round = i, last = i == rounds)
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("community")).limit(k)
+  }
+
   /** Distinct customer→product purchase pairs — the bipartite relation
     * HITS iterates over; laid out by src (customer) like the other
     * static rank-edge relations. */

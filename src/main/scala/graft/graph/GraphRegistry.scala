@@ -221,6 +221,32 @@ object GraphRegistry {
          |) GROUP BY size ORDER BY size""".stripMargin
   }
 
+  /** Twin of GraphAlgs.lpaCommunities: unrolled synchronous vote
+    * rounds, count-desc-then-min-label argmax, isolated nodes keep
+    * their own label. */
+  private def lpaSql(rounds: Int, k: Int): String = {
+    val head =
+      s"""WITH nodes AS ($NodeIdsSql),
+         |e0 AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
+         |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)""".stripMargin
+    val iterCtes = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT u.dst AS id, lb.label, count(*) AS c
+         |  FROM und u JOIN l${i - 1} lb ON lb.id = u.src GROUP BY 1, 2),
+         |b$i AS (SELECT id, label FROM v$i
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY c DESC, label) = 1),
+         |l$i AS MATERIALIZED (SELECT n.id, coalesce(b.label, n.id) AS label
+         |  FROM nodes n LEFT JOIN b$i b USING (id))""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"""
+         |SELECT label AS community, count(*) AS n_members
+         |FROM l$rounds GROUP BY label
+         |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
+  }
+
   /** Unrolled k-core peeling twin. Every CTE is MATERIALIZED: each round
     * reads the previous survivor set twice (both endpoints) and the pair
     * set once — inlining would blow up exponentially (the components
@@ -368,7 +394,8 @@ object GraphRegistry {
         GraphAlgs.linkPredictionForProduct(s, d)),
       "weighted_pagerank_top" -> ((s, d) =>
         GraphAlgs.weightedPageRankTop(s, d)),
-      "hits_fixed_top" -> ((s, d) => GraphAlgs.hitsFixedTop(s, d))
+      "hits_fixed_top" -> ((s, d) => GraphAlgs.hitsFixedTop(s, d)),
+      "graph_lpa_communities" -> ((s, d) => GraphAlgs.lpaCommunities(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -599,7 +626,8 @@ object GraphRegistry {
            |ORDER BY jaccard DESC, cn DESC, product_id ASC
            |LIMIT 10""".stripMargin,
       "weighted_pagerank_top" -> weightedPageRankSql(5, 20),
-      "hits_fixed_top" -> hitsSql(5, 10)
+      "hits_fixed_top" -> hitsSql(5, 10),
+      "graph_lpa_communities" -> lpaSql(4, 20)
     )
   )
 }

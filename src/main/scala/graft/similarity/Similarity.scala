@@ -748,6 +748,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** Dominant principal direction of the embedding cloud by fixed-
+    * iteration power method — the first step of PCA whitening /
+    * spectral hashing over an embedding table: v ← normalize(Σ_x
+    * x·(x·v)), three rounds from the fixed all-equal start. Uncentered
+    * (the second-moment matrix; production PCA subtracts the mean
+    * vector first — one extra pass through the same fold shape).
+    *
+    * Every double is exact-parity with the SQL twin: the per-dimension
+    * sums run through the fixed-fan-in two-level sorted-fold tree
+    * (vec_id >> 10 chunks — the labelCentroids pattern, so no task
+    * ever folds more than a chunk and the root folds ≤ chunk-count
+    * values), the norm is the fixed-order d-ascending square chain,
+    * and sqrt/division are IEEE-exact on both engines. Per round: one
+    * scan of the corpus + a 1-row broadcast back — the state is 64
+    * doubles however big the corpus is. Output: the 64 loadings plus
+    * the Rayleigh-quotient-style gain (the pre-normalization norm, an
+    * eigenvalue estimate under the same fold order). */
+  def powerIteration(spark: SparkSession, dir: String,
+                     iters: Int = 3): DataFrame = {
+    val dim = 64
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (s, x) => s + x)
+    val e = emb(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    var v: DataFrame = spark.range(1).select(
+      (0 until dim).map(d => lit(0.125).as(s"v$d")): _*)
+    var lastGain: DataFrame = null
+    for (_ <- 1 to iters) {
+      val s = (0 until dim).map(d =>
+        element_at(col("e"), d + 1) * col(s"v$d")).reduce(_ + _)
+      val scored = e.crossJoin(broadcast(v)).withColumn("s", s)
+      val lvlCols = (0 until dim).map(d =>
+        foldSum(element_at(col("e"), d + 1) * col("s")).as(s"u$d"))
+      val lvl = scored.groupBy(shiftright(col("vec_id"), 10).as("chunk"))
+        .agg(lvlCols.head, lvlCols.tail: _*)
+      val u = lvl.agg(
+        foldSum(col("u0")).as("u0"),
+        (1 until dim).map(d => foldSum(col(s"u$d")).as(s"u$d")): _*)
+      val nrm = sqrt((0 until dim).map(d =>
+        col(s"u$d") * col(s"u$d")).reduce(_ + _))
+      // one materialization of the 1-row state; gain and v are narrow
+      // projections over it (no re-execution of the corpus scan)
+      val uM = u.localCheckpoint(true)
+      lastGain = uM.select(nrm.as("gain"))
+      v = uM.select((0 until dim).map(d =>
+        (col(s"u$d") / nrm).as(s"v$d")): _*)
+    }
+    val loadings = v.select(explode(array((0 until dim).map(d =>
+        struct(lit(d.toLong).as("dim"), col(s"v$d").as("loading"))): _*))
+        .as("z"))
+      .select(col("z.dim").as("dim"), col("z.loading").as("loading"))
+    loadings.crossJoin(broadcast(lastGain)).orderBy("dim")
+  }
+
   /** Exact squared-L2 top-k — the ADC family's exact baseline (cosine
     * is [[cosineTopK]]'s): same scan + 1-row broadcast + TakeOrdered
     * shape. */

@@ -85,12 +85,14 @@ object SimilarityRegistry {
       "sim_semdedup" -> ((s, d) => Similarity.semDedupReport(s, d)),
       "sim_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
       "sim_ivf_rerank" -> ((s, d) =>
-        Similarity.ivfRerankTopK(s, d, SeedVec))
+        Similarity.ivfRerankTopK(s, d, SeedVec)),
+      "sim_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d))
     ),
     oracles = Map(
       "sim_norms" ->
         s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
            |FROM embeddings ORDER BY vec_id""".stripMargin,
+      "sim_power_iteration" -> powerIterationSql(3),
       // Semi-join coverage: exact counts, one final division.
       "emb_coverage" ->
         """WITH wv AS (SELECT doc_id FROM documents
@@ -205,6 +207,49 @@ object SimilarityRegistry {
           |FROM q ORDER BY vec_id""".stripMargin
     )
   )
+
+  /** Twin of Similarity.powerIteration: unrolled rounds, the same
+    * two-level chunked sorted folds, the same fixed-order norm chain. */
+  private def powerIterationSql(iters: Int): String = {
+    val dim = 64
+    val dots = (0 until dim).map(d => s"e[${d + 1}] * c$d").mkString(" + ")
+    val lvlCols = (0 until dim)
+      .map(d => s"list_sum(list_sort(list(e[${d + 1}] * s))) AS u$d")
+      .mkString(",\n    ")
+    val rootCols = (0 until dim)
+      .map(d => s"list_sum(list_sort(list(u$d))) AS u$d")
+      .mkString(",\n    ")
+    val nrm = "sqrt(" +
+      (0 until dim).map(d => s"u$d * u$d").mkString(" + ") + ")"
+    val head =
+      s"""WITH ve AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |pv0 AS (SELECT ${(0 until dim)
+          .map(d => s"CAST(0.125 AS DOUBLE) AS c$d").mkString(", ")})"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""sc$i AS (SELECT vec_id, e, $dots AS s FROM ve, pv${i - 1}),
+         |lv$i AS (SELECT vec_id // 1024 AS chunk,
+         |    $lvlCols
+         |  FROM sc$i GROUP BY chunk),
+         |uu$i AS MATERIALIZED (SELECT
+         |    $rootCols
+         |  FROM lv$i),
+         |pv$i AS (SELECT ${(0 until dim)
+          .map(d => s"u$d / $nrm AS c$d").mkString(", ")} FROM uu$i)"""
+        .stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT l.dim, l.loading, g.gain FROM (
+         |  SELECT unnest(range($dim)) AS dim,
+         |    unnest([${(0 until dim).map(d => s"c$d").mkString(", ")}])
+         |      AS loading
+         |  FROM pv$iters) l,
+         |  (SELECT $nrm AS gain FROM uu$iters) g
+         |ORDER BY l.dim""".stripMargin
+  }
 
   /** Index-adaptive oracle overlay (Verify merges it over the static
     * map): the IVF/PQ serving queries get EXACT DuckDB twins by pinning

@@ -228,6 +228,30 @@ class GraphSpec extends SparkTestBase {
     assert(gotAuth.map(_._2) == gotAuth.map(_._2).sortBy(-_))
   }
 
+  test("LPA matches a literal driver-side vote iteration at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val e = GraphBuilder.edges(spark, sf).select($"src", $"dst")
+      .as[(String, String)].collect().toSeq
+    val und = (e ++ e.map(_.swap)).distinct
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct ++
+      GraphBuilder.nodes(spark, sf).select("id").as[String].collect()
+    var lab = nodes.distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      val votes = und.groupBy(_._2).map { case (id, es) =>
+        val counts = es.groupBy(x => lab(x._1)).view.mapValues(_.size)
+        id -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+      lab = lab.map { case (id, old) => id -> votes.getOrElse(id, old) }
+    }
+    val want = lab.values.groupBy(identity).view.mapValues(_.size)
+      .toSeq.map { case (l, n) => (l, n.toLong) }
+      .sortBy { case (l, n) => (-n, l) }.take(20)
+    val got = GraphAlgs.lpaCommunities(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+  }
+
   test("canonical write round-trips, partitioned by label/rel_type, idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-canon").toString
     GraphBuilder.writeCanonical(spark, dir, out)

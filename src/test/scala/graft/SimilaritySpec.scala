@@ -345,6 +345,40 @@ class SimilaritySpec extends SparkTestBase {
       s"rerank recall $rrRecall below ADC $adcRecall")
   }
 
+  test("power iteration matches a literal driver replay; unit norm") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def sSum(xs: Seq[Double]): Double = xs.sorted.foldLeft(0.0)(_ + _)
+    var v = Array.fill(64)(0.125)
+    var gain = 0.0
+    for (_ <- 1 to 3) {
+      val scored = emb.map { case (id, e) =>
+        (id, e, e.zip(v).foldLeft(0.0) { case (a, (x, w)) => a + x * w })
+      }
+      // two-level chunked fold, chunk = vec_id >> 10
+      val u = (0 until 64).map { d =>
+        val chunks = scored.groupBy(_._1 >> 10).toSeq.map { case (c, g) =>
+          c -> sSum(g.map(t => t._2(d) * t._3).toSeq)
+        }
+        sSum(chunks.map(_._2))
+      }.toArray
+      gain = math.sqrt(u.foldLeft(0.0)((a, x) => a + x * x))
+      v = u.map(_ / gain)
+    }
+    val got = Similarity.powerIteration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 64)
+    got.foreach { case (d, loading, g) =>
+      assert(loading == v(d.toInt), s"dim $d")
+      assert(g == gain)
+    }
+    val norm = math.sqrt(got.map(t => t._2 * t._2).sum)
+    assert(math.abs(norm - 1.0) < 1e-12)
+  }
+
   test("vector coverage: per-source counts reconcile with a brute semi-join") {
     import org.apache.spark.sql.functions.col
     val rows = Similarity.vectorCoverage(spark, dir).collect()
