@@ -311,6 +311,38 @@ object Dedup {
       .select(col("comp").as("keep_doc_id"), col("n_members"))
       .orderBy("keep_doc_id")
 
+  /** Quality-aware keeper selection — the dedup refinement frontier
+    * pipelines actually ship: within each near-dup cluster, keep the
+    * member with the HIGHEST quality score (ties to the smaller
+    * doc_id), not blindly the smallest id. Min-id keeps whatever
+    * crawled first; quality-keep retains the cleanest copy of each
+    * near-duplicate family. Quality is the micro-unit-exact integer
+    * score (same expression as the curation tier — no float compare
+    * ambiguity), joined onto the cluster assignment by doc_id; the
+    * argmax is a per-cluster window over member-bounded rows. Output
+    * also says WHICH min-id choice the quality rule overturned —
+    * the measurable win of the refinement. */
+  def qualityKeepers(spark: SparkSession, dir: String,
+                     threshold: Double = 0.8,
+                     rounds: Int = 5): DataFrame = {
+    val members = graft.graph.GraphAlgs.pairComponents(
+      minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
+    val q6 = graft.pipeline.Curation.qualityMicro(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+      .orderBy(desc("q6"), asc("id"))
+    val sized = members.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    members.join(sized, "comp")
+      .join(q6.select(col("doc_id").as("id"), col("q6")), "id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("comp").cast("bigint").as("min_id_keeper"),
+        col("id").cast("bigint").as("quality_keeper"),
+        col("q6"), col("n_members"),
+        (col("id") =!= col("comp")).as("overturned"))
+      .orderBy("min_id_keeper")
+  }
+
   /** SimHash via builtins only: 64-bit bitwise fingerprint — per
     * token-hash bit, sum ±1 over the doc, sign → bit. Kept as the
     * reference semantics for the native-expression parity test; the hot

@@ -130,7 +130,8 @@ object DedupRegistry {
       "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
       "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d)),
-      "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d))
+      "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+      "dedup_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(s, d))
     ),
     oracles = Map(
       "dedup_exact" ->
@@ -211,6 +212,30 @@ object DedupRegistry {
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      // Quality-aware keeper: per >1-member cluster, the max-q6 member
+      // (ties to smaller id) vs the min-id convention.
+      "dedup_quality_keepers" ->
+        s"""WITH ${minhashClusterCtes(5)},
+           |sized AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM c5 GROUP BY comp HAVING count(*) > 1),
+           |qd AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it')))
+           |    AS stop_hits
+           |FROM documents),
+           |q6t AS (SELECT doc_id,
+           |  CAST(round(round(least(n_tokens / 100.0, 1.0) *
+           |    (1.0 - stop_hits * 1.0 / n_tokens), 6) * 1000000.0)
+           |    AS BIGINT) AS q6
+           |FROM qd)
+           |SELECT comp AS min_id_keeper, id AS quality_keeper, q6,
+           |  n_members, id <> comp AS overturned
+           |FROM (SELECT s.comp, m.id, q6t.q6, s.n_members,
+           |    row_number() OVER (PARTITION BY s.comp
+           |      ORDER BY q6t.q6 DESC, m.id) AS rk
+           |  FROM c5 m JOIN sized s USING (comp)
+           |           JOIN q6t ON q6t.doc_id = m.id)
+           |WHERE rk = 1 ORDER BY min_id_keeper""".stripMargin,
       // Incremental batch gate: new = top fifth of the id range; exact
       // via fingerprint semi-join, near via the verified pair set
       // restricted to old→new pairs (same pair-local verify).

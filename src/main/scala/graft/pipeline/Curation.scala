@@ -457,7 +457,7 @@ object Curation {
 
   /** Micro-unit quality per doc (round(·,6)·10⁶ is integer-valued — the
     * sourceMixReport convention), the shared input of the drift gates. */
-  private def qualityMicro(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def qualityMicro(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         round(col("quality") * lit(1000000.0)).cast("long").as("q6"))

@@ -154,6 +154,28 @@ class DedupSpec extends SparkTestBase {
       Set("exact_dup", "near_dup", "unique")))
   }
 
+  test("quality keepers: argmax quality per cluster, overturns tracked") {
+    import org.apache.spark.sql.functions.col
+    val clusters = graph.GraphAlgs.pairComponents(
+      Dedup.minhashLshPairs(spark, dir).select("d1", "d2"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val q6 = pipeline.Curation.qualityMicro(spark, dir)
+      .select("doc_id", "q6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = clusters.groupBy(_._2).filter(_._2.length > 1)
+      .map { case (comp, ms) =>
+        val best = ms.map(_._1).minBy(id => (-q6(id), id))
+        comp -> best
+      }
+    val got = Dedup.qualityKeepers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(got.map(t => t._1 -> t._2).toMap == want)
+    got.foreach { case (comp, keeper, overturned) =>
+      assert(overturned == (comp != keeper))
+      assert(q6(keeper) >= q6(comp)) // never keeps a worse copy
+    }
+  }
+
   test("cross-source matrix partitions the verified pair set") {
     val total = Dedup.minhashLshPairs(spark, dir).count()
     val rows = Dedup.crossSourceMatrix(spark, dir).collect()
