@@ -470,4 +470,37 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"))
       .orderBy("doc_id")
   }
+
+  /** Audio feature extraction through the REAL codec path: each audio
+    * asset's WAV is parsed by javax.sound.sampled, and the 8-bit
+    * unsigned PCM samples aggregate to sample count, total/peak/mean
+    * absolute deviation from the 128 DC center — the loudness features
+    * an audio curation pass gates on (near-silent or clipping assets).
+    * Primitive while-loop per asset inside the partition iterator, no
+    * boxing. The oracle recomputes the same integers from the
+    * deterministic payload derivation (samples = the doc's ASCII
+    * bytes), so the whole decode chain is verified end-to-end. */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    assets(spark, dir).filter(_.kind == "audio")
+      .mapPartitions(_.flatMap { a =>
+        decodePayload(a.payload).map { case (_, _, _, body) =>
+          var sum = 0L
+          var peak = 0L
+          var i = 0
+          while (i < body.length) {
+            val d = math.abs((body(i) & 0xFF) - 128).toLong
+            sum += d
+            if (d > peak) peak = d
+            i += 1
+          }
+          (a.asset_id, body.length.toLong, sum, peak)
+        }
+      })
+      .toDF("doc_id", "n_samples", "abs_dev_sum", "peak_dev")
+      .withColumn("mean_abs_dev",
+        col("abs_dev_sum").cast("double") / col("n_samples"))
+      .orderBy("doc_id")
+  }
 }

@@ -24,7 +24,8 @@ object MultimodalRegistry {
       "mm_payload_stats" -> ((s, d) => Multimodal.payloadStats(s, d)),
       "mm_decode_dims" -> ((s, d) => Multimodal.decodeDims(s, d)),
       "mm_frame_counts" -> ((s, d) => Multimodal.frameSampleCounts(s, d)),
-      "mm_resize_dims" -> ((s, d) => Multimodal.resizeDims(s, d))
+      "mm_resize_dims" -> ((s, d) => Multimodal.resizeDims(s, d)),
+      "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d))
     ),
     oracles = Map(
       "mm_payload_stats" ->
@@ -55,7 +56,26 @@ object MultimodalRegistry {
            |  greatest(1, CAST(ceil(sqrt(n2)) AS BIGINT)) AS w2 FROM r)
            |SELECT doc_id, kind, w2 AS width,
            |  greatest(1, (n2 + w2 - 1) // w2) AS height
-           |FROM d2 ORDER BY doc_id""".stripMargin
+           |FROM d2 ORDER BY doc_id""".stripMargin,
+      // The WAV samples are the doc's bytes (ASCII corpus: byte =
+      // codepoint) zero-padded to w×h — appended silence contributes a
+      // |0−128| = 128 deviation per pad byte, so the real-codec
+      // aggregation has an exact per-character integer twin.
+      "mm_audio_energy" ->
+        """WITH s AS (SELECT doc_id, length(text) AS n,
+          |  greatest(1, CAST(ceil(sqrt(length(text))) AS BIGINT)) AS w,
+          |  list_transform(range(length(text)),
+          |    i -> abs(ord(text[i + 1]) - 128)) AS devs
+          |FROM documents WHERE doc_id % 3 = 1),
+          |p AS (SELECT doc_id, n, devs,
+          |  w * greatest(1, (n + w - 1) // w) AS wh FROM s)
+          |SELECT doc_id, CAST(wh AS BIGINT) AS n_samples,
+          |  CAST(list_sum(devs) + 128 * (wh - n) AS BIGINT) AS abs_dev_sum,
+          |  CAST(CASE WHEN wh > n THEN greatest(128, list_max(devs))
+          |       ELSE list_max(devs) END AS BIGINT) AS peak_dev,
+          |  CAST(list_sum(devs) + 128 * (wh - n) AS DOUBLE) / wh
+          |    AS mean_abs_dev
+          |FROM p ORDER BY doc_id""".stripMargin
     )
   )
 }

@@ -128,4 +128,25 @@ class MultimodalSpec extends SparkTestBase {
     // only video assets (doc_id % 3 == 2) appear
     assert(frames.forall(_.asset_id % 3 == 2))
   }
+
+  test("audio energy: codec-path stats match a byte-level replay") {
+    import org.apache.spark.sql.functions.col
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.audioEnergy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.forall(_._1 % 3 == 1))
+    rows.foreach { case (id, n, sum, peak, mean) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val (w, h) = Multimodal.dimsFor(bytes.length)
+      val padded = bytes ++ Array.fill(w * h - bytes.length)(0.toByte)
+      val devs = padded.map(b => math.abs((b & 0xFF) - 128).toLong)
+      assert(n == padded.length.toLong)
+      assert(sum == devs.sum)
+      assert(peak == devs.max)
+      assert(mean == devs.sum.toDouble / padded.length)
+    }
+  }
 }
