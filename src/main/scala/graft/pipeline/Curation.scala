@@ -397,6 +397,55 @@ object Curation {
     * stays EXACT to ~10³⁸/2⁵² ≈ 2⁷⁵ docs per cell — no silent int64
     * wrap at corpus scale. Composes [[curateFull]], so every gate
     * feeding the manifest is itself an oracle-verified operator. */
+  /** The release datasheet — the one table a corpus release ships
+    * beside the manifest: per split, the headline numbers a consumer
+    * (or a review board) reads first. Composes five verified operator
+    * families by doc_id-keyed joins (same-key hash joins — co-
+    * partitioned, no fan-out): volume (docs/tokens), language spread
+    * (count + dominant language share), exact-duplicate mass, mean
+    * quality (micro-unit-exact), PII incidence, and the Gopher-gate
+    * keep count. Three output rows; every aggregation is a combinable
+    * sum/count, and the dominant-language argmax is a window over the
+    * split×lang histogram (bounded by 3·|langs| rows). */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("lang"),
+      splitOf(col("doc_id")).as("split"),
+      md5(encode(col("text"), "UTF-8")).as("fp"),
+      size(TextAnalysis.tokens).as("n_toks"))
+    val q = qualityMicro(spark, dir).select("doc_id", "q6")
+    val pii = TextAnalysis.piiCounts(spark, dir)
+      .select(col("doc_id"), col("has_pii"))
+    val keep = TextAnalysis.gopherFilters(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    val j = base.join(q, "doc_id").join(pii, "doc_id").join(keep, "doc_id")
+    val per = j.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks").cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("fp")).as("n_unique_texts"),
+      ((sum(col("q6")).cast("double") / lit(1000000.0)) / count(lit(1)))
+        .as("mean_quality"),
+      sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"))
+    val langCnt = j.groupBy("split", "lang").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("split")
+      .orderBy(desc("c"), asc("lang"))
+    val top = langCnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("split"), col("lang").as("top_lang"),
+        col("c").as("top_lang_n"))
+    per.join(top, "split")
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        (col("n_docs") - col("n_unique_texts")).as("n_dup_docs"),
+        col("mean_quality"), col("top_lang"),
+        (col("top_lang_n").cast("double") / col("n_docs"))
+          .as("top_lang_share"),
+        col("n_pii_docs"), col("n_gopher_keep"))
+      .orderBy("split")
+  }
+
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(col("text"))
     val fp52 = (0 until 13).map(i =>

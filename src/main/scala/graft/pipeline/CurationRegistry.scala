@@ -66,7 +66,8 @@ object CurationRegistry {
       "split_contamination" -> ((s, d) => Curation.splitContamination(s, d)),
       "sample_weighted_pps" -> ((s, d) => Curation.weightedPpsSample(s, d)),
       "curate_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
-      "curate_release_manifest" -> ((s, d) => Curation.releaseManifest(s, d))
+      "curate_release_manifest" -> ((s, d) => Curation.releaseManifest(s, d)),
+      "curate_dataset_card" -> ((s, d) => Curation.datasetCard(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -380,7 +381,51 @@ object CurationRegistry {
            |         JOIN fp ON rel.doc_id = fp.doc_id
            |GROUP BY rel.split, d.lang
            |ORDER BY split, lang""".stripMargin
-      }
+      },
+      // Release datasheet: per split, volume / language spread /
+      // exact-dup mass / mean quality / PII incidence / Gopher keeps —
+      // composed from the same flag, quality, and PII CTEs the
+      // standalone oracles use.
+      "curate_dataset_card" -> (graft.text.TextRegistry.GopherFlagsSql +
+        s""",
+           |$Q6Ctes,
+           |pii AS (SELECT doc_id,
+           |  (len(regexp_extract_all(text,
+           |     '${graft.text.TextAnalysis.EmailRe}'))
+           |   + len(regexp_extract_all(text,
+           |     '${graft.text.TextAnalysis.PhoneRe}'))
+           |   + len(regexp_extract_all(text,
+           |     '${graft.text.TextAnalysis.Ipv4Re}')) > 0) AS has_pii
+           |FROM documents),
+           |base AS (SELECT doc_id, lang, $SplitSql AS split,
+           |  md5(text) AS fp, len($Toks) AS n_toks FROM documents),
+           |jj AS (SELECT b.split, b.lang, b.fp, b.n_toks, q6t.q6,
+           |    pii.has_pii,
+           |    (g.pass_word_count AND g.pass_mean_word_len AND g.pass_alpha
+           |     AND g.pass_stop AND g.pass_symbol) AS keep
+           |  FROM base b JOIN q6t USING (doc_id) JOIN pii USING (doc_id)
+           |              JOIN g USING (doc_id)),
+           |per AS (SELECT split, count(*) AS n_docs,
+           |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |    count(*) - count(DISTINCT fp) AS n_dup_docs,
+           |    (CAST(sum(q6) AS DOUBLE) / 1000000.0) / count(*)
+           |      AS mean_quality,
+           |    CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_pii_docs,
+           |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_gopher_keep
+           |  FROM jj GROUP BY split),
+           |lc AS (SELECT split, lang, count(*) AS c FROM jj GROUP BY 1, 2),
+           |top AS (SELECT split, lang AS top_lang, c FROM lc
+           |  QUALIFY row_number() OVER (PARTITION BY split
+           |    ORDER BY c DESC, lang) = 1)
+           |SELECT per.split, n_docs, n_tokens, n_langs,
+           |  CAST(n_dup_docs AS BIGINT) AS n_dup_docs, mean_quality,
+           |  top_lang, CAST(c AS DOUBLE) / n_docs AS top_lang_share,
+           |  n_pii_docs, n_gopher_keep
+           |FROM per JOIN top ON per.split = top.split
+           |ORDER BY per.split""".stripMargin)
     )
   )
 

@@ -11,8 +11,9 @@ object TextRegistry {
 
   /** Shared CTE prefix of the Gopher-gate oracles: the per-document
     * flags, expression-for-expression the Spark ones (same stopword
-    * set, same exact-integer cross-multiplies for the ratio gates). */
-  private val GopherFlagsSql: String = {
+    * set, same exact-integer cross-multiplies for the ratio gates).
+    * private[graft]: the curation dataset-card oracle composes it. */
+  private[graft] val GopherFlagsSql: String = {
     val stopSum = Seq("the", "a", "of", "and", "to", "in", "is", "it")
       .map(w => s"CAST(list_contains(toks, '$w') AS BIGINT)")
       .mkString(" + ")

@@ -409,4 +409,32 @@ class CurationSpec extends SparkTestBase {
       assert(rejected.forall(_ <= minAdmitted))
     }
   }
+
+  test("dataset card reconciles with its component operators") {
+    import org.apache.spark.sql.functions.col
+    val card = Curation.datasetCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("train", "val", "test"))
+    // volume reconciles with the split histogram
+    val splitN = Curation.splitCounts(spark, dir).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getLong(1) == splitN(s), s"split $s docs")
+      assert(r.getLong(9) <= r.getLong(1))            // keeps <= docs
+      assert(r.getLong(4) >= 0)                       // dup docs
+      val mq = r.getDouble(5)
+      assert(mq >= 0.0 && mq <= 1.0)
+      val share = r.getDouble(7)
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // gopher keeps reconcile with the flags operator
+    val keeps = graft.text.TextAnalysis.gopherFilters(spark, dir)
+      .filter(col("keep"))
+      .select(Curation.splitOf(col("doc_id")).as("s")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    card.foreach { case (s, r) =>
+      assert(r.getLong(9) == keeps.getOrElse(s, 0L), s"split $s keeps")
+    }
+  }
 }
