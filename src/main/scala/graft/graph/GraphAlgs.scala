@@ -112,6 +112,7 @@ object GraphAlgs {
     // codegen; the measured 5-round run executes every real round.
     purchaseEdges(spark, dir).count()
     hitsFixedTop(spark, dir, iters = 1, k = 1).count()
+    lpaCommunities(spark, dir, rounds = 1, k = 1).count()
     // The undirected product graph (basket arrays + distinct co-purchase
     // pairs) is the same class of static derived layout as rankEdges —
     // shared input of the triangle, k-core, clustering and item-item

@@ -167,6 +167,25 @@ object Cohorts {
       .orderBy("custkey")
   }
 
+  /** Day-of-week revenue seasonality — the weekly demand shape behind
+    * capacity planning and the seasonal baseline an anomaly monitor
+    * normalizes against. Exact integer cents until the one final share
+    * division; ISO day numbering (Monday = 1) on both engines. One
+    * map-side-combinable aggregation over orders into a ≤7-row
+    * relation plus a 1-row total broadcast. */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy((weekday(to_date(col("o_orderdate"))) + lit(1))
+        .cast("bigint").as("dow_iso"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("rev_cents"))
+    val tot = per.agg(sum(col("rev_cents")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow_iso"), col("n_orders"), col("rev_cents"),
+        (col("rev_cents").cast("double") / col("tot")).as("revenue_share"))
+      .orderBy("dow_iso")
+  }
+
   /** Temporal concept-drift monitor: each event type's share of traffic
     * in the early vs the late half of the stream (midpoint of the
     * observed time range), with the absolute share difference per type —

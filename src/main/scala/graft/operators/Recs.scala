@@ -331,4 +331,74 @@ object Recs {
       .select("custkey", "product_id", "n_orders", "neg_rank")
       .orderBy("custkey", "neg_rank")
   }
+
+  /** Implicit-feedback ALS matrix factorization — the learned rec arm
+    * beside the counting arms (co-occurrence, same-category, PPR,
+    * RRF): purchase counts as confidence, seeded deterministic
+    * training, rank-`rank` factors. The model is index-class state
+    * (trained once per dir, memoized like the IVF/PQ fits, prewarmed
+    * out of the serving measurement); serving for one customer is a
+    * factor dot-product over the catalog with purchased items removed
+    * by the same anti-join shape as [[pprFixedRecs]]'s.
+    *
+    * Rows-only registry tier (ALS, like KMeans, is not
+    * SQL-expressible); RecsSpec asserts determinism, purchased
+    * exclusion, and the contrastive floor that positive interactions
+    * outscore sampled negatives on average — the honest quality gate
+    * for a learned component. At 100 TB the training input is the
+    * (customer, product, count) aggregate — orders of magnitude
+    * smaller than the fact table — and Spark ML's ALS is the standard
+    * block-partitioned implementation. */
+  private def alsModel(spark: SparkSession, dir: String, rank: Int)
+      : org.apache.spark.ml.recommendation.ALSModel =
+    graft.Memo.get(spark, "als-model", (dir, rank)) {
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("order_id"),
+          col("o_custkey").as("custkey"))
+      val inter = Tables.spread(spark, rawItems(spark, dir))
+        .join(orders, "order_id")
+        .groupBy(col("custkey"), col("product_id"))
+        .agg(count(lit(1)).cast("float").as("cnt"))
+        .select(col("custkey").cast("int").as("custkey"),
+          col("product_id").cast("int").as("product_id"), col("cnt"))
+      new org.apache.spark.ml.recommendation.ALS()
+        .setSeed(42L).setRank(rank).setMaxIter(8).setRegParam(0.1)
+        .setImplicitPrefs(true).setAlpha(1.0)
+        .setUserCol("custkey").setItemCol("product_id")
+        .setRatingCol("cnt").setColdStartStrategy("drop")
+        .fit(inter)
+    }
+
+  def alsRecs(spark: SparkSession, dir: String, custId: Long = 1L,
+              k: Int = 10, rank: Int = 4): DataFrame = {
+    val model = alsModel(spark, dir, rank)
+    val spark2 = spark
+    import spark2.implicits._
+    val user = Seq(custId.toInt).toDF("custkey")
+    val recs = model.recommendForUserSubset(user, k + 200)
+      .select(explode(col("recommendations")).as("r"))
+      .select(col("r.product_id").cast("bigint").as("product_id"),
+        col("r.rating").cast("double").as("score"))
+    val mine = purchasedBy(spark, dir, custId)
+    recs.join(broadcast(mine), Seq("product_id"), "left_anti")
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(k)
+  }
+
+  /** Predicted affinities for explicit (custkey, product_id) pairs —
+    * the spec's contrastive probe surface. */
+  private[graft] def alsPredict(spark: SparkSession, dir: String,
+                                pairs: DataFrame,
+                                rank: Int = 4): DataFrame =
+    alsModel(spark, dir, rank).transform(
+      pairs.select(col("custkey").cast("int").as("custkey"),
+        col("product_id").cast("int").as("product_id")))
+
+  /** Index-build prewarm (Bench policy: long-lived-service steady
+    * state — training is the measured-once index build, serving is the
+    * measured query). */
+  def prewarm(spark: SparkSession, dir: String): Unit = {
+    alsModel(spark, dir, 4)
+    alsRecs(spark, dir, 1L, k = 1).count()
+  }
 }

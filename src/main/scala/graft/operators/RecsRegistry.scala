@@ -19,7 +19,12 @@ object RecsRegistry {
         Recs.customerCategoryRecs(s, d, SeedCust)),
       "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart)),
       "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d)),
-      "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d))
+      "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d)),
+      // Rows-only (justified tier, like the KMeans-derived IVF/PQ rows):
+      // ALS factorization has no SQL twin; determinism, purchased
+      // exclusion, and the positives-outscore-negatives contrastive
+      // floor are asserted in RecsSpec.
+      "rec_als_topk" -> ((s, d) => Recs.alsRecs(s, d, SeedCust))
     ),
     oracles = Map(
       "rec_cooccurrence" ->

@@ -69,6 +69,7 @@ object RelationalRegistry {
       "event_transitions" -> ((s, d) => Transitions.eventTransitions(s, d)),
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "rfm_features" -> ((s, d) => Cohorts.rfmFeatures(s, d)),
+      "revenue_dow_seasonality" -> ((s, d) => Cohorts.dowSeasonality(s, d)),
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
       "hourly_count_anomalies" -> ((s, d) =>
         Cohorts.hourlyCountAnomalies(s, d)),
@@ -486,6 +487,19 @@ object RelationalRegistry {
           |  CAST(ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS INTEGER)
           |    AS m_score
           |FROM base ORDER BY custkey""".stripMargin,
+      // ISO day numbering on both engines (Monday = 1); exact cents
+      // until the one final share division.
+      "revenue_dow_seasonality" ->
+        """WITH p AS (SELECT
+          |  CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow_iso,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS rev_cents
+          |FROM orders GROUP BY 1),
+          |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM p)
+          |SELECT dow_iso, n_orders, rev_cents,
+          |  CAST(rev_cents AS DOUBLE) / tot AS revenue_share
+          |FROM p, t ORDER BY dow_iso""".stripMargin,
       // FK orphans per relation: LEFT JOIN the distinct parent keys (a
       // NULL child key never matches → orphan, mirrored in both engines).
       "fk_integrity" -> {

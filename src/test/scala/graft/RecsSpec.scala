@@ -158,4 +158,40 @@ class RecsSpec extends SparkTestBase {
     val twice = Recs.containsEdges(spark, SeedFixture.dirX2).collect().toSet
     assert(once == twice && once.size == 5)
   }
+
+  test("ALS recs: deterministic, purchased excluded, positives outscore " +
+    "negatives") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val recs = Recs.alsRecs(spark, sf, 1L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(recs.nonEmpty && recs.length <= 10)
+    val scores = recs.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val purchased = Recs.purchasedProducts(spark, sf, 1L).collect()
+      .map(_.getLong(0)).toSet
+    assert(recs.forall(r => !purchased(r._1)))
+    // seeded training: a second serving call reproduces the list
+    val again = Recs.alsRecs(spark, sf, 1L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq == recs.toSeq)
+    // contrastive floor: the model scores real interactions above the
+    // deterministic negative samples, on average (the honest quality
+    // gate for a learned arm — counting arms need no such check)
+    import spark.implicits._
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pos = Tables.load(spark, sf, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"),
+        col("l_partkey").as("product_id")).distinct()
+    val neg = Recs.negativeSamples(spark, sf)
+      .select("custkey", "product_id")
+    def meanScore(pairs: org.apache.spark.sql.DataFrame): Double =
+      Recs.alsPredict(spark, sf, pairs)
+        .agg(org.apache.spark.sql.functions.avg("prediction"))
+        .head.getDouble(0)
+    val (mp, mn) = (meanScore(pos), meanScore(neg))
+    assert(mp > mn, s"positives $mp should outscore negatives $mn")
+  }
 }
