@@ -156,6 +156,45 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Asymmetric CONTAINMENT detection — the wrapped-copy case symmetric
+    * Jaccard structurally misses: a short document embedded whole
+    * inside a longer one (boilerplate-wrapped articles, quoted posts,
+    * template-padded pages) has |A∩B|/|A| ≈ 1 while |A∩B|/|A∪B| stays
+    * low. Reports ordered (inner, outer) pairs with shingle containment
+    * ≥ `threshold` that the symmetric pass (Jaccard ≥ 0.8) does NOT
+    * flag — i.e. exactly the extra recall the asymmetric measure buys.
+    * Same df-capped inverted shingle index as the Jaccard pass (one
+    * shared candidate relation, never all-pairs); the containment
+    * arithmetic is two exact integer divisions per candidate. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(spark, dir)
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap && col("df") >= 2)
+    val joinable = sh.join(dfs.select("s"), "s")
+    val common = joinable.select(col("doc_id").as("d1"), col("s"))
+      .join(joinable.select(col("doc_id").as("d2"), col("s")), "s")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jacc", col("c").cast("double") /
+        (col("n1") + col("n2") - col("c")))
+      .filter(col("jacc") < 0.8) // the symmetric pass owns these
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2"))
+          .as("inner_doc"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1"))
+          .as("outer_doc"),
+        (col("c").cast("double") / least(col("n1"), col("n2")))
+          .as("containment"),
+        col("jacc"))
+      .filter(col("containment") >= threshold)
+      .orderBy("inner_doc", "outer_doc")
+  }
+
   /** MinHash signature: for each doc, NumHashes column-mins of
     * md5("<i>|<shingle>") — one groupBy pass, no explode of hash index.
     * Memoized like shingles (same repeated-invocation argument). */

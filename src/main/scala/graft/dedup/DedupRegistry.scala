@@ -131,7 +131,8 @@ object DedupRegistry {
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
       "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d)),
       "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
-      "dedup_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(s, d))
+      "dedup_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(s, d)),
+      "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d))
     ),
     oracles = Map(
       "dedup_exact" ->
@@ -212,6 +213,28 @@ object DedupRegistry {
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      // Asymmetric containment over the shared candidate relation:
+      // ordered (inner, outer) by size, Jaccard-missed pairs only.
+      "dedup_containment" ->
+        s"""WITH $ShingleCtes,
+           |rare AS (SELECT s FROM sh GROUP BY s
+           |         HAVING count(*) BETWEEN 2 AND ${Dedup.DfCap}),
+           |j AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+           |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+           |           FROM j a JOIN j b USING (s)
+           |           WHERE a.doc_id < b.doc_id
+           |           GROUP BY 1, 2),
+           |scored AS (SELECT d1, d2, c, n1.n AS n1, n2.n AS n2,
+           |    CAST(c AS DOUBLE) / (n1.n + n2.n - c) AS jacc
+           |  FROM common JOIN sizes n1 ON n1.doc_id = d1
+           |              JOIN sizes n2 ON n2.doc_id = d2
+           |  WHERE CAST(c AS DOUBLE) / (n1.n + n2.n - c) < 0.8)
+           |SELECT CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS inner_doc,
+           |  CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS outer_doc,
+           |  CAST(c AS DOUBLE) / least(n1, n2) AS containment, jacc
+           |FROM scored
+           |WHERE CAST(c AS DOUBLE) / least(n1, n2) >= 0.9
+           |ORDER BY inner_doc, outer_doc""".stripMargin,
       // Quality-aware keeper: per >1-member cluster, the max-q6 member
       // (ties to smaller id) vs the min-id convention.
       "dedup_quality_keepers" ->

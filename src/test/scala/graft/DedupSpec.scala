@@ -154,6 +154,30 @@ class DedupSpec extends SparkTestBase {
       Set("exact_dup", "near_dup", "unique")))
   }
 
+  test("containment fires on a wrapped copy that Jaccard misses") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrapper = ("intro words preamble header " + core +
+      " footer outro trailing boilerplate closing lines stuff " +
+      "padding padding2 padding3 padding4 padding5 padding6 padding7 " +
+      "padding8 padding9 padding10 padding11 padding12 padding13")
+    val d = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    Seq((1L, core), (2L, wrapper),
+      (3L, "totally different content nothing shared with the others " +
+        "at all in any window here"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.containmentPairs(spark, d, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)),
+      rows.mkString(", "))
+    assert(rows.head._3 >= 0.9 && rows.head._4 < 0.8)
+    // the symmetric Jaccard pass indeed does NOT flag the pair
+    val jacc = Dedup.ngramJaccardPairs(spark, d).collect()
+    assert(!jacc.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // real corpus: verified empty is the answer (no wrapped copies)
+    assert(Dedup.containmentPairs(spark, dir).isEmpty)
+  }
+
   test("quality keepers: argmax quality per cluster, overturns tracked") {
     import org.apache.spark.sql.functions.col
     val clusters = graph.GraphAlgs.pairComponents(
