@@ -802,6 +802,34 @@ object TextAnalysis {
           .as("pearson_r"))
   }
 
+  /** Scorer calibration (reliability) curve: mean corpus-LM likelihood
+    * per heuristic-quality decile — the table that says whether the
+    * cheap quality score actually tracks the expensive signal it
+    * proxies (a flat curve means the heuristic is noise; monotone
+    * means the decile threshold is a usable gate). Deciles are exact
+    * integer micro-unit buckets; the per-decile likelihood mean runs
+    * through the two-level chunked sorted fold (doc_id >> 10 leaves —
+    * the qualitySignalCorrelation shape), so no decile ever sinks an
+    * unbounded double list into one task. */
+  def qualityReliability(spark: SparkSession, dir: String): DataFrame = {
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (s, x) => s + x)
+    val q6 = qualityScore(spark, dir).select(col("doc_id"),
+      round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
+    val lm = lmLikelihood(spark, dir).select("doc_id", "mean_pcond")
+    val leaves = q6.join(lm, "doc_id")
+      .groupBy(least(expr("q6 div 100000"), lit(9L)).as("quality_decile"),
+        shiftright(col("doc_id"), 10).as("chunk"))
+      .agg(count(lit(1)).as("n"), sum(col("q6")).as("sq"),
+        foldSum(col("mean_pcond")).as("sp"))
+    leaves.groupBy("quality_decile")
+      .agg(sum(col("n")).as("n_docs"),
+        ((sum(col("sq")).cast("double") / lit(1000000.0)) /
+          sum(col("n"))).as("mean_quality"),
+        (foldSum(col("sp")) / sum(col("n"))).as("mean_lm_pcond"))
+      .orderBy("quality_decile")
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

@@ -97,6 +97,8 @@ object TextRegistry {
         TextAnalysis.repeatedPassages(s, d)),
       "text_quality_lm_agreement" -> ((s, d) =>
         TextAnalysis.qualitySignalCorrelation(s, d)),
+      "text_quality_reliability" -> ((s, d) =>
+        TextAnalysis.qualityReliability(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -402,6 +404,43 @@ object TextRegistry {
            |  list_sum(list_sort(list(p))) / count(*) AS mean_pcond,
            |  min(p) AS min_pcond
            |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Reliability curve: micro-unit quality deciles × the same
+      // two-level chunked likelihood fold as the agreement row.
+      "text_quality_reliability" ->
+        s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+           |bi AS MATERIALIZED (
+           |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM (
+           |    SELECT doc_id, ts,
+           |      unnest(generate_series(1, len(ts) - 1)) AS i
+           |    FROM t WHERE len(ts) >= 2)),
+           |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+           |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+           |p AS (SELECT doc_id, CAST(n12 AS DOUBLE) / n1 AS p
+           |  FROM bi JOIN n12 USING (w1, w2) JOIN n1 USING (w1)),
+           |lm AS (SELECT doc_id, list_sum(list_sort(list(p))) / count(*)
+           |    AS mean_pcond
+           |  FROM p GROUP BY doc_id),
+           |qd AS (SELECT doc_id, len($Toks) AS n_tokens,
+           |  len(list_filter($Toks,
+           |    t -> t IN ('the','a','of','and','to','in','is','it')))
+           |    AS stop_hits
+           |FROM documents),
+           |q6t AS (SELECT doc_id,
+           |  CAST(round(round(least(n_tokens / 100.0, 1.0) *
+           |    (1.0 - stop_hits * 1.0 / n_tokens), 6) * 1000000.0)
+           |    AS BIGINT) AS q6
+           |FROM qd),
+           |leaves AS (SELECT least(q6 // 100000, 9) AS quality_decile,
+           |    doc_id // 1024 AS chunk, count(*) AS n,
+           |    CAST(sum(q6) AS BIGINT) AS sq,
+           |    list_sum(list_sort(list(mean_pcond))) AS sp
+           |  FROM q6t JOIN lm USING (doc_id) GROUP BY 1, 2)
+           |SELECT quality_decile, CAST(sum(n) AS BIGINT) AS n_docs,
+           |  (CAST(sum(sq) AS DOUBLE) / 1000000.0) / sum(n)
+           |    AS mean_quality,
+           |  list_sum(list_sort(list(sp))) / sum(n) AS mean_lm_pcond
+           |FROM leaves GROUP BY quality_decile
+           |ORDER BY quality_decile""".stripMargin,
       // Shared first-8-token prefixes; short docs skipped (a partial
       // prefix is not template evidence) on both engines.
       "text_boilerplate_prefixes" ->
