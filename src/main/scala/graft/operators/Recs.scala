@@ -372,15 +372,26 @@ object Recs {
   def alsRecs(spark: SparkSession, dir: String, custId: Long = 1L,
               k: Int = 10, rank: Int = 4): DataFrame = {
     val model = alsModel(spark, dir, rank)
-    val spark2 = spark
-    import spark2.implicits._
-    val user = Seq(custId.toInt).toDF("custkey")
-    val recs = model.recommendForUserSubset(user, k + 200)
-      .select(explode(col("recommendations")).as("r"))
-      .select(col("r.product_id").cast("bigint").as("product_id"),
-        col("r.rating").cast("double").as("score"))
+    // Serving reads the factor matrices directly: the user's rank-dim
+    // vector becomes literals in ONE codegen'd dot-product scan of
+    // itemFactors (ml's recommendForUserSubset plans a blocked
+    // CartesianProduct of the factor matrices — fine for recommend-all,
+    // but a point query only needs catalog × 1).
+    val uf = model.userFactors.filter(col("id") === custId.toInt)
+      .select("features").collect()
+    val items = model.itemFactors
+    if (uf.isEmpty) // unknown customer degrades to empty, like the seeds
+      return items.filter(lit(false))
+        .select(col("id").cast("bigint").as("product_id"),
+          lit(0.0).as("score"))
+    val w = uf.head.getSeq[Float](0)
+    val score = w.indices.map(j =>
+      element_at(col("features"), j + 1).cast("double") *
+        lit(w(j).toDouble)).reduce(_ + _)
     val mine = purchasedBy(spark, dir, custId)
-    recs.join(broadcast(mine), Seq("product_id"), "left_anti")
+    items.select(col("id").cast("bigint").as("product_id"),
+        score.as("score"))
+      .join(broadcast(mine), Seq("product_id"), "left_anti")
       .orderBy(desc("score"), asc("product_id"))
       .limit(k)
   }
