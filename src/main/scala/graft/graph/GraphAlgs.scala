@@ -836,6 +836,37 @@ object GraphAlgs {
       .orderBy(desc("n_members"), asc("community")).limit(k)
   }
 
+  /** Degree assortativity — the network-science summary of whether
+    * hubs attach to hubs (r > 0) or to leaves (r < 0): the Pearson
+    * correlation of endpoint degrees over every directed edge of the
+    * symmetrized graph. All six sufficient statistics accumulate as
+    * exact decimal(38,0) (degree products can pass int64 at warehouse
+    * scale), and the only doubles are the final three conversions +
+    * sqrt — bit-identical in the oracle. Two |E|-keyed joins against
+    * the degree relation, one combinable aggregation: one row out. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val coPart = stateCoPartitioned(spark, dir)
+    val und = undirectedEdges(spark, dir, bySrc = coPart)
+      .filter(!col("self")).select("src", "dst")
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val dec = "decimal(38,0)"
+    val p = und
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    val s = p.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast(dec)).as("sx"),
+      sum(col("dy").cast(dec)).as("sy"),
+      sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+      sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+      sum((col("dy") * col("dy")).cast(dec)).as("syy"))
+    s.select(col("m").as("m_pairs"),
+      ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+         sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+           .cast("double")))).as("assortativity"))
+  }
+
   /** Distinct customer→product purchase pairs — the bipartite relation
     * HITS iterates over; laid out by src (customer) like the other
     * static rank-edge relations. */

@@ -395,7 +395,8 @@ object GraphRegistry {
       "weighted_pagerank_top" -> ((s, d) =>
         GraphAlgs.weightedPageRankTop(s, d)),
       "hits_fixed_top" -> ((s, d) => GraphAlgs.hitsFixedTop(s, d)),
-      "graph_lpa_communities" -> ((s, d) => GraphAlgs.lpaCommunities(s, d))
+      "graph_lpa_communities" -> ((s, d) => GraphAlgs.lpaCommunities(s, d)),
+      "graph_assortativity" -> ((s, d) => GraphAlgs.degreeAssortativity(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -627,7 +628,32 @@ object GraphRegistry {
            |LIMIT 10""".stripMargin,
       "weighted_pagerank_top" -> weightedPageRankSql(5, 20),
       "hits_fixed_top" -> hitsSql(5, 10),
-      "graph_lpa_communities" -> lpaSql(4, 20)
+      "graph_lpa_communities" -> lpaSql(4, 20),
+      // Endpoint-degree Pearson over the symmetrized edge set; decimal
+      // sufficient statistics, doubles only at the last three casts.
+      "graph_assortativity" ->
+        s"""WITH e0 AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
+           |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+           |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+           |deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+           |p AS (SELECT a.d AS dx, b.d AS dy
+           |  FROM und JOIN deg a ON und.src = a.src
+           |           JOIN deg b ON und.dst = b.src),
+           |s AS (SELECT count(*) AS m,
+           |  CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           |  CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           |  CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           |    AS sxy,
+           |  CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           |    AS sxx,
+           |  CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DECIMAL(38,0))
+           |    AS syy
+           |FROM p)
+           |SELECT m AS m_pairs,
+           |  CAST(m * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
+           |FROM s""".stripMargin
     )
   )
 }

@@ -186,6 +186,25 @@ object Cohorts {
       .orderBy("dow_iso")
   }
 
+  /** Month-over-month revenue trend: per calendar month, order count,
+    * exact-cents revenue, and the growth ratio vs the previous month
+    * (NULL for the first month — no fake zero). The lag window runs
+    * over the months relation (bounded by the date range, never the
+    * fact table); revenue stays integer cents until the one final
+    * ratio division. */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+    Tables.load(spark, dir, "orders")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Relational.cents(col("o_totalprice"))).as("rev_cents"))
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .select(col("month"), col("n_orders"), col("rev_cents"),
+        (col("rev_cents").cast("double") / col("prev_cents"))
+          .as("growth_ratio"))
+      .orderBy("month")
+  }
+
   /** Temporal concept-drift monitor: each event type's share of traffic
     * in the early vs the late half of the stream (midpoint of the
     * observed time range), with the absolute share difference per type —

@@ -70,6 +70,7 @@ object RelationalRegistry {
       "cohort_retention" -> ((s, d) => Cohorts.retentionMatrix(s, d)),
       "rfm_features" -> ((s, d) => Cohorts.rfmFeatures(s, d)),
       "revenue_dow_seasonality" -> ((s, d) => Cohorts.dowSeasonality(s, d)),
+      "revenue_monthly_growth" -> ((s, d) => Cohorts.monthlyGrowth(s, d)),
       "audience_overlap" -> ((s, d) => Cohorts.audienceOverlap(s, d)),
       "hourly_count_anomalies" -> ((s, d) =>
         Cohorts.hourlyCountAnomalies(s, d)),
@@ -487,6 +488,18 @@ object RelationalRegistry {
           |  CAST(ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS INTEGER)
           |    AS m_score
           |FROM base ORDER BY custkey""".stripMargin,
+      // Month lag over the bounded months relation; first month NULL.
+      "revenue_monthly_growth" ->
+        """WITH p AS (SELECT
+          |  date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+          |  count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS rev_cents
+          |FROM orders GROUP BY 1)
+          |SELECT CAST(month AS DATE) AS month, n_orders, rev_cents,
+          |  CAST(rev_cents AS DOUBLE) /
+          |    lag(rev_cents, 1) OVER (ORDER BY month) AS growth_ratio
+          |FROM p ORDER BY month""".stripMargin,
       // ISO day numbering on both engines (Monday = 1); exact cents
       // until the one final share division.
       "revenue_dow_seasonality" ->
