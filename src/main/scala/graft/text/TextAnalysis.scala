@@ -830,6 +830,34 @@ object TextAnalysis {
       .orderBy("quality_decile")
   }
 
+  /** Vocabulary growth curve (Heaps' law): cumulative distinct-term
+    * count as the corpus grows in fixed doc_id buckets — the curve
+    * that sizes a tokenizer vocabulary and tells a crawl when new data
+    * stops bringing new words. No running-distinct state: each term
+    * contributes at its FIRST bucket (the dau_cumulative
+    * first-activity trick on terms), so the plan is one term→min
+    * bucket aggregation plus a cumulative window over the bucket
+    * relation (bounded by the bucket count, never terms or tokens). */
+  def vocabGrowth(spark: SparkSession, dir: String,
+                  bucketBits: Int = 6): DataFrame = {
+    val firstB = Tables.load(spark, dir, "documents")
+      .select(shiftright(col("doc_id"), bucketBits).as("bucket"),
+        explode(tokens).as("term"))
+      .groupBy("term").agg(min(col("bucket")).as("first_bucket"))
+      .groupBy("first_bucket").agg(count(lit(1)).as("new_terms"))
+    val docsPerB = Tables.load(spark, dir, "documents")
+      .groupBy(shiftright(col("doc_id"), bucketBits).as("first_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("first_bucket")
+    docsPerB.join(firstB, Seq("first_bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .select(col("first_bucket").as("bucket"), col("n_docs"),
+        col("new_terms"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("new_terms")).over(w).as("cum_vocab"))
+      .orderBy("bucket")
+  }
+
   /** Clean doc_ids (no benchmark window hit) — the gate curate_full
     * composes. */
   def cleanDocIds(spark: SparkSession, dir: String): DataFrame =

@@ -99,6 +99,7 @@ object TextRegistry {
         TextAnalysis.qualitySignalCorrelation(s, d)),
       "text_quality_reliability" -> ((s, d) =>
         TextAnalysis.qualityReliability(s, d)),
+      "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
@@ -404,6 +405,24 @@ object TextRegistry {
            |  list_sum(list_sort(list(p))) / count(*) AS mean_pcond,
            |  min(p) AS min_pcond
            |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // Heaps curve: each term counts at its first bucket; cumulative
+      // window over the bounded bucket relation.
+      "text_vocab_growth" ->
+        s"""WITH fb AS (SELECT term, min(bucket) AS first_bucket FROM (
+           |    SELECT doc_id // 64 AS bucket, unnest($Toks) AS term
+           |    FROM documents) GROUP BY term),
+           |nt AS (SELECT first_bucket, count(*) AS new_terms
+           |       FROM fb GROUP BY first_bucket),
+           |db AS (SELECT doc_id // 64 AS first_bucket, count(*) AS n_docs
+           |       FROM documents GROUP BY 1)
+           |SELECT db.first_bucket AS bucket, db.n_docs,
+           |  coalesce(nt.new_terms, 0) AS new_terms,
+           |  CAST(sum(db.n_docs) OVER (ORDER BY db.first_bucket) AS BIGINT)
+           |    AS cum_docs,
+           |  CAST(sum(coalesce(nt.new_terms, 0))
+           |    OVER (ORDER BY db.first_bucket) AS BIGINT) AS cum_vocab
+           |FROM db LEFT JOIN nt ON db.first_bucket = nt.first_bucket
+           |ORDER BY bucket""".stripMargin,
       // Reliability curve: micro-unit quality deciles × the same
       // two-level chunked likelihood fold as the agreement row.
       "text_quality_reliability" ->
