@@ -195,6 +195,28 @@ object Dedup {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  /** Threshold sensitivity sweep — the tuning table a dedup threshold
+    * is chosen FROM: verified pair count and distinct docs affected at
+    * each candidate Jaccard threshold, from ONE pass of the pair
+    * pipeline at the lowest threshold (higher thresholds are subsets —
+    * no re-verification, just conditional counts over the one verified
+    * relation). The marginal rows between thresholds are exactly the
+    * pairs a stricter setting would keep as "distinct". */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9))
+      : DataFrame = {
+    val base = minhashLshPairs(spark, dir, thresholds.min)
+    val spark2 = spark
+    import spark2.implicits._
+    thresholds.sorted.map { t =>
+      val atT = base.filter(col("jacc") >= t)
+      val docs = atT.select(col("d1").as("d"))
+        .unionAll(atT.select(col("d2").as("d"))).distinct()
+      (t, atT.count(), docs.count())
+    }.toDF("threshold", "n_pairs", "n_docs_affected")
+      .orderBy("threshold")
+  }
+
   /** MinHash signature: for each doc, NumHashes column-mins of
     * md5("<i>|<shingle>") — one groupBy pass, no explode of hash index.
     * Memoized like shingles (same repeated-invocation argument). */

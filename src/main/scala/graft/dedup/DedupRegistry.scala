@@ -132,7 +132,8 @@ object DedupRegistry {
       "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d)),
       "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
       "dedup_quality_keepers" -> ((s, d) => Dedup.qualityKeepers(s, d)),
-      "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d))
+      "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+      "dedup_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d))
     ),
     oracles = Map(
       "dedup_exact" ->
@@ -213,6 +214,28 @@ object DedupRegistry {
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      // One verified relation at 0.7; each threshold row is a
+      // conditional count over it.
+      "dedup_threshold_sweep" -> {
+        def row(t: String): String =
+          s"""SELECT CAST($t AS DOUBLE) AS threshold,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+             |     SELECT d1 AS d FROM ver WHERE jacc >= $t
+             |     UNION SELECT d2 FROM ver WHERE jacc >= $t))
+             |    AS n_docs_affected
+             |FROM ver WHERE jacc >= $t""".stripMargin
+        s"""WITH $ShingleCtes,
+           |$candCtes,
+           |${verifyCtes(0.7)}
+           |SELECT * FROM (
+           |${row("0.7")}
+           |UNION ALL
+           |${row("0.8")}
+           |UNION ALL
+           |${row("0.9")}
+           |) ORDER BY threshold""".stripMargin
+      },
       // Asymmetric containment over the shared candidate relation:
       // ordered (inner, outer) by size, Jaccard-missed pairs only.
       "dedup_containment" ->
