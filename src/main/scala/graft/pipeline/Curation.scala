@@ -258,6 +258,38 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Per-source training-epoch plan — the data-constrained-scaling
+    * table: given a token budget of `budgetMult` × the corpus and the
+    * √-temperature mixture weights, how many passes (epochs) does each
+    * source make through training? epochs = budget · w_temp /
+    * source_tokens. Sources with epochs > 1 repeat (the
+    * data-constrained regime where repetition discounting kicks in);
+    * sources with epochs < 1 are subsampled. Token counts are exact
+    * integers; the epochs column is one double division chain both
+    * engines replay identically. Bounded by |sources| rows. */
+  def mixtureEpochs(spark: SparkSession, dir: String,
+                    budgetMult: Double = 2.0): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(TextAnalysis.tokens).as("n_toks"))
+    val bySrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"))
+      .withColumn("sq", sqrt(col("n_docs").cast("double")))
+    val totals = bySrc.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      aggregate(sort_array(collect_list(col("sq"))), lit(0.0),
+        (s, x) => s + x).as("total_sq"))
+    bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("sq") / col("total_sq")).as("w_temp"),
+        ((lit(budgetMult) * col("total_tokens").cast("double") *
+          (col("sq") / col("total_sq"))) /
+          col("n_tokens").cast("double")).as("epochs"))
+      .withColumn("regime",
+        when(col("epochs") > 1.0, "repeat").otherwise("subsample"))
+      .orderBy("source")
+  }
+
   /** Quality-weighted downsampling: each document keeps with probability
     * proportional to its quality score, decided by the SAME deterministic
     * md5 bucket as the splits (keep ⇔ bucket < quality·100) — the

@@ -49,6 +49,7 @@ object CurationRegistry {
       "stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
       "mixture_rebalance_counts" -> ((s, d) => Curation.rebalanceCounts(s, d)),
       "mixture_temperature" -> ((s, d) => Curation.mixtureTemperature(s, d)),
+      "mixture_epochs" -> ((s, d) => Curation.mixtureEpochs(s, d)),
       "curate_corpus" -> ((s, d) => Curation.curate(s, d)),
       "curate_full" -> ((s, d) => Curation.curateFull(s, d)),
       "forget_cascade" -> ((s, d) => Curation.forgetCascadeReport(s, d)),
@@ -97,6 +98,24 @@ object CurationRegistry {
           |  (sqrt(CAST(n_docs AS DOUBLE)) / total_sq)
           |    / (CAST(n_docs AS DOUBLE) / total_n) AS boost
           |FROM s, t ORDER BY source""".stripMargin,
+      // Epoch plan: budget·w_temp / source_tokens, same division order.
+      "mixture_epochs" ->
+        s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  list_sum(list_sort(list(sqrt(CAST(n_docs AS DOUBLE)))))
+           |    AS total_sq FROM s)
+           |SELECT source, n_docs, n_tokens,
+           |  sqrt(CAST(n_docs AS DOUBLE)) / total_sq AS w_temp,
+           |  (2.0 * CAST(total_tokens AS DOUBLE) *
+           |    (sqrt(CAST(n_docs AS DOUBLE)) / total_sq))
+           |    / CAST(n_tokens AS DOUBLE) AS epochs,
+           |  CASE WHEN (2.0 * CAST(total_tokens AS DOUBLE) *
+           |    (sqrt(CAST(n_docs AS DOUBLE)) / total_sq))
+           |    / CAST(n_tokens AS DOUBLE) > 1.0
+           |    THEN 'repeat' ELSE 'subsample' END AS regime
+           |FROM s, t ORDER BY source""".stripMargin,
       "curate_corpus" ->
         s"""WITH $CurateCtes
            |$CurateSelect
