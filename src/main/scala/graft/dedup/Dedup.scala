@@ -195,25 +195,55 @@ object Dedup {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  /** Default candidate thresholds for [[thresholdSweep]] — shared with
+    * its oracle SQL generator so the twin cannot drift from the Scala
+    * default. */
+  val SweepThresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)
+
   /** Threshold sensitivity sweep — the tuning table a dedup threshold
     * is chosen FROM: verified pair count and distinct docs affected at
     * each candidate Jaccard threshold, from ONE pass of the pair
     * pipeline at the lowest threshold (higher thresholds are subsets —
-    * no re-verification, just conditional counts over the one verified
-    * relation). The marginal rows between thresholds are exactly the
-    * pairs a stricter setting would keep as "distinct". */
+    * no re-verification). ONE scan, ZERO driver actions: each pair
+    * explodes into its two doc rows (the d1 row tagged as the pair
+    * owner so pairs count once), a per-doc aggregate folds max(jacc)
+    * plus per-threshold owned-pair counts (map-side combinable), and a
+    * single global fold produces every threshold's `n_pairs`
+    * (sum of owned counts) and `n_docs_affected` (docs whose best pair
+    * clears the bar) — then one bounded explode lays the row-per-
+    * threshold shape. At 100 TB the verify relation streams through
+    * two combinable aggregations; nothing is recomputed per threshold
+    * and nothing returns to the driver. */
   def thresholdSweep(spark: SparkSession, dir: String,
-                     thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9))
+                     thresholds: Seq[Double] = SweepThresholds)
       : DataFrame = {
-    val base = minhashLshPairs(spark, dir, thresholds.min)
-    val spark2 = spark
-    import spark2.implicits._
-    thresholds.sorted.map { t =>
-      val atT = base.filter(col("jacc") >= t)
-      val docs = atT.select(col("d1").as("d"))
-        .unionAll(atT.select(col("d2").as("d"))).distinct()
-      (t, atT.count(), docs.count())
-    }.toDF("threshold", "n_pairs", "n_docs_affected")
+    val ts = thresholds.sorted
+    val base = minhashLshPairs(spark, dir, ts.min)
+    val exploded = base
+      .select(col("d1").as("d"), col("jacc"), lit(true).as("own"))
+      .unionAll(base
+        .select(col("d2").as("d"), col("jacc"), lit(false).as("own")))
+    val perDocAggs = max(col("jacc")).as("mj") +:
+      ts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("own") && col("jacc") >= t, 1L).otherwise(0L))
+          .as(s"p$i")
+      }
+    val perDoc = exploded.groupBy("d")
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val globalAggs = ts.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(col(s"p$i")).as(s"np$i"),
+        sum(when(col("mj") >= t, 1L).otherwise(0L)).as(s"nd$i"))
+    }
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        coalesce(col(s"np$i"), lit(0L)).as("n_pairs"),
+        coalesce(col(s"nd$i"), lit(0L)).as("n_docs_affected"))
+    }
+    perDoc.agg(globalAggs.head, globalAggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.n_pairs").as("n_pairs"),
+        col("r.n_docs_affected").as("n_docs_affected"))
       .orderBy("threshold")
   }
 

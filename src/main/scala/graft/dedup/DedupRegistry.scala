@@ -214,10 +214,13 @@ object DedupRegistry {
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
-      // One verified relation at 0.7; each threshold row is a
-      // conditional count over it.
+      // One verified relation at the lowest threshold; each threshold
+      // row is a conditional count over it. Thresholds come from
+      // Dedup.SweepThresholds — the same default the Spark closure
+      // uses — so the twin cannot drift.
       "dedup_threshold_sweep" -> {
-        def row(t: String): String =
+        val ts = Dedup.SweepThresholds.sorted
+        def row(t: Double): String =
           s"""SELECT CAST($t AS DOUBLE) AS threshold,
              |  CAST(count(*) AS BIGINT) AS n_pairs,
              |  (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
@@ -227,13 +230,9 @@ object DedupRegistry {
              |FROM ver WHERE jacc >= $t""".stripMargin
         s"""WITH $ShingleCtes,
            |$candCtes,
-           |${verifyCtes(0.7)}
+           |${verifyCtes(ts.min)}
            |SELECT * FROM (
-           |${row("0.7")}
-           |UNION ALL
-           |${row("0.8")}
-           |UNION ALL
-           |${row("0.9")}
+           |${ts.map(row).mkString("\nUNION ALL\n")}
            |) ORDER BY threshold""".stripMargin
       },
       // Asymmetric containment over the shared candidate relation:

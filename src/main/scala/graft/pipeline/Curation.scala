@@ -417,18 +417,6 @@ object Curation {
       .orderBy("lang", "cum_tokens", "doc_id")
   }
 
-  /** Release manifest: per-(split, lang) partition of the released
-    * corpus — doc count, token total, and an ORDER-INDEPENDENT exact
-    * content fingerprint (the sum of each doc's 52-bit md5-prefix
-    * value). This is the artifact a training job pins: two releases
-    * diff by comparing manifest rows, and a copied/restored partition
-    * re-verifies by recomputing three aggregates in one scan — no
-    * row-order, file-layout, or partitioning sensitivity. All integer
-    * arithmetic; the 52-bit per-doc values are summed as
-    * decimal(38,0) (int128 on the DuckDB side), so the fingerprint
-    * stays EXACT to ~10³⁸/2⁵² ≈ 2⁷⁵ docs per cell — no silent int64
-    * wrap at corpus scale. Composes [[curateFull]], so every gate
-    * feeding the manifest is itself an oracle-verified operator. */
   /** The release datasheet — the one table a corpus release ships
     * beside the manifest: per split, the headline numbers a consumer
     * (or a review board) reads first. Composes five verified operator
@@ -478,6 +466,22 @@ object Curation {
       .orderBy("split")
   }
 
+  /** Release manifest: per-(split, lang) partition of the released
+    * corpus — doc count, token total, and an ORDER-INDEPENDENT exact
+    * content fingerprint (the sum of each doc's 52-bit md5-prefix
+    * value). This is the artifact a training job pins: two releases
+    * diff by comparing manifest rows, and a copied/restored partition
+    * re-verifies by recomputing three aggregates in one scan — no
+    * row-order, file-layout, or partitioning sensitivity. All integer
+    * arithmetic; the 52-bit per-doc values are summed as
+    * decimal(38,0) (int128 on the DuckDB side), so the fingerprint
+    * stays EXACT to ~10³⁸/2⁵² ≈ 2⁷⁵ docs per cell — no silent int64
+    * wrap at corpus scale. The SURFACE type is the exact decimal-digit
+    * string of that sum (identical text on both engines): a decimal128
+    * output cell hashes engine-dependently downstream, a digit string
+    * does not — the internal arithmetic stays wide, only the
+    * presentation narrows. Composes [[curateFull]], so every gate
+    * feeding the manifest is itself an oracle-verified operator. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(col("text"))
     val fp52 = (0 until 13).map(i =>
@@ -492,7 +496,7 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(fp52.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("content_fp"))
+          .cast("string").as("content_fp"))
       .orderBy("split", "lang")
   }
 

@@ -394,7 +394,7 @@ object CurationRegistry {
            |       FROM (SELECT doc_id, md5(text) AS hh FROM documents))
            |SELECT rel.split, d.lang, count(*) AS n_docs,
            |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
-           |  CAST(sum(fp.fp52) AS DECIMAL(38,0)) AS content_fp
+           |  CAST(CAST(sum(fp.fp52) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
            |FROM rel JOIN documents d ON rel.doc_id = d.doc_id
            |         JOIN q ON rel.doc_id = q.doc_id
            |         JOIN fp ON rel.doc_id = fp.doc_id

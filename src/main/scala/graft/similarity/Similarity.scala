@@ -694,8 +694,13 @@ object Similarity {
     * join parallelizes by cell. The per-query top-k is a window over
     * each query's bounded candidate set. Exact adaptive oracle via the
     * pinned centroids. */
-  def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
-              nProbe: Int = 2): DataFrame = {
+  /** Defaults for [[knnJoin]], shared with its oracle SQL generator so
+    * the twin cannot drift from the Scala defaults. */
+  val KnnJoinK: Int = 3
+  val KnnJoinNProbe: Int = 2
+
+  def knnJoin(spark: SparkSession, dir: String, k: Int = KnnJoinK,
+              nProbe: Int = KnnJoinNProbe): DataFrame = {
     val (model, assigned, _) = ivfIndex(spark, dir, 0)
     val centers = model.clusterCenters.map(_.toArray)
     val e = transform(col("embedding"), x => x.cast("double"))

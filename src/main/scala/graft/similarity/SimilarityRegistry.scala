@@ -380,12 +380,14 @@ object SimilarityRegistry {
            |ORDER BY cluster""".stripMargin,
       // Batch kNN join: per-vector probe list = nProbe first entries of
       // the sorted (distance, cell) pairs; candidates keyed by cell.
+      // k / nProbe come from Similarity.KnnJoinK / KnnJoinNProbe — the
+      // same defaults the Spark closure uses — so the twin cannot drift.
       "sim_knn_join" ->
         s"""WITH $vCte,
            |$clCte,
            |pr AS (SELECT vec_id AS q, embedding AS qe, unnest(
            |    list_transform(list_sort(list_zip(dists,
-           |      range(len(dists)))), p -> p[2])[1:2]) AS cluster
+           |      range(len(dists)))), p -> p[2])[1:${Similarity.KnnJoinNProbe}]) AS cluster
            |  FROM asg),
            |cand AS (SELECT DISTINCT pr.q, c.vec_id AS nn,
            |    ${cosSql("pr.qe", "c.embedding")} AS cos
@@ -394,7 +396,7 @@ object SimilarityRegistry {
            |SELECT q AS vec_id, nn AS nn_vec_id, cos,
            |  CAST(row_number() OVER (PARTITION BY q
            |    ORDER BY cos DESC, nn) AS BIGINT) AS rk
-           |FROM cand QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+           |FROM cand QUALIFY rk <= ${Similarity.KnnJoinK} ORDER BY vec_id, rk""".stripMargin,
       // Coarse-then-refine: the IVF-PQ ADC top-40 list re-ranked by
       // exact cosine over only those rows' float vectors.
       "sim_ivf_rerank" ->

@@ -372,8 +372,9 @@ class CurationSpec extends SparkTestBase {
       }.toMap
     val got = Curation.releaseManifest(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        // content_fp is decimal(38,0); exact-long at this SF
-        (r.getLong(2), r.getLong(3), r.getDecimal(4).longValueExact)).toMap
+        // content_fp surfaces as the exact digit string of the
+        // decimal(38,0) sum; exact-long at this SF
+        (r.getLong(2), r.getLong(3), r.getString(4).toLong)).toMap
     assert(got == expect && got.nonEmpty)
   }
 

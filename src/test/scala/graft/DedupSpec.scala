@@ -250,4 +250,44 @@ class DedupSpec extends SparkTestBase {
       .collect().head
     assert(f.getLong(3) == f.getLong(1) - f.getLong(2) && f.getLong(3) >= 0)
   }
+
+  test("threshold sweep: brute-replay parity, one action, no loop") {
+    val dir = "/root/testdata/sf0.001"
+    val ts = Dedup.SweepThresholds.sorted
+    // brute replay: conditional counts over the collected pair relation
+    val pairs = Dedup.minhashLshPairs(spark, dir, ts.min).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = ts.map { t =>
+      val at = pairs.filter(_._3 >= t)
+      (t, at.length.toLong,
+        at.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val sweep = Dedup.thresholdSweep(spark, dir)
+    // ONE action: the r7 implementation looped 2 driver actions per
+    // threshold over the unpersisted pair relation (6 full
+    // re-executions). Each DataFrame action opens exactly one SQL
+    // execution (AQE sub-jobs all nest under it), so counting
+    // SQLExecutionStart events during the collect pins the no-loop
+    // claim directly.
+    val execs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val g = sweep.collect()
+          .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        Thread.sleep(500) // let queued listener events drain
+        g
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.toSeq == expect && got.exists(_._2 > 0L))
+    assert(execs.get() <= 1,
+      s"sweep ran ${execs.get()} SQL executions — action loop?")
+  }
 }
