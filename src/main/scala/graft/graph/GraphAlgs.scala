@@ -311,8 +311,11 @@ object GraphAlgs {
   }
 
   /** Connected components over the undirected view; returns component
-    * sizes. Exercises GraphX's iterative Pregel path; SQL-oracle-free
-    * (rows-only + ScalaTest on a known toy graph). */
+    * sizes. Exercises GraphX's iterative Pregel path. Unlike the float
+    * rank family this is exact-integer, so it shares the unrolled
+    * min-label oracle with componentsFixedSizes (full convergence ≡ the
+    * 10-round fixed point on this graph — the fixed-round loop
+    * early-exits at its monotone fixed point). */
   def connectedComponentSizes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (graph, _) = builtGraph(spark, dir)

@@ -414,6 +414,12 @@ object GraphRegistry {
       "ppr_fixed_recs" -> pprRecsSql(1L, 10, 10),
       "ppr_fixed_top" -> pprTopSql("P1", 10, 10),
       "components_fixed_sizes" -> componentsSql(10),
+      // GraphX runs min-label to FULL convergence; the 10-round unrolled
+      // twin converges earlier on this graph (componentsFixedSizes
+      // early-exits on its monotone fixed point), so the same exact
+      // integer size histogram binds both — component membership has no
+      // float tier, unlike the rank family.
+      "graphx_components" -> componentsSql(10),
       // BFS distances toward the landmark along edge direction — a
       // recursive CTE twin of GraphX ShortestPaths (expand backwards over
       // dst→src from the landmark; UNION dedups states, and the graph is

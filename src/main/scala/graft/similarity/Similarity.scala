@@ -26,6 +26,37 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Per-JVM nonce in every derived-index tmp path. The layout dirs
+    * used to be keyed by input alone (`graft-ivf-<md5(dir)>`), which
+    * races across PROCESSES: a second JVM on the same input overwrites
+    * the exact files a first JVM's parquet snapshot still references
+    * (observed as FAILED_READ_FILE mid-query when a probe run started
+    * beside a full verify). The index is per-JVM derived state (the
+    * memo is per-JVM; nothing reuses another process's layout), so the
+    * path should be per-JVM too. A shutdown hook removes this JVM's
+    * layouts. */
+  private lazy val jvmTag: String = {
+    val t = java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val mine = tmp.listFiles()
+      if (mine != null) mine.filter(_.getName.contains(s"-$t-")).foreach {
+        d =>
+          def rm(f: java.io.File): Unit = {
+            val c = f.listFiles(); if (c != null) c.foreach(rm)
+            f.delete(); ()
+          }
+          rm(d)
+      }
+    }))
+    t
+  }
+
+  /** Layout dir for a derived index: content tag + per-JVM nonce. */
+  private def indexDir(prefix: String, tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix-$jvmTag-$tag").toString
+
   /** Number of SRP hyperplanes (signature bits) and band layout:
     * 32 bits = 4 bands × 8 bits. For cos≈0.9 pairs (near-dup regime) the
     * per-bit agreement is 1−θ/π ≈ 0.86, an 8-bit band matches with p≈0.30,
@@ -296,14 +327,14 @@ object Similarity {
         val model = new KMeans().setK(kCells).setSeed(42L)
           .setFeaturesCol("features").fit(train)
         // Materialize the inverted file as a cluster-partitioned layout
-        // (fixed per-input path + overwrite — reruns replace, never
-        // accumulate). Reading it back makes `cluster` a partition
-        // column, so probe filters prune at file-listing time.
+        // (per-input tag + per-JVM nonce + overwrite — reruns in this
+        // JVM replace, concurrent JVMs never collide). Reading it back
+        // makes `cluster` a partition column, so probe filters prune at
+        // file-listing time.
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$dir#$kCells".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
-        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-ivf-$tag").toString
+        val idxDir = indexDir("graft-ivf", tag)
         assignCells(model.clusterCenters.map(_.toArray), emb(spark, dir))
           .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)
         (model, spark.read.parquet(idxDir), idxDir)
@@ -601,8 +632,7 @@ object Similarity {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$dir#$m#$kCodes#ivfpq".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(12)
-      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivfpq-$tag").toString
+      val idxDir = indexDir("graft-ivfpq", tag)
       assigned.select("vec_id", "cluster")
         .join(coded, "vec_id")
         .write.mode("overwrite").partitionBy("cluster").parquet(idxDir)

@@ -17,6 +17,28 @@ import graft.Tables
   */
 object Formats {
 
+  /** Per-JVM nonce in the round-trip scratch paths: a per-input-only
+    * path races across PROCESSES (a second JVM's overwrite deletes the
+    * files a first JVM's lazy read still references — the graft-ivf
+    * lesson). Scratch dirs are per-JVM derived state; cleanup rides the
+    * same shutdown hook pattern. */
+  private lazy val jvmTag: String = {
+    val t = java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val mine = tmp.listFiles()
+      if (mine != null) mine.filter(_.getName.contains(s"-$t-")).foreach {
+        d =>
+          def rm(f: java.io.File): Unit = {
+            val c = f.listFiles(); if (c != null) c.foreach(rm)
+            f.delete(); ()
+          }
+          rm(d)
+      }
+    }))
+    t
+  }
+
   def readCsv(spark: SparkSession, path: String,
               schema: StructType): DataFrame =
     if (!new java.io.File(path).exists())
@@ -37,13 +59,11 @@ object Formats {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-    // Fixed per-input path, overwrite mode: repeated Bench/Verify runs
-    // rewrite in place instead of accumulating orphaned temp dirs. The
-    // result frame stays lazily readable from it (single-writer helper —
-    // concurrent sessions on the same input dir would race, which no
-    // harness does).
+    // Per-input tag + per-JVM nonce, overwrite mode: repeated runs in
+    // this JVM rewrite in place; concurrent JVMs never collide; the
+    // shutdown hook reclaims the scratch.
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-fmt-" + java.security.MessageDigest.getInstance("MD5")
+      s"graft-fmt-$jvmTag-" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         .take(12)).toString
     ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
@@ -86,7 +106,7 @@ object Formats {
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-fmt-tol-" + java.security.MessageDigest.getInstance("MD5")
+      s"graft-fmt-tol-$jvmTag-" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         .take(12)).toString
     val line = to_json(struct(ev.columns.map(col): _*))

@@ -4,9 +4,17 @@
 # CPU in bursts — a run with high steal is not comparable), retries up
 # to 5 times, and keeps the best BENCH_FULL_LATEST.json.
 #
+# Every attempt's artifact is stamped with a self-contained provenance
+# verdict: "clean": true/false plus the gate inputs (measured external
+# steal, the artifact's own load_avg_start). Only clean:true artifacts
+# are eligible for blessing — an artifact that self-reports a loaded
+# host (load_avg_start >= 1) or measured steal over the 2% budget
+# carries its own disqualification, and this script now refuses to
+# bless it rather than leaving the judgment to external context.
+#
 # Usage: tools/bench_clean.sh [accept_total_seconds]
-#   accept_total_seconds: stop early when a run beats this total AND has
-#   < 2% steal (default 160).
+#   accept_total_seconds: stop early when a clean run beats this total
+#   (default 160).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 ACCEPT="${1:-160}"
@@ -34,18 +42,29 @@ for i in 1 2 3 4 5; do
     continue
   fi
   cp BENCH_FULL_LATEST.json "/tmp/bench_clean_$i.json"
-  read -r total failed <<< "$(python3 -c "
-import json; b=json.load(open('/tmp/bench_clean_$i.json'))
-print(round(b['value'],1), b.get('failed', 999))")"
-  echo "attempt $i: total=${total}s failed=${failed} wall=${wall}s steal_ticks=${steal} (steal_s=$((steal/100)))"
-  # a run with crashed queries is an invalid artifact whatever its total
-  [ "$failed" != "0" ] && continue
+  # Stamp the provenance verdict INTO the artifact: clean ⇔ no crashed
+  # queries, the artifact's own load_avg_start under 1, and measured
+  # external steal under the core-scaled 2% budget (cpus * 100 ticks/s
+  # * 0.02 = cpus*2 ticks per wall-second).
+  cpus="${SPARK_GRAFT_CPUS:-32}"
+  read -r total failed clean <<< "$(python3 -c "
+import json
+p = '/tmp/bench_clean_$i.json'
+b = json.load(open(p))
+load0 = b.get('load_avg_start', 999)
+failed = b.get('failed', 999)
+clean = (failed == 0 and load0 < 1.0 and $steal < $wall * $cpus * 2)
+b['clean'] = clean
+b['clean_gate'] = {'steal_ticks': $steal, 'wall_s': $wall,
+  'steal_budget_ticks': $wall * $cpus * 2, 'load_avg_start_max': 1.0}
+json.dump(b, open(p, 'w'))
+print(round(b['value'], 1), failed, 1 if clean else 0)")"
+  echo "attempt $i: total=${total}s failed=${failed} clean=${clean} wall=${wall}s steal_ticks=${steal} (steal_s=$((steal/100)))"
+  # only a clean artifact may be blessed, whatever its total
+  [ "$clean" != "1" ] && continue
   better=$(python3 -c "print(1 if $total < $best else 0)")
   [ "$better" = "1" ] && { best=$total; cp "/tmp/bench_clean_$i.json" /tmp/bench_clean_best.json; }
-  # 2% steal budget, scaled to the configured core count:
-  # cpus * 100 ticks/s * 0.02 = cpus*2 ticks per wall-second
-  cpus="${SPARK_GRAFT_CPUS:-32}"
-  stop=$(python3 -c "print(1 if $total < $ACCEPT and $steal < $wall*$cpus*2 else 0)")
+  stop=$(python3 -c "print(1 if $total < $ACCEPT else 0)")
   [ "$stop" = "1" ] && break
 done
 if [ ! -f /tmp/bench_clean_best.json ]; then
@@ -54,4 +73,4 @@ if [ ! -f /tmp/bench_clean_best.json ]; then
   exit 1
 fi
 cp /tmp/bench_clean_best.json BENCH_FULL_LATEST.json
-echo "kept best: ${best}s"
+echo "kept best (clean): ${best}s"
