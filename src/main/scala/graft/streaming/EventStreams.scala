@@ -29,6 +29,11 @@ object EventStreams {
     * parquet becomes a stream (one file per microbatch). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Mirror Tables.load: un-annotated micros surface as instant
+    // TIMESTAMP at the scan (UTC session — value-identical), so the
+    // stream schema matches the batch twin's and normalizeTs only acts
+    // on the NANOS→long encoding.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Schema must match the physical file (ts = INT64 nanos); the
     // micros conversion happens on the stream, as in Tables.load.
     val raw = spark.read.parquet(s"$dir/events.parquet")
