@@ -61,6 +61,13 @@ object Verify {
        catch { case e: Throwable =>
          System.err.println(s"[verify] similarity adaptive oracles failed: $e")
          Map.empty[String, String]
+       }) ++
+      // Factor-adaptive ALS serving twin: pinned factor matrices from
+      // the same memoized fixed-seed model the dumped result reads.
+      (try operators.RecsRegistry.adaptiveOracles(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[verify] recs adaptive oracles failed: $e")
+         Map.empty[String, String]
        })
     val oracles =
       if (only.isEmpty) adaptive

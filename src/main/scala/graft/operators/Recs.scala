@@ -341,55 +341,113 @@ object Recs {
     * factor dot-product over the catalog with purchased items removed
     * by the same anti-join shape as [[pprFixedRecs]]'s.
     *
-    * Rows-only registry tier (ALS, like KMeans, is not
-    * SQL-expressible); RecsSpec asserts determinism, purchased
-    * exclusion, and the contrastive floor that positive interactions
-    * outscore sampled negatives on average — the honest quality gate
-    * for a learned component. At 100 TB the training input is the
-    * (customer, product, count) aggregate — orders of magnitude
-    * smaller than the fact table — and Spark ML's ALS is the standard
-    * block-partitioned implementation. */
-  private def alsModel(spark: SparkSession, dir: String, rank: Int)
-      : org.apache.spark.ml.recommendation.ALSModel =
-    graft.Memo.get(spark, "als-model", (dir, rank)) {
+    * Training (ALS, like KMeans) is not SQL-expressible, but SERVING
+    * is: the fixed-seed factors are deterministic, so the registry row
+    * carries an EXACT adaptive oracle with the factor matrices pinned
+    * as literals (RecsRegistry.adaptiveOracles — the IVF
+    * pinned-centroid pattern). RecsSpec additionally asserts
+    * determinism, purchased exclusion, and the contrastive floor that
+    * positive interactions outscore sampled negatives on average. At
+    * 100 TB the training input is the (customer, product, count)
+    * aggregate — orders of magnitude smaller than the fact table — and
+    * Spark ML's ALS is the standard block-partitioned implementation.
+    * Raw 64-bit keys pass through deterministic dense-int dictionaries
+    * ([[denseIds]]) — ALS is int-indexed, and the raw cast overflowed
+    * at the 10× scale slice. */
+  /** The trained model plus the dense-id dictionaries serving needs to
+    * translate raw keys in and factor ids back out. */
+  private[graft] case class AlsIndex(
+      model: org.apache.spark.ml.recommendation.ALSModel,
+      custMap: DataFrame, // (custkey: long, idx: int)
+      partMap: DataFrame) // (product_id: long, idx: int)
+
+  /** Deterministic dense int ids for a key column: distinct keys in
+    * ascending order zipped with their global position. Distributed
+    * (sort + per-partition offsets via zipWithIndex — the same
+    * two-pass shape as Ranks.withGlobalPos), never a single-partition
+    * window. ALS requires int ids; raw 64-bit keys overflow the cast
+    * once ids pass 2³¹ — the 10× scale slice caught exactly that
+    * (CAST_OVERFLOW at custkey ≈ 3·10⁹) — and at warehouse scale key
+    * spaces are sparse anyway, so the dictionary is the correct shape:
+    * |distinct keys| rows, the standard ALS preprocessing step. */
+  private def denseIds(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys = df.select(col(keyCol).cast("long")).distinct()
+      .orderBy(keyCol)
+    val indexed = keys.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), i.toInt)
+    }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol,
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  private[graft] def alsIndex(spark: SparkSession, dir: String, rank: Int)
+      : AlsIndex =
+    graft.Memo.get(spark, "als-index", (dir, rank)) {
       val orders = Tables.load(spark, dir, "orders")
         .select(col("o_orderkey").as("order_id"),
           col("o_custkey").as("custkey"))
-      val inter = Tables.spread(spark, rawItems(spark, dir))
+      val interRaw = Tables.spread(spark, rawItems(spark, dir))
         .join(orders, "order_id")
         .groupBy(col("custkey"), col("product_id"))
         .agg(count(lit(1)).cast("float").as("cnt"))
-        .select(col("custkey").cast("int").as("custkey"),
-          col("product_id").cast("int").as("product_id"), col("cnt"))
-      new org.apache.spark.ml.recommendation.ALS()
+        .localCheckpoint(true) // feeds both dictionaries + the train set
+      val custMap = denseIds(interRaw, "custkey").localCheckpoint(true)
+      val partMap = denseIds(interRaw, "product_id").localCheckpoint(true)
+      val inter = interRaw
+        .join(custMap, "custkey")
+        .withColumnRenamed("idx", "cid")
+        .join(partMap, "product_id")
+        .withColumnRenamed("idx", "pid")
+        .select(col("cid"), col("pid"), col("cnt"))
+      val model = new org.apache.spark.ml.recommendation.ALS()
         .setSeed(42L).setRank(rank).setMaxIter(8).setRegParam(0.1)
         .setImplicitPrefs(true).setAlpha(1.0)
-        .setUserCol("custkey").setItemCol("product_id")
+        .setUserCol("cid").setItemCol("pid")
         .setRatingCol("cnt").setColdStartStrategy("drop")
         .fit(inter)
+      AlsIndex(model, custMap, partMap)
     }
+
+  /** Item factor matrix keyed by the RAW product id — the relation
+    * serving scans and the adaptive oracle pins. */
+  private[graft] def alsItemFactors(spark: SparkSession, dir: String,
+                                    rank: Int): DataFrame = {
+    val idx = alsIndex(spark, dir, rank)
+    idx.model.itemFactors
+      .join(idx.partMap, idx.model.itemFactors("id") === idx.partMap("idx"))
+      .select(col("product_id"), col("features"))
+  }
 
   def alsRecs(spark: SparkSession, dir: String, custId: Long = 1L,
               k: Int = 10, rank: Int = 4): DataFrame = {
-    val model = alsModel(spark, dir, rank)
+    val idx = alsIndex(spark, dir, rank)
     // Serving reads the factor matrices directly: the user's rank-dim
     // vector becomes literals in ONE codegen'd dot-product scan of
-    // itemFactors (ml's recommendForUserSubset plans a blocked
-    // CartesianProduct of the factor matrices — fine for recommend-all,
-    // but a point query only needs catalog × 1).
-    val uf = model.userFactors.filter(col("id") === custId.toInt)
+    // the raw-keyed item factors (ml's recommendForUserSubset plans a
+    // blocked CartesianProduct of the factor matrices — fine for
+    // recommend-all, but a point query only needs catalog × 1).
+    val items = alsItemFactors(spark, dir, rank)
+    val empty = items.filter(lit(false))
+      .select(col("product_id").cast("bigint").as("product_id"),
+        lit(0.0).as("score"))
+    // Two point lookups (1 row each): raw key → dense id → factor row.
+    val cid = idx.custMap.filter(col("custkey") === custId)
+      .select("idx").collect()
+    if (cid.isEmpty) return empty // unknown customer degrades to empty
+    val uf = idx.model.userFactors.filter(col("id") === cid.head.getInt(0))
       .select("features").collect()
-    val items = model.itemFactors
-    if (uf.isEmpty) // unknown customer degrades to empty, like the seeds
-      return items.filter(lit(false))
-        .select(col("id").cast("bigint").as("product_id"),
-          lit(0.0).as("score"))
+    if (uf.isEmpty) return empty
     val w = uf.head.getSeq[Float](0)
     val score = w.indices.map(j =>
       element_at(col("features"), j + 1).cast("double") *
         lit(w(j).toDouble)).reduce(_ + _)
     val mine = purchasedBy(spark, dir, custId)
-    items.select(col("id").cast("bigint").as("product_id"),
+    items.select(col("product_id").cast("bigint").as("product_id"),
         score.as("score"))
       .join(broadcast(mine), Seq("product_id"), "left_anti")
       .orderBy(desc("score"), asc("product_id"))
@@ -397,19 +455,25 @@ object Recs {
   }
 
   /** Predicted affinities for explicit (custkey, product_id) pairs —
-    * the spec's contrastive probe surface. */
+    * the spec's contrastive probe surface. Raw keys translate through
+    * the dictionaries (same-key hash joins) on the way in. */
   private[graft] def alsPredict(spark: SparkSession, dir: String,
                                 pairs: DataFrame,
-                                rank: Int = 4): DataFrame =
-    alsModel(spark, dir, rank).transform(
-      pairs.select(col("custkey").cast("int").as("custkey"),
-        col("product_id").cast("int").as("product_id")))
+                                rank: Int = 4): DataFrame = {
+    val idx = alsIndex(spark, dir, rank)
+    val p = pairs
+      .select(col("custkey").cast("long").as("custkey"),
+        col("product_id").cast("long").as("product_id"))
+      .join(idx.custMap, "custkey").withColumnRenamed("idx", "cid")
+      .join(idx.partMap, "product_id").withColumnRenamed("idx", "pid")
+    idx.model.transform(p)
+  }
 
   /** Index-build prewarm (Bench policy: long-lived-service steady
     * state — training is the measured-once index build, serving is the
     * measured query). */
   def prewarm(spark: SparkSession, dir: String): Unit = {
-    alsModel(spark, dir, 4)
+    alsIndex(spark, dir, 4)
     alsRecs(spark, dir, 1L, k = 1).count()
   }
 }

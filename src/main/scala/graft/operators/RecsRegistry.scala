@@ -20,10 +20,13 @@ object RecsRegistry {
       "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart)),
       "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d)),
       "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d)),
-      // Rows-only (justified tier, like the KMeans-derived IVF/PQ rows):
-      // ALS factorization has no SQL twin; determinism, purchased
+      // ALS training has no SQL twin, but SERVING does: the fitted
+      // factors are deterministic under the fixed seed, so (like the
+      // KMeans-derived IVF/PQ rows r7 promoted) the point-serving scan
+      // gets an EXACT adaptive oracle with the factor matrices pinned
+      // as literals — see adaptiveOracles below. Determinism, purchased
       // exclusion, and the positives-outscore-negatives contrastive
-      // floor are asserted in RecsSpec.
+      // floor stay asserted in RecsSpec.
       "rec_als_topk" -> ((s, d) => Recs.alsRecs(s, d, SeedCust))
     ),
     oracles = Map(
@@ -163,4 +166,52 @@ object RecsRegistry {
            |LIMIT 10""".stripMargin
     )
   )
+
+  /** Index-adaptive ALS serving oracle (the IVF pinned-centroid
+    * pattern): the fixed-seed factor matrices are collected once from
+    * the memoized model and pinned as literals, and the oracle replays
+    * the EXACT serving arithmetic — per-item left-associated
+    * Σ_j f_j·w_j in doubles, purchased-set anti-join from the real
+    * tables, score-then-id total order, top-10. Verifies everything the
+    * serving scan does (cast chain, dot product, exclusion, ordering);
+    * the training step itself stays ML-tier, exactly as KMeans does for
+    * IVF. Factor literals print as %.17E doubles — exact float
+    * round-trip, no decimal-scale unification. */
+  def adaptiveOracles(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    val idx = Recs.alsIndex(spark, dir, 4)
+    val cid = idx.custMap.filter(col("custkey") === SeedCust)
+      .select("idx").collect()
+    if (cid.isEmpty) return Map.empty
+    val uf = idx.model.userFactors
+      .filter(col("id") === cid.head.getInt(0))
+      .select("features").collect()
+    if (uf.isEmpty) return Map.empty
+    val w = uf.head.getSeq[Float](0).map(_.toDouble)
+    val items = Recs.alsItemFactors(spark, dir, 4)
+      .select("product_id", "features").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    if (items.isEmpty) return Map.empty
+    def d17(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.17E", Double.box(x))
+    val values = items.map { case (id, f) =>
+      s"($id, ${f.map(d17).mkString(", ")})"
+    }.mkString(",\n  ")
+    val score = w.indices
+      .map(j => s"CAST(f$j AS DOUBLE) * ${d17(w(j))}")
+      .mkString(" + ")
+    Map("rec_als_topk" ->
+      s"""WITH itemf(id, ${w.indices.map(j => s"f$j").mkString(", ")}) AS (VALUES
+         |  $values),
+         |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+         |myorders AS (SELECT o_orderkey AS order_id FROM orders WHERE o_custkey = $SeedCust),
+         |mine AS (SELECT DISTINCT product_id FROM items JOIN myorders USING (order_id))
+         |SELECT CAST(id AS BIGINT) AS product_id, $score AS score
+         |FROM itemf
+         |WHERE id NOT IN (SELECT product_id FROM mine)
+         |ORDER BY score DESC, product_id ASC
+         |LIMIT 10""".stripMargin)
+  }
 }
