@@ -22,7 +22,7 @@ object SimilarityRegistry {
   private def norm2Sql(a: String): String =
     s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
 
   /** Literal SQL array for hyperplane j. */

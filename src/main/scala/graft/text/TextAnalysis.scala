@@ -592,6 +592,46 @@ object TextAnalysis {
       .orderBy(desc("bm25"), asc("doc_id")).limit(k)
   }
 
+  /** Hybrid retrieval — the RAG serving primitive: fuse the LEXICAL arm
+    * (BM25 over the pinned query terms) with the VECTOR arm (exact
+    * cosine against the seed embedding standing in for the encoded
+    * query) by reciprocal-rank fusion. Each arm is EXACTLY its
+    * standalone registry query (`text_bm25_search`, `sim_cosine_topk`)
+    * — composability is the point: both arms are already hash-verified,
+    * and the fusion adds only rank windows over the two k-row survivor
+    * lists (bounded — the allowed single-partition window shape) plus
+    * one full-outer join of ≤2k rows. The fused score is two
+    * fixed-order double ops (the [[graft.operators.Recs.rrfFusion]]
+    * convention), bit-exact in the oracle. At 100 TB each arm's
+    * candidate generation is what scales (BM25 scan-and-topk / ANN
+    * probe); the fusion cost is O(k). vec_id keys doc_id in the
+    * testdata, making the two arms joinable. */
+  /** RRF constant, shared with the oracle generator (no twin drift). */
+  val RrfK: Int = 60
+
+  def hybridRetrieval(spark: SparkSession, dir: String,
+                      terms: Seq[String] = Bm25QueryTerms,
+                      seedId: Long = 0L, kEach: Int = 20, k: Int = 10,
+                      rrfK: Int = RrfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Search(spark, dir, terms, kEach)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(desc("bm25"), asc("doc_id"))).as("r_lex"))
+    val vec = graft.similarity.Similarity.cosineTopK(spark, dir, seedId,
+        kEach)
+      .select(col("vec_id").as("doc_id"), row_number()
+        .over(Window.orderBy(desc("cos"), asc("vec_id"))).as("r_vec"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)))
+          .as("rrf_score"),
+        (col("r_lex").isNotNull.cast("int") +
+          col("r_vec").isNotNull.cast("int")).as("n_arms"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Fixed-size token chunking with overlap — the context-window
     * chunker every training pipeline runs before packing: windows of
     * `size` tokens at stride `size − overlap`, last partial window

@@ -87,6 +87,8 @@ object TextRegistry {
       "text_contamination" -> ((s, d) => TextAnalysis.contamination(s, d)),
       "text_bigrams" -> ((s, d) => TextAnalysis.bigramTop(s, d)),
       "text_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+      "text_hybrid_retrieval" -> ((s, d) =>
+        TextAnalysis.hybridRetrieval(s, d)),
       "text_chunking" -> ((s, d) => TextAnalysis.chunkTokens(s, d)),
       "text_lm_likelihood" -> ((s, d) => TextAnalysis.lmLikelihood(s, d)),
       "text_boilerplate_prefixes" -> ((s, d) =>
@@ -369,6 +371,54 @@ object TextRegistry {
            |  ${scores.mkString("\n|  + ")} AS bm25
            |FROM dd, st
            |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      },
+      // Hybrid RRF retrieval: each arm is VERBATIM its standalone
+      // oracle (BM25 top-20 / seed-cosine top-20), fused with the
+      // rec_rrf_fusion double-arithmetic convention over the two
+      // bounded survivor lists.
+      "text_hybrid_retrieval" -> {
+        val dfs = TextAnalysis.Bm25QueryTerms.zipWithIndex.map {
+          case (t, i) =>
+            s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1" +
+              s" ELSE 0 END) AS BIGINT) AS df_$i"
+        }
+        val scores = TextAnalysis.Bm25QueryTerms.zipWithIndex.map {
+          case (t, i) => bm25TermSql(t, i)
+        }
+        val cos = graft.similarity.SimilarityRegistry
+          .cosSql("embedding", "se")
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+           |  FROM d),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |  ${dfs.mkString(",\n|  ")}
+           |  FROM dd),
+           |lex20 AS (SELECT doc_id,
+           |  ${scores.mkString("\n|  + ")} AS bm25
+           |FROM dd, st
+           |ORDER BY bm25 DESC, doc_id LIMIT 20),
+           |lex AS (SELECT doc_id,
+           |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+           |  FROM lex20),
+           |s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = 0),
+           |vec20 AS (SELECT vec_id, $cos AS cos
+           |  FROM embeddings, s WHERE vec_id <> 0
+           |  ORDER BY cos DESC, vec_id ASC LIMIT 20),
+           |vec AS (SELECT vec_id AS doc_id,
+           |  row_number() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+           |  FROM vec20)
+           |SELECT doc_id,
+           |  COALESCE(CAST(1 AS DOUBLE) / CAST(${TextAnalysis.RrfK} + r_lex AS DOUBLE),
+           |    CAST(0 AS DOUBLE)) +
+           |  COALESCE(CAST(1 AS DOUBLE) / CAST(${TextAnalysis.RrfK} + r_vec AS DOUBLE),
+           |    CAST(0 AS DOUBLE)) AS rrf_score,
+           |  CAST(CASE WHEN r_lex IS NULL THEN 0 ELSE 1 END +
+           |    CASE WHEN r_vec IS NULL THEN 0 ELSE 1 END AS INTEGER)
+           |    AS n_arms
+           |FROM lex FULL OUTER JOIN vec USING (doc_id)
+           |ORDER BY rrf_score DESC, doc_id
+           |LIMIT 10""".stripMargin
       },
       // Context-window chunker: windows of 64 tokens at stride 48, the
       // window count an integer ceil-division, list slices 1-based and

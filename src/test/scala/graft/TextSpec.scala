@@ -310,4 +310,24 @@ class TextSpec extends SparkTestBase {
       .count()
     assert(funnel("after_symbol") === kept)
   }
+
+  test("hybrid retrieval: RRF replay from the two standalone arms") {
+    val sf = "/root/testdata/sf0.001"
+    val lex = TextAnalysis.bm25Search(spark, sf, k = 20).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val vec = graft.similarity.Similarity.cosineTopK(spark, sf, 0L, 20)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val expect = (lex.keySet ++ vec.keySet).map { d =>
+      val s = lex.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        vec.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (d, s, lex.contains(d).compare(false) + vec.contains(d).compare(false))
+    }.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val got = TextAnalysis.hybridRetrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got == expect && got.nonEmpty)
+    // a doc in both arms must outscore the same ranks in one arm alone
+    assert(got.head._3 >= 1)
+  }
 }
