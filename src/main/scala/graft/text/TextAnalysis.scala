@@ -803,6 +803,65 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Default window/stride for [[dupSpanMass]], shared with the oracle
+    * generator so the twin cannot drift. */
+  val DupSpanW: Int = 16
+  val DupSpanS: Int = 4
+
+  /** Per-document duplicated-span MASS — the span-level removal metric
+    * (the "dedup the substring, not the document" accounting): for each
+    * document, how many of its tokens sit inside at least one w-token
+    * window that also appears in ≥2 distinct documents, and what
+    * fraction of the doc that is. [[repeatedPassagesOf]] surfaces the
+    * top offending passages; this is the other side of that audit — the
+    * per-doc burn rate a curation pipeline thresholds on (a doc that is
+    * 80% shared boilerplate is a drop candidate even if no single
+    * passage tops any chart).
+    *
+    * Shape: the same linear window explode (hashed to md5 so the
+    * duplicate shuffle moves 32-byte keys, not w-token strings), one
+    * countDistinct-gated duplicate set, a same-key join back, and
+    * covered-position union via count(DISTINCT pos) per doc — overlap
+    * between flagged windows is not double-counted. Every step is
+    * linear in corpus tokens (~w/s× exploded width); no pairwise
+    * comparison anywhere. Docs shorter than w report zero dup mass. */
+  def dupSpanMass(spark: SparkSession, dir: String, w: Int = DupSpanW,
+                  s: Int = DupSpanS): DataFrame =
+    dupSpanMassOf(Tables.load(spark, dir, "documents"), w, s)
+
+  def dupSpanMassOf(docs: DataFrame, w: Int, s: Int): DataFrame = {
+    require(w > 0 && s > 0 && s <= w)
+    val base = docs.select(col("doc_id"), tokens.as("toks"))
+      .withColumn("n", size(col("toks")))
+    val lastIx = expr(s"CAST((n - $w) div $s AS INT)")
+    val spans = base.filter(col("n") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lastIx),
+          i => struct(i.as("ix"),
+            md5(array_join(slice(col("toks"), i * s + 1, lit(w)), " "))
+              .as("h")))).as("sp"))
+      .select(col("doc_id"), col("sp.ix").as("ix"), col("sp.h").as("h"))
+    val dup = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val flagged = spans.join(dup, "h").select("doc_id", "ix")
+    val nw = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val cov = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("ix") * s, col("ix") * s + (w - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("n_dup_tokens"))
+    base.select(col("doc_id"), col("n"))
+      .join(nw, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n"))
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-signal agreement: exact Pearson correlation between the
     * heuristic quality score and the corpus-LM mean bigram likelihood —
     * the sanity check a curation pipeline runs before blending or

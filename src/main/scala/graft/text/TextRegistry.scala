@@ -97,6 +97,7 @@ object TextRegistry {
         TextAnalysis.chunkDedupReport(s, d)),
       "text_repeated_passages" -> ((s, d) =>
         TextAnalysis.repeatedPassages(s, d)),
+      "text_dup_span_mass" -> ((s, d) => TextAnalysis.dupSpanMass(s, d)),
       "text_quality_lm_agreement" -> ((s, d) =>
         TextAnalysis.qualitySignalCorrelation(s, d)),
       "text_quality_reliability" -> ((s, d) =>
@@ -539,6 +540,38 @@ object TextRegistry {
            |FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
            |ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
            |LIMIT 20""".stripMargin,
+      // Per-doc duplicated-span mass over the same window grammar
+      // (w/s from TextAnalysis.DupSpanW/S — no twin drift); covered
+      // positions unioned via count(DISTINCT pos), overlap never
+      // double-counted, one exact-int division for the fraction.
+      "text_dup_span_mass" -> {
+        val (w, s) = (TextAnalysis.DupSpanW, TextAnalysis.DupSpanS)
+        val us = (0 until w).map(u => s"($u)").mkString(", ")
+        s"""WITH d AS (SELECT doc_id, $Toks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+           |wi AS (SELECT doc_id, toks,
+           |    unnest(generate_series(0, (n - $w) // $s)) AS ix
+           |  FROM dd WHERE n >= $w),
+           |sp AS (SELECT doc_id, ix,
+           |  md5(array_to_string(toks[ix * $s + 1 : ix * $s + $w], ' ')) AS h
+           |  FROM wi),
+           |dup AS (SELECT h FROM sp GROUP BY h
+           |  HAVING count(DISTINCT doc_id) >= 2),
+           |fl AS (SELECT doc_id, ix FROM sp JOIN dup USING (h)),
+           |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+           |  FROM fl GROUP BY doc_id),
+           |cov AS (SELECT doc_id,
+           |  CAST(count(DISTINCT ix * $s + u) AS BIGINT) AS n_dup_tokens
+           |  FROM fl, (VALUES $us) t(u) GROUP BY doc_id)
+           |SELECT dd.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  coalesce(nw.n_dup_windows, 0) AS n_dup_windows,
+           |  coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+           |  CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE) / n
+           |    AS dup_token_frac
+           |FROM dd LEFT JOIN nw ON dd.doc_id = nw.doc_id
+           |        LEFT JOIN cov ON dd.doc_id = cov.doc_id
+           |ORDER BY dd.doc_id""".stripMargin
+      },
       // Chunk-stream duplication over the same 64/48 chunker; every
       // aggregate cast off HUGEINT, the fraction one exact-int division.
       "text_chunk_dedup_report" ->

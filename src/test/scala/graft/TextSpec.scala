@@ -311,6 +311,28 @@ class TextSpec extends SparkTestBase {
     assert(funnel("after_symbol") === kept)
   }
 
+  test("dup-span mass: union coverage, no double count, shorts zero") {
+    import spark.implicits._
+    val t = (1 to 20).map(i => s"t$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),                 // windows ix0, ix1 both shared
+      (2L, t.take(16).mkString(" ")),        // shares doc1's ix0 window
+      (3L, t.drop(4).mkString(" ")),         // shares doc1's ix1 window
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")), // unrelated
+      (5L, "v1 v2 v3 v4 v5")                 // shorter than w
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanMassOf(docs, 16, 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc1: two overlapping flagged windows cover positions 0..19 —
+    // the union is 20, NOT 32 (the no-double-count claim)
+    assert(got(1L) == ((20L, 2L, 20L, 1.0)))
+    assert(got(2L) == ((16L, 1L, 16L, 1.0)))
+    assert(got(3L) == ((16L, 1L, 16L, 1.0)))
+    assert(got(4L) == ((20L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((5L, 0L, 0L, 0.0)))
+  }
+
   test("hybrid retrieval: RRF replay from the two standalone arms") {
     val sf = "/root/testdata/sf0.001"
     val lex = TextAnalysis.bm25Search(spark, sf, k = 20).collect()
