@@ -844,16 +844,20 @@ object TextAnalysis {
     val dup = spans.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
-    val flagged = spans.join(dup, "h").select("doc_id", "ix")
-    val nw = flagged.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_windows"))
-    val cov = flagged
-      .select(col("doc_id"),
+    // Window count and covered-position union fold in ONE multi-distinct
+    // aggregation over the flagged windows (ix is unique per doc, so
+    // countDistinct(ix) ≡ the window count) — a naive two-branch plan
+    // re-ran the span explode and the duplicate-set shuffle once per
+    // branch (audited: 4 explode scans → 2, and the duplicate-set
+    // shuffle runs once instead of twice).
+    val perDoc = spans.join(dup, "h")
+      .select(col("doc_id"), col("ix"),
         explode(sequence(col("ix") * s, col("ix") * s + (w - 1))).as("p"))
-      .groupBy("doc_id").agg(countDistinct(col("p")).as("n_dup_tokens"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ix")).as("n_dup_windows"),
+        countDistinct(col("p")).as("n_dup_tokens"))
     base.select(col("doc_id"), col("n"))
-      .join(nw, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
