@@ -310,6 +310,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"no partial aggregation between the last exchange and explode:\n$plan")
   }
 
+  test("dup-span mass: two window explodes, one multi-distinct fold") {
+    // The span explode may appear exactly twice (duplicate-set input +
+    // the flagged join side) plus the position explode — a regression
+    // to the two-branch shape doubles both and re-runs the
+    // duplicate-set shuffle per branch. The per-doc metrics must fold
+    // in ONE multi-distinct aggregation: a single Expand, exactly as
+    // the multi_distinct_stats pin demands.
+    val plan = planOf("text_dup_span_mass")
+    val nGen = plan.sliding("Generate".length).count(_ == "Generate")
+    assert(nGen <= 3, s"$nGen explodes — two-branch recompute is back:\n$plan")
+    val nExpand = plan.sliding("Expand".length).count(_ == "Expand")
+    assert(nExpand <= 1,
+      s"$nExpand Expands — per-doc metrics no longer share one pass:\n$plan")
+  }
+
   test("negative sampling broadcasts every bounded side, windows per customer") {
     // Candidates (top-nCand popularity) cross the customer relation as a
     // broadcast nested-loop with the BOUNDED side built — linear in
