@@ -98,7 +98,7 @@ object DedupRegistry {
   /** CTE chain: MinHash verified pairs → symmetrized edge set → unrolled
     * min-label rounds c0..cN (twin of GraphAlgs.pairComponents over
     * Dedup.minhashLshPairs). */
-  private def minhashClusterCtes(rounds: Int): String = {
+  private[graft] def minhashClusterCtes(rounds: Int): String = {
     val head =
       s"""$ShingleCtes,
          |$candCtes,

@@ -61,6 +61,32 @@ object Curation {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** Leakage-SAFE split assignment — the fix for what
+    * [[splitLeakageReport]] measures: hashing each DOC into a split
+    * lets near-duplicate pairs straddle train/val (the test set then
+    * scores memorization). Here the split key is the doc's near-dup
+    * CLUSTER representative (min-label over the MinHash-verified pair
+    * graph, the dedup_minhash_clusters convention), so every pair of
+    * docs within `rounds` propagation hops lands in the SAME split by
+    * construction; singletons keep their own id and reproduce the
+    * plain [[splitOf]] assignment exactly (backwards-compatible).
+    * Scale: the cluster relation is |paired docs| rows joined back on
+    * the doc key (same-key hash join); everything upstream is the
+    * banded LSH candidate path that never goes quadratic. */
+  def safeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.minhashLshPairs(spark, dir, 0.8)
+      .select("d1", "d2")
+    val comp = graft.graph.GraphAlgs.pairComponents(pairs, rounds = 5)
+      .withColumnRenamed("id", "doc_id")
+    Tables.load(spark, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("split_key"))
+      .select(col("doc_id"), col("split_key"),
+        splitOf(col("split_key")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Split × true-language histogram over documents. */
   def splitCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

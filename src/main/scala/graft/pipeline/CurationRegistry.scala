@@ -22,7 +22,7 @@ object CurationRegistry {
   private val BucketSql = bucketSqlOf("doc_id")
 
   /** Twin of Curation.splitOf over an arbitrary key expression. */
-  private def splitSqlOf(key: String): String =
+  private[graft] def splitSqlOf(key: String): String =
     s"CASE WHEN ${bucketSqlOf(key)} < 80 THEN 'train' " +
       s"WHEN ${bucketSqlOf(key)} < 90 THEN 'val' ELSE 'test' END"
 
@@ -68,7 +68,8 @@ object CurationRegistry {
       "sample_weighted_pps" -> ((s, d) => Curation.weightedPpsSample(s, d)),
       "curate_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
       "curate_release_manifest" -> ((s, d) => Curation.releaseManifest(s, d)),
-      "curate_dataset_card" -> ((s, d) => Curation.datasetCard(s, d))
+      "curate_dataset_card" -> ((s, d) => Curation.datasetCard(s, d)),
+      "curate_safe_splits" -> ((s, d) => Curation.safeSplits(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -444,7 +445,18 @@ object CurationRegistry {
            |  top_lang, CAST(c AS DOUBLE) / n_docs AS top_lang_share,
            |  n_pii_docs, n_gopher_keep
            |FROM per JOIN top ON per.split = top.split
-           |ORDER BY per.split""".stripMargin)
+           |ORDER BY per.split""".stripMargin),
+      // Leakage-safe splits: the doc's near-dup cluster representative
+      // (the dedup_minhash_clusters min-label chain) is the split key;
+      // singletons fall back to their own id — the plain split rule.
+      "curate_safe_splits" ->
+        s"""WITH ${graft.dedup.DedupRegistry.minhashClusterCtes(5)},
+           |rep AS (SELECT d.doc_id,
+           |    coalesce(c.comp, d.doc_id) AS split_key
+           |  FROM documents d LEFT JOIN c5 c ON c.id = d.doc_id)
+           |SELECT doc_id, split_key,
+           |  ${splitSqlOf("split_key")} AS split
+           |FROM rep ORDER BY doc_id""".stripMargin
     )
   )
 

@@ -44,6 +44,33 @@ object TextAnalysis {
         (length(col("text")) / lit(4)).cast("int").as("n_subwords_est"))
       .orderBy("doc_id")
 
+  /** Tokenizer fertility by (lang, source) — the cost model a budget
+    * planner reads before committing a token budget: BPE-ish pieces
+    * per whitespace word (fertility — how much a subword tokenizer
+    * inflates each language) and characters per piece (compression).
+    * High-fertility slices burn budget faster than their word counts
+    * suggest; this is the per-slice exchange rate. One codegen'd scan,
+    * exact integer sums, two final divisions. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(tokens).cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("b"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_pieces"),
+        sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words"))
+          .as("pieces_per_word"),
+        (col("n_chars").cast("double") / col("n_pieces"))
+          .as("chars_per_piece"))
+      .orderBy("lang", "source")
+
   /** Quality scoring: length prior × (1 − stopword density), plus the raw
     * component signals. All arithmetic double, rounded for oracle parity. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =

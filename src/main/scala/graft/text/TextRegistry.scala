@@ -98,6 +98,8 @@ object TextRegistry {
       "text_repeated_passages" -> ((s, d) =>
         TextAnalysis.repeatedPassages(s, d)),
       "text_dup_span_mass" -> ((s, d) => TextAnalysis.dupSpanMass(s, d)),
+      "text_tokenizer_fertility" -> ((s, d) =>
+        TextAnalysis.tokenizerFertility(s, d)),
       "text_quality_lm_agreement" -> ((s, d) =>
         TextAnalysis.qualitySignalCorrelation(s, d)),
       "text_quality_reliability" -> ((s, d) =>
@@ -116,6 +118,25 @@ object TextRegistry {
            |  length(text) AS n_chars_text,
            |  length(text) // 4 AS n_subwords_est
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // Fertility: exact integer sums per (lang, source), two final
+      // double divisions — same BPE pre-tokenizer regex as token_counts.
+      "text_tokenizer_fertility" ->
+        s"""WITH f AS (SELECT lang, source,
+           |  CAST(len($Toks) AS BIGINT) AS w,
+           |  CAST(len(regexp_extract_all(text,
+           |    '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT)
+           |    AS b,
+           |  CAST(length(text) AS BIGINT) AS c
+           |FROM documents)
+           |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(w) AS BIGINT) AS n_words,
+           |  CAST(sum(b) AS BIGINT) AS n_pieces,
+           |  CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+           |    AS pieces_per_word,
+           |  CAST(sum(c) AS DOUBLE) / CAST(sum(b) AS BIGINT)
+           |    AS chars_per_piece
+           |FROM f GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin,
       "text_quality" ->
         s"""WITH q AS (SELECT doc_id, len($Toks) AS n_tokens,
            |  length(replace(text, ' ', '')) AS nsp,

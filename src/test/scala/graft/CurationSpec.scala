@@ -351,6 +351,31 @@ class CurationSpec extends SparkTestBase {
       Curation.weightedPpsSample(spark, dir, n).collect().toSeq)
   }
 
+  test("safe splits: near-dup pairs never straddle, singletons unchanged") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.safeSplits(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.nonEmpty)
+    // the leakage guarantee: every MinHash-verified near-dup pair lands
+    // in one split (split_leakage's failure mode, fixed by construction)
+    val pairs = graft.dedup.Dedup.minhashLshPairs(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(rows(a)._2 == rows(b)._2, s"pair ($a,$b) straddles splits")
+      assert(rows(a)._1 == rows(b)._1, s"pair ($a,$b) keys differ")
+    }
+    // singletons (docs in no pair) keep the plain splitOf assignment
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Curation.splitOf(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (d, (key, s)) =>
+      if (!paired.contains(d)) {
+        assert(key == d && s == plain(d), s"singleton $d moved")
+      }
+    }
+  }
+
   test("release manifest: brute-replay parity and order independence") {
     import org.apache.spark.sql.functions.col
     def md5hex(s: String): String =
