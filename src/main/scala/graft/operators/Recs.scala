@@ -332,28 +332,6 @@ object Recs {
       .orderBy("custkey", "neg_rank")
   }
 
-  /** Implicit-feedback ALS matrix factorization — the learned rec arm
-    * beside the counting arms (co-occurrence, same-category, PPR,
-    * RRF): purchase counts as confidence, seeded deterministic
-    * training, rank-`rank` factors. The model is index-class state
-    * (trained once per dir, memoized like the IVF/PQ fits, prewarmed
-    * out of the serving measurement); serving for one customer is a
-    * factor dot-product over the catalog with purchased items removed
-    * by the same anti-join shape as [[pprFixedRecs]]'s.
-    *
-    * Training (ALS, like KMeans) is not SQL-expressible, but SERVING
-    * is: the fixed-seed factors are deterministic, so the registry row
-    * carries an EXACT adaptive oracle with the factor matrices pinned
-    * as literals (RecsRegistry.adaptiveOracles — the IVF
-    * pinned-centroid pattern). RecsSpec additionally asserts
-    * determinism, purchased exclusion, and the contrastive floor that
-    * positive interactions outscore sampled negatives on average. At
-    * 100 TB the training input is the (customer, product, count)
-    * aggregate — orders of magnitude smaller than the fact table — and
-    * Spark ML's ALS is the standard block-partitioned implementation.
-    * Raw 64-bit keys pass through deterministic dense-int dictionaries
-    * ([[denseIds]]) — ALS is int-indexed, and the raw cast overflowed
-    * at the 10× scale slice. */
   /** The trained model plus the dense-id dictionaries serving needs to
     * translate raw keys in and factor ids back out. */
   private[graft] case class AlsIndex(
@@ -385,6 +363,28 @@ object Recs {
           org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 
+  /** Implicit-feedback ALS matrix factorization — the learned rec arm
+    * beside the counting arms (co-occurrence, same-category, PPR,
+    * RRF): purchase counts as confidence, seeded deterministic
+    * training, rank-`rank` factors. The model is index-class state
+    * (trained once per dir, memoized like the IVF/PQ fits, prewarmed
+    * out of the serving measurement); serving for one customer is a
+    * factor dot-product over the catalog with purchased items removed
+    * by the same anti-join shape as [[pprFixedRecs]]'s.
+    *
+    * Training (ALS, like KMeans) is not SQL-expressible, but SERVING
+    * is: the fixed-seed factors are deterministic, so the registry row
+    * carries an EXACT adaptive oracle with the factor matrices pinned
+    * as literals (RecsRegistry.adaptiveOracles — the IVF
+    * pinned-centroid pattern). RecsSpec additionally asserts
+    * determinism, purchased exclusion, and the contrastive floor that
+    * positive interactions outscore sampled negatives on average. At
+    * 100 TB the training input is the (customer, product, count)
+    * aggregate — orders of magnitude smaller than the fact table — and
+    * Spark ML's ALS is the standard block-partitioned implementation.
+    * Raw 64-bit keys pass through deterministic dense-int dictionaries
+    * ([[denseIds]]) — ALS is int-indexed, and the raw cast overflowed
+    * at the 10× scale slice. */
   private[graft] def alsIndex(spark: SparkSession, dir: String, rank: Int)
       : AlsIndex =
     graft.Memo.get(spark, "als-index", (dir, rank)) {
