@@ -393,10 +393,23 @@ object Dedup {
     * on a verified pair, so a singleton after `rounds` hops is a
     * propagation-horizon artifact, not a duplicate (the oracle's
     * unrolled twin filters identically). */
+  /** Min-label components over the MinHash-verified pair graph —
+    * memoized: the cluster consumers (minhashClusters, qualityKeepers,
+    * Curation.safeSplits) each paid the checkpoint-backed propagation
+    * rounds otherwise. The relation is (id, comp) for every doc on a
+    * verified pair; pairComponents already checkpoints its state, so
+    * the memo only dedups the ROUNDS across consumers. */
+  private[graft] def minhashComponents(spark: SparkSession, dir: String,
+                                       threshold: Double = 0.8,
+                                       rounds: Int = 5): DataFrame =
+    graft.Memo.get(spark, "dedup-minhash-comp", (dir, threshold, rounds)) {
+      graft.graph.GraphAlgs.pairComponents(
+        minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
+    }
+
   def minhashClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.8, rounds: Int = 5): DataFrame =
-    graft.graph.GraphAlgs.pairComponents(
-      minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
+    minhashComponents(spark, dir, threshold, rounds)
       .groupBy("comp").agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
       .select(col("comp").as("keep_doc_id"), col("n_members"))
@@ -416,8 +429,7 @@ object Dedup {
   def qualityKeepers(spark: SparkSession, dir: String,
                      threshold: Double = 0.8,
                      rounds: Int = 5): DataFrame = {
-    val members = graft.graph.GraphAlgs.pairComponents(
-      minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
+    val members = minhashComponents(spark, dir, threshold, rounds)
     val q6 = graft.pipeline.Curation.qualityMicro(spark, dir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
       .orderBy(desc("q6"), asc("id"))

@@ -74,9 +74,7 @@ object Curation {
     * the doc key (same-key hash join); everything upstream is the
     * banded LSH candidate path that never goes quadratic. */
   def safeSplits(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.minhashLshPairs(spark, dir, 0.8)
-      .select("d1", "d2")
-    val comp = graft.graph.GraphAlgs.pairComponents(pairs, rounds = 5)
+    val comp = graft.dedup.Dedup.minhashComponents(spark, dir)
       .withColumnRenamed("id", "doc_id")
     Tables.load(spark, dir, "documents").select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
