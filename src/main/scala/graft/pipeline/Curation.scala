@@ -85,6 +85,32 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Default shuffle seed for [[epochOrder]], shared with the oracle
+    * generator so the twin cannot drift. */
+  val EpochShuffleSeed: Int = 0
+
+  /** Deterministic epoch shuffle order — the materialized global
+    * permutation a training job streams an epoch in: every released doc
+    * ([[curateFull]]'s five-gate set) gets an exact 1-based position in
+    * the total order of md5(seed|doc_id). Training-data ORDER is part
+    * of a run's reproducibility story; a seeded hash order is shuffled
+    * "enough" for SGD, bit-reproducible across reruns and engines, and
+    * re-drawable per epoch by bumping the seed. The rank is the
+    * range-partitioned global position (Ranks.withGlobalPos — the
+    * distributed zipWithIndex), never a corpus-wide single-partition
+    * window; at 100 TB this is exactly the shuffle-order manifest you
+    * write once per epoch beside the packed batches. */
+  def epochOrder(spark: SparkSession, dir: String,
+                 seed: Int = EpochShuffleSeed): DataFrame = {
+    val keyed = curateFull(spark, dir).select("doc_id")
+      .withColumn("shuffle_key",
+        md5(concat_ws("|", lit(seed.toString), col("doc_id").cast("string"))))
+    graft.operators.Ranks.withGlobalPos(keyed,
+      Seq(col("shuffle_key").asc, col("doc_id").asc), "epoch_pos")
+      .select(col("doc_id"), col("shuffle_key"), col("epoch_pos"))
+      .orderBy("epoch_pos")
+  }
+
   /** Split × true-language histogram over documents. */
   def splitCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")

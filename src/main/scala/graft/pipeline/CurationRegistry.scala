@@ -69,7 +69,8 @@ object CurationRegistry {
       "curate_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
       "curate_release_manifest" -> ((s, d) => Curation.releaseManifest(s, d)),
       "curate_dataset_card" -> ((s, d) => Curation.datasetCard(s, d)),
-      "curate_safe_splits" -> ((s, d) => Curation.safeSplits(s, d))
+      "curate_safe_splits" -> ((s, d) => Curation.safeSplits(s, d)),
+      "curate_epoch_order" -> ((s, d) => Curation.epochOrder(s, d))
     ),
     oracles = Map(
       "split_counts" ->
@@ -456,7 +457,30 @@ object CurationRegistry {
            |  FROM documents d LEFT JOIN c5 c ON c.id = d.doc_id)
            |SELECT doc_id, split_key,
            |  ${splitSqlOf("split_key")} AS split
-           |FROM rep ORDER BY doc_id""".stripMargin
+           |FROM rep ORDER BY doc_id""".stripMargin,
+      // Epoch shuffle order over the released (five-gate) set: global
+      // row_number in md5(seed|doc_id) order — the seed comes from
+      // Curation.EpochShuffleSeed, shared with the Spark closure.
+      "curate_epoch_order" ->
+        s"""WITH $CurateCtes,
+           |${graft.similarity.SimilarityRegistry.dupAssignCtes(
+                graft.similarity.SimilarityRegistry.DupRounds)},
+           |nd_drop AS (SELECT id AS doc_id
+           |  FROM c${graft.similarity.SimilarityRegistry.DupRounds}
+           |  WHERE id <> comp),
+           |${graft.text.TextRegistry.ContaminationCtes},
+           |rel AS (
+           |$CurateSelect
+           |  AND doc_id NOT IN (SELECT doc_id FROM nd_drop)
+           |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n > 0)),
+           |keyed AS (SELECT doc_id,
+           |  md5('${Curation.EpochShuffleSeed}|' || CAST(doc_id AS VARCHAR))
+           |    AS shuffle_key
+           |  FROM rel)
+           |SELECT doc_id, shuffle_key,
+           |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+           |    AS BIGINT) AS epoch_pos
+           |FROM keyed ORDER BY epoch_pos""".stripMargin
     )
   )
 

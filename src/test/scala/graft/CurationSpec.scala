@@ -376,6 +376,30 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("epoch order: a seeded permutation of the released set") {
+    val rows = Curation.epochOrder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val released = Curation.curateFull(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // a permutation: every released doc exactly once, positions 1..n
+    assert(rows.map(_._1).toSet == released && rows.nonEmpty)
+    assert(rows.map(_._3).sorted.toSeq == (1L to released.size).toSeq)
+    // the order is the md5(seed|doc_id) total order, brute-replayed
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = released.toSeq
+      .map(d => (md5hex(s"${Curation.EpochShuffleSeed}|$d"), d))
+      .sorted.map(_._2)
+    assert(rows.sortBy(_._3).map(_._1).toSeq == expect)
+    // a different seed draws a different permutation (same membership)
+    val reseeded = Curation.epochOrder(spark, dir, seed = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(reseeded.map(_._1).toSet == released)
+    assert(reseeded.sortBy(_._2).map(_._1).toSeq !=
+      rows.sortBy(_._3).map(_._1).toSeq)
+  }
+
   test("release manifest: brute-replay parity and order independence") {
     import org.apache.spark.sql.functions.col
     def md5hex(s: String): String =
