@@ -392,18 +392,25 @@ object Curation {
     * composition is doc_id-keyed semi/anti joins (broadcast-sized drop
     * sets here, shuffle-hash on the same key at corpus scale). */
   def curateFull(spark: SparkSession, dir: String,
-                 minQuality: Double = 0.5): DataFrame = {
-    val nearDupDrop = graft.similarity.Similarity.dupAssignments(spark, dir)
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
-    val contaminated = TextAnalysis.contamination(spark, dir)
-      .filter(col("is_contaminated"))
-      .select("doc_id")
-    curate(spark, dir, minQuality)
-      .join(nearDupDrop, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
-  }
+                 minQuality: Double = 0.5): DataFrame =
+    // Memoized + persisted: the released set is the root of the whole
+    // release tier (manifest, datasheet, epoch order, materialization)
+    // — each consumer otherwise re-runs all five gates. Same pattern
+    // as Dedup.shingles/minhashComponents; at 100 TB this is the
+    // released-ids table a pipeline materializes once per release.
+    graft.Memo.get(spark, "curate-full", (dir, minQuality)) {
+      val nearDupDrop = graft.similarity.Similarity.dupAssignments(spark, dir)
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val contaminated = TextAnalysis.contamination(spark, dir)
+        .filter(col("is_contaminated"))
+        .select("doc_id")
+      curate(spark, dir, minQuality)
+        .join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Systematic probability-proportional-to-size sample, ~`n` picks per
     * source, weight = n_chars + 1 (the +1 keeps empty docs selectable).
