@@ -8,6 +8,16 @@ object Bench {
     // much of a slow run is background noise vs the bench itself.
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val wallStartMs = System.currentTimeMillis()
+    // Steal ticks at main start (warm-up included) for the self-stamped
+    // clean gate below — same bracket the external harness uses.
+    val mainTicks0: Option[(Long, Long)] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val line = try src.getLines().next() finally src.close()
+        val t = line.trim.split("\\s+").drop(1).map(_.toLong)
+        if (t.length >= 8) Some((t(7), t.sum)) else None
+      } catch { case _: Throwable => None }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -170,11 +180,31 @@ object Bench {
     def fmt(v: Double, decimals: Int) =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val runSteal = stealPct(runTicks0, cpuTicks())
+    // Self-stamped provenance verdict (r8 advice #7): the clean-gate
+    // computation used to live only in tools/bench_clean.sh, so an
+    // artifact from a direct `graft.Bench` run (the driver's own path)
+    // carried no verdict at all. Same gate, computed in-process: zero
+    // failed queries, ambient load under 1 at start, and steal ticks
+    // over the whole run (warm-up included, the external bracket's
+    // window) under the core-scaled 2% budget — cpus × 100 ticks/s ×
+    // 0.02 per wall-second. bench_clean.sh re-stamps with its strictly
+    // wider JVM-external bracket; when both run, the script's verdict
+    // (written last) wins, which is the conservative order.
+    val wallS = math.max(1L, (System.currentTimeMillis() - wallStartMs) / 1000)
+    val stealTicks: Long = (mainTicks0, cpuTicks()) match {
+      case (Some((s0, _)), Some((s1, _))) => s1 - s0
+      case _ => -1L
+    }
+    val stealBudget = wallS * cpus.toLong * 2
+    val clean = failed == 0 && loadStart < 1.0 &&
+      (stealTicks < 0 || stealTicks < stealBudget)
+    val cleanGate =
+      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"load_avg_start_max":1.0}"""
     def line(qs: Seq[(String, Double)], decimals: Int, extra: String) = {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,"load_avg_start":${fmt(loadStart, 2)},"load_avg":${fmt(loadAvg, 2)},"steal_pct":${fmt(runSteal, 2)}$extra,"queries":$body,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","failed":$failed,$cleanGate,"load_avg_start":${fmt(loadStart, 2)},"load_avg":${fmt(loadAvg, 2)},"steal_pct":${fmt(runSteal, 2)}$extra,"queries":$body,"sf":"$sfDir"}"""
     }
     // Full-precision per-query record → a repo file (the harness only
     // captures a bounded stdout tail, which the full map overflows).
@@ -189,7 +219,7 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"load_avg_start":$loadStart,"load_avg":$loadAvg,"steal_pct":$runSteal,"n_queries":${results.size},"queries":$fullBody,"shuffle_bytes":$shuffleBody,"steal_pct_per_query":$stealBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$cleanGate,"load_avg_start":$loadStart,"load_avg":$loadAvg,"steal_pct":$runSteal,"n_queries":${results.size},"queries":$fullBody,"shuffle_bytes":$shuffleBody,"steal_pct_per_query":$stealBody,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full dump failed: $e")
     }

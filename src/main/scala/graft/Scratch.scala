@@ -1,0 +1,72 @@
+package graft
+
+/** Per-JVM scratch directories for derived state (IVF index layouts,
+  * format round-trip spool dirs). One shared implementation — Similarity
+  * and Formats used to carry verbatim copies of the nonce + shutdown-hook
+  * logic, two places to keep the deletion rules in sync.
+  *
+  * Why per-JVM paths at all: a layout keyed by input alone races across
+  * PROCESSES — a second JVM's overwrite deletes the exact files a first
+  * JVM's lazy parquet snapshot still references (observed as
+  * FAILED_READ_FILE when a probe run started beside a full verify). The
+  * derived state is per-JVM (the memo is per-JVM; nothing reuses another
+  * process's layout), so the path carries a per-JVM nonce.
+  *
+  * Cleanup has two layers:
+  *  - a shutdown hook removes THIS JVM's dirs — matched by the full
+  *    `graft-` prefix AND the nonce, never by the bare nonce (an 8-hex
+  *    substring alone could match an unrelated /tmp entry);
+  *  - a startup sweep GCs `graft-*` dirs from DEAD JVMs (SIGKILL/OOM in
+  *    bench loops never runs the hook). Age-gated at [[StaleAfterMs]]:
+  *    generous enough that no live JVM in this harness approaches it
+  *    (bench + test JVMs live minutes), small enough that the next
+  *    round's first JVM reclaims the previous round's leaks.
+  */
+object Scratch {
+
+  /** A dir untouched this long is assumed to belong to a dead JVM. */
+  val StaleAfterMs: Long = 3L * 60 * 60 * 1000
+
+  private def rmTree(f: java.io.File): Unit = {
+    val c = f.listFiles(); if (c != null) c.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  private def tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+
+  /** Remove graft-* scratch from dead JVMs. Keyed on lastModified of the
+    * top-level dir (writes create it once; nothing re-touches it), so a
+    * dir older than the threshold was made by a JVM from a prior run. */
+  private def sweepStale(exceptTag: String): Unit = {
+    val now = System.currentTimeMillis()
+    val entries = tmpRoot.listFiles()
+    if (entries != null) entries
+      .filter(f => f.getName.startsWith("graft-") &&
+        !f.getName.contains(s"-$exceptTag-") &&
+        now - f.lastModified() > StaleAfterMs)
+      .foreach(rmTree)
+  }
+
+  /** Per-JVM nonce; first touch installs the shutdown hook and sweeps
+    * stale dirs left by killed JVMs. */
+  lazy val jvmTag: String = {
+    val t = java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val entries = tmpRoot.listFiles()
+      if (entries != null) entries
+        .filter(f => f.getName.startsWith("graft-") &&
+          f.getName.contains(s"-$t-"))
+        .foreach(rmTree)
+    }))
+    try sweepStale(t) catch { case _: Exception => () }
+    t
+  }
+
+  /** Scratch path `<tmp>/<prefix>-<jvmTag>-<tag>`. `prefix` must start
+    * with "graft" so both cleanup layers can find it. */
+  def dir(prefix: String, tag: String): String = {
+    require(prefix.startsWith("graft"),
+      s"scratch prefix must start with 'graft' for cleanup: $prefix")
+    new java.io.File(tmpRoot, s"$prefix-$jvmTag-$tag").toString
+  }
+}

@@ -315,9 +315,20 @@ object GraphAlgs {
     * rank family this is exact-integer, so it shares the unrolled
     * min-label oracle with componentsFixedSizes (full convergence ≡ the
     * 10-round fixed point on this graph — the fixed-round loop
-    * early-exits at its monotone fixed point). */
+    * early-exits at its monotone fixed point). That equivalence is
+    * DATA-dependent, so the query asserts it
+    * ([[componentsConvergedWithin]]) instead of assuming it: on a graph
+    * whose propagation needs more than [[ComponentsOracleRounds]] rounds
+    * this fails loudly with the horizon named, rather than surfacing as
+    * an unexplained oracle hash mismatch. */
   def connectedComponentSizes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    require(componentsConvergedWithin(spark, dir, ComponentsOracleRounds),
+      s"graphx_components oracle horizon: min-label propagation did not " +
+        s"converge within $ComponentsOracleRounds rounds on this graph; " +
+        "the full-convergence GraphX histogram may legitimately differ " +
+        "from the unrolled oracle — raise ComponentsOracleRounds (Scala " +
+        "and SQL twin together)")
     val (graph, _) = builtGraph(spark, dir)
     graph.connectedComponents().vertices
       .map { case (_, comp) => comp }
@@ -1015,6 +1026,11 @@ object GraphAlgs {
                         k: Int = 10): DataFrame =
     finishPprTop(fixedRanks(spark, dir, SharedRankSeeds, 10), "r2", "P1", k)
 
+  /** Round horizon shared by the components oracle twins (Scala loop +
+    * DuckDB unrolled SQL) and the graphx_components convergence audit —
+    * one constant so the three can never drift. */
+  val ComponentsOracleRounds: Int = 10
+
   /** Fixed-round min-label propagation (weakly-connected components on
     * the undirected view), relationally: comp(v) ← min(comp(v), min of
     * neighbours' comp), `rounds` times from comp = id. Pure string mins —
@@ -1024,7 +1040,26 @@ object GraphAlgs {
     * DuckDB twin mirrors the same unrolling. Output: component-size
     * histogram, the connectedComponentSizes shape. */
   def componentsFixedSizes(spark: SparkSession, dir: String,
-                           rounds: Int = 10): DataFrame = {
+                           rounds: Int = ComponentsOracleRounds): DataFrame =
+    componentLabels(spark, dir, rounds)
+      .groupBy("comp").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+
+  /** The (id, comp) label frame after `rounds` min-label rounds — the
+    * loop body of [[componentsFixedSizes]], exposed so the
+    * graphx_components convergence audit ([[componentsConvergedWithin]])
+    * can check the labels themselves, not just the histogram. */
+  private[graft] def componentLabels(spark: SparkSession, dir: String,
+                                     rounds: Int): DataFrame =
+    graft.Memo.get(spark, "component-labels", (dir, rounds)) {
+      componentLabelsLoop(spark, dir, rounds)
+    }
+
+  /** Memoized ([[componentLabels]]) so the histogram row and the
+    * convergence audit pay one propagation between them per session. */
+  private def componentLabelsLoop(spark: SparkSession, dir: String,
+                                  rounds: Int): DataFrame = {
     // Static undirected edge set laid out by the fixedRanks state gate:
     // under the |V| gate the label state broadcasts onto dst-partitioned
     // edges and the per-dst min folds in place (zero-exchange rounds);
@@ -1071,10 +1106,33 @@ object GraphAlgs {
         converged = next.filter(col("changed")).isEmpty
       comp = next.select("id", "comp")
     }
-    comp.groupBy("comp").agg(count(lit(1)).as("size"))
-      .groupBy("size").agg(count(lit(1)).as("n_components"))
-      .orderBy("size")
+    comp
   }
+
+  /** True iff min-label propagation reaches its LABEL-LEVEL fixed point
+    * within `rounds` rounds — the precondition that binds the
+    * full-convergence GraphX result (graphx_components) to the
+    * `rounds`-round unrolled oracle. One extra propagation round from
+    * the round-`rounds` state must change no label (histogram equality
+    * would be weaker: labels can move while sizes coincide). Memoized
+    * per (dir, rounds): the audit shares the loop's checkpointed state
+    * machinery, so repeat invocations are free. */
+  private[graft] def componentsConvergedWithin(spark: SparkSession,
+      dir: String, rounds: Int): Boolean =
+    graft.Memo.get(spark, "components-converged", (dir, rounds)) {
+      val labels = componentLabels(spark, dir, rounds)
+      val und = undirectedEdges(spark, dir,
+        bySrc = stateCoPartitioned(spark, dir))
+      val state = labels.withColumnRenamed("id", "src")
+      und.join(broadcast(state), "src")
+        .select(col("dst").as("id"), col("comp").as("ncomp"),
+          col("self"))
+        .groupBy("id")
+        .agg(min("ncomp").as("next"),
+          min(when(col("self"), col("ncomp"))).as("own"))
+        .filter(col("next") =!= col("own"))
+        .isEmpty
+    }
 
   /** Bounded-round min-label components over an arbitrary verified pair
     * relation `(d1, d2)` — the shared clustering tail of every near-dup

@@ -413,13 +413,17 @@ object GraphRegistry {
       "pagerank_fixed_top" -> pageRankSql(10, 20),
       "ppr_fixed_recs" -> pprRecsSql(1L, 10, 10),
       "ppr_fixed_top" -> pprTopSql("P1", 10, 10),
-      "components_fixed_sizes" -> componentsSql(10),
-      // GraphX runs min-label to FULL convergence; the 10-round unrolled
-      // twin converges earlier on this graph (componentsFixedSizes
-      // early-exits on its monotone fixed point), so the same exact
-      // integer size histogram binds both — component membership has no
-      // float tier, unlike the rank family.
-      "graphx_components" -> componentsSql(10),
+      "components_fixed_sizes" -> componentsSql(GraphAlgs.ComponentsOracleRounds),
+      // GraphX runs min-label to FULL convergence; the unrolled twin at
+      // the ComponentsOracleRounds horizon converges earlier on this
+      // graph (componentsFixedSizes early-exits on its monotone fixed
+      // point), so the same exact integer size histogram binds both —
+      // component membership has no float tier, unlike the rank family.
+      // The horizon equivalence is data-dependent, so the Scala query
+      // ASSERTS it (GraphAlgs.componentsConvergedWithin) — a graph
+      // needing more rounds fails with the horizon named instead of an
+      // unexplained hash mismatch.
+      "graphx_components" -> componentsSql(GraphAlgs.ComponentsOracleRounds),
       // BFS distances toward the landmark along edge direction — a
       // recursive CTE twin of GraphX ShortestPaths (expand backwards over
       // dst→src from the landmark; UNION dedups states, and the graph is

@@ -159,6 +159,72 @@ object Recs {
       .limit(k)
   }
 
+  /** SQL-TEXT front door for the flagship co-occurrence recs — the same
+    * query a reference user writes in Cypher (`app/main.py:51-60`),
+    * submitted as ANSI SQL text through `spark.sql` over a registered
+    * view of the canonical CONTAINS edge relation. The reference's
+    * surface is a query LANGUAGE, so one worked example (sqlApiQ1) is
+    * thin evidence the text frontend spans it; this and
+    * [[sqlApiCustomerRecs]] cover the rec tier. The SQL mirrors
+    * [[coOccurrence]] clause for clause (seed CTE, broadcast hint,
+    * DISTINCT edge dedup, count-per-binding, total order) — Catalyst
+    * compiles both to the same optimized plan, asserted canonically in
+    * PlanAuditSpec, and the registry row shares rec_cooccurrence's
+    * oracle verbatim. */
+  def sqlApiCoOccurrence(spark: SparkSession, dir: String, seedPart: Long,
+                         k: Int = 10): DataFrame = {
+    rawItems(spark, dir).createOrReplaceTempView("graft_items_v")
+    spark.sql(
+      s"""WITH seed AS (SELECT DISTINCT order_id FROM graft_items_v
+         |  WHERE product_id = $seedPart),
+         |cand AS (SELECT /*+ BROADCAST(seed) */ DISTINCT
+         |    i.order_id, i.product_id
+         |  FROM graft_items_v i JOIN seed USING (order_id)
+         |  WHERE i.product_id <> $seedPart)
+         |SELECT product_id, CAST(count(1) AS DOUBLE) AS score,
+         |  'co-occurrence' AS reason
+         |FROM cand
+         |GROUP BY product_id
+         |ORDER BY score DESC, product_id ASC
+         |LIMIT $k""".stripMargin)
+  }
+
+  /** SQL-text twin of [[customerRecs]] (reference `app/main.py:88-104`)
+    * — the path-multiplicity decomposition spelled in SQL: m(p) CTE,
+    * order weights, anti-join via the broadcast-hinted NOT-IN-free
+    * LEFT ANTI join, same total order. Shares rec_customer's oracle. */
+  def sqlApiCustomerRecs(spark: SparkSession, dir: String, custId: Long,
+                         k: Int = 10): DataFrame = {
+    rawItems(spark, dir).createOrReplaceTempView("graft_items_v")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"))
+      .createOrReplaceTempView("graft_placed_v")
+    spark.sql(
+      s"""WITH myorders AS (SELECT order_id FROM graft_placed_v
+         |  WHERE customer_id = $custId),
+         |bind1 AS (SELECT /*+ BROADCAST(myorders) */ DISTINCT
+         |    i.order_id, i.product_id
+         |  FROM graft_items_v i JOIN myorders USING (order_id)),
+         |mine AS (SELECT DISTINCT product_id FROM bind1),
+         |m AS (SELECT product_id, count(1) AS m FROM bind1
+         |  GROUP BY product_id),
+         |owgt AS (SELECT order_id, sum(m) AS w
+         |  FROM (SELECT /*+ BROADCAST(m0) */ DISTINCT
+         |          i0.order_id, i0.product_id, m0.m
+         |        FROM graft_items_v i0 JOIN m m0 USING (product_id))
+         |  GROUP BY order_id)
+         |SELECT /*+ BROADCAST(mine) */ c.product_id,
+         |  CAST(sum(c.w) AS DOUBLE) AS score, 'co-occurrence' AS reason
+         |FROM (SELECT /*+ BROADCAST(o) */ DISTINCT
+         |        i.order_id, i.product_id, o.w
+         |      FROM graft_items_v i JOIN owgt o USING (order_id)) c
+         |LEFT ANTI JOIN mine ON c.product_id = mine.product_id
+         |GROUP BY c.product_id
+         |ORDER BY score DESC, product_id ASC
+         |LIMIT $k""".stripMargin)
+  }
+
   /** The reference's fallback cascade (reference `app/main.py:61,70-71`):
     * run the rich query; if empty, run the cheap one. Kept as engine-level
     * control flow — `isEmpty` on a TakeOrderedAndProject plan is cheap. */
@@ -353,6 +419,14 @@ object Recs {
     val keys = df.select(col(keyCol).cast("long")).distinct()
       .orderBy(keyCol)
     val indexed = keys.rdd.zipWithIndex().map { case (r, i) =>
+      // Past 2³¹ distinct keys i.toInt would wrap to negative/colliding
+      // ids — the same overflow class the dictionary exists to fix, so
+      // fail loudly instead of training on wrapped ids. (ALS itself is
+      // int-indexed; >2³¹ distinct entities needs a different
+      // factorization shape, not a silent wrap.)
+      require(i <= Int.MaxValue,
+        s"denseIds($keyCol): ${i + 1} distinct keys exceed Int.MaxValue; " +
+          "ALS int ids cannot represent this key space")
       org.apache.spark.sql.Row(r.getLong(0), i.toInt)
     }
     spark.createDataFrame(indexed,

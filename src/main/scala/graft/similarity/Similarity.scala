@@ -26,36 +26,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Per-JVM nonce in every derived-index tmp path. The layout dirs
-    * used to be keyed by input alone (`graft-ivf-<md5(dir)>`), which
-    * races across PROCESSES: a second JVM on the same input overwrites
-    * the exact files a first JVM's parquet snapshot still references
-    * (observed as FAILED_READ_FILE mid-query when a probe run started
-    * beside a full verify). The index is per-JVM derived state (the
-    * memo is per-JVM; nothing reuses another process's layout), so the
-    * path should be per-JVM too. A shutdown hook removes this JVM's
-    * layouts. */
-  private lazy val jvmTag: String = {
-    val t = java.util.UUID.randomUUID().toString.take(8)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-      val mine = tmp.listFiles()
-      if (mine != null) mine.filter(_.getName.contains(s"-$t-")).foreach {
-        d =>
-          def rm(f: java.io.File): Unit = {
-            val c = f.listFiles(); if (c != null) c.foreach(rm)
-            f.delete(); ()
-          }
-          rm(d)
-      }
-    }))
-    t
-  }
-
-  /** Layout dir for a derived index: content tag + per-JVM nonce. */
+  /** Layout dir for a derived index: content tag + per-JVM nonce
+    * ([[graft.Scratch]] — shared nonce, shutdown-hook cleanup, and
+    * stale-dir GC for JVMs killed before the hook could run). */
   private def indexDir(prefix: String, tag: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"$prefix-$jvmTag-$tag").toString
+    graft.Scratch.dir(prefix, tag)
 
   /** Number of SRP hyperplanes (signature bits) and band layout:
     * 32 bits = 4 bands × 8 bits. For cos≈0.9 pairs (near-dup regime) the

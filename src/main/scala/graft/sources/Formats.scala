@@ -17,27 +17,14 @@ import graft.Tables
   */
 object Formats {
 
-  /** Per-JVM nonce in the round-trip scratch paths: a per-input-only
-    * path races across PROCESSES (a second JVM's overwrite deletes the
-    * files a first JVM's lazy read still references — the graft-ivf
-    * lesson). Scratch dirs are per-JVM derived state; cleanup rides the
-    * same shutdown hook pattern. */
-  private lazy val jvmTag: String = {
-    val t = java.util.UUID.randomUUID().toString.take(8)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-      val mine = tmp.listFiles()
-      if (mine != null) mine.filter(_.getName.contains(s"-$t-")).foreach {
-        d =>
-          def rm(f: java.io.File): Unit = {
-            val c = f.listFiles(); if (c != null) c.foreach(rm)
-            f.delete(); ()
-          }
-          rm(d)
-      }
-    }))
-    t
-  }
+  /** Round-trip scratch paths: per-input content tag + per-JVM nonce via
+    * [[graft.Scratch]] (shared cleanup + stale-dir GC; a per-input-only
+    * path races across PROCESSES — the graft-ivf lesson). */
+  private def scratchDir(prefix: String, dir: String): String =
+    graft.Scratch.dir(prefix,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12))
 
   def readCsv(spark: SparkSession, path: String,
               schema: StructType): DataFrame =
@@ -59,13 +46,9 @@ object Formats {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-    // Per-input tag + per-JVM nonce, overwrite mode: repeated runs in
-    // this JVM rewrite in place; concurrent JVMs never collide; the
-    // shutdown hook reclaims the scratch.
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-fmt-$jvmTag-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(12)).toString
+    // Overwrite mode: repeated runs in this JVM rewrite in place;
+    // concurrent JVMs never collide; Scratch reclaims the dirs.
+    val base = scratchDir("graft-fmt", dir)
     ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     ev.write.mode("overwrite").json(s"$base/jsonl")
     def aggOf(df: DataFrame, fmt: String): DataFrame =
@@ -105,10 +88,7 @@ object Formats {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-fmt-tol-$jvmTag-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(12)).toString
+    val base = scratchDir("graft-fmt-tol", dir)
     val line = to_json(struct(ev.columns.map(col): _*))
     ev.select(
         when(col("event_id") % 97 === 0, concat(lit("NOTJSON"), line))

@@ -633,12 +633,19 @@ object TextAnalysis {
     * candidate generation is what scales (BM25 scan-and-topk / ANN
     * probe); the fusion cost is O(k). vec_id keys doc_id in the
     * testdata, making the two arms joinable. */
-  /** RRF constant, shared with the oracle generator (no twin drift). */
+  /** Hybrid-retrieval constants, shared with the oracle generator so a
+    * changed Scala default can never silently drift from the SQL twin
+    * (the RrfK/SweepThresholds convention): RRF k, per-arm depth, the
+    * seed vector, and the fused top-k. */
   val RrfK: Int = 60
+  val HybridSeedId: Long = 0L
+  val HybridKEach: Int = 20
+  val HybridK: Int = 10
 
   def hybridRetrieval(spark: SparkSession, dir: String,
                       terms: Seq[String] = Bm25QueryTerms,
-                      seedId: Long = 0L, kEach: Int = 20, k: Int = 10,
+                      seedId: Long = HybridSeedId,
+                      kEach: Int = HybridKEach, k: Int = HybridK,
                       rrfK: Int = RrfK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = bm25Search(spark, dir, terms, kEach)

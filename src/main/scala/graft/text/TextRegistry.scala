@@ -419,14 +419,15 @@ object TextRegistry {
            |lex20 AS (SELECT doc_id,
            |  ${scores.mkString("\n|  + ")} AS bm25
            |FROM dd, st
-           |ORDER BY bm25 DESC, doc_id LIMIT 20),
+           |ORDER BY bm25 DESC, doc_id LIMIT ${TextAnalysis.HybridKEach}),
            |lex AS (SELECT doc_id,
            |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
            |  FROM lex20),
-           |s AS (SELECT embedding AS se FROM embeddings WHERE vec_id = 0),
+           |s AS (SELECT embedding AS se FROM embeddings
+           |  WHERE vec_id = ${TextAnalysis.HybridSeedId}),
            |vec20 AS (SELECT vec_id, $cos AS cos
-           |  FROM embeddings, s WHERE vec_id <> 0
-           |  ORDER BY cos DESC, vec_id ASC LIMIT 20),
+           |  FROM embeddings, s WHERE vec_id <> ${TextAnalysis.HybridSeedId}
+           |  ORDER BY cos DESC, vec_id ASC LIMIT ${TextAnalysis.HybridKEach}),
            |vec AS (SELECT vec_id AS doc_id,
            |  row_number() OVER (ORDER BY cos DESC, vec_id) AS r_vec
            |  FROM vec20)
@@ -440,7 +441,7 @@ object TextRegistry {
            |    AS n_arms
            |FROM lex FULL OUTER JOIN vec USING (doc_id)
            |ORDER BY rrf_score DESC, doc_id
-           |LIMIT 10""".stripMargin
+           |LIMIT ${TextAnalysis.HybridK}""".stripMargin
       },
       // Context-window chunker: windows of 64 tokens at stride 48, the
       // window count an integer ceil-division, list slices 1-based and
