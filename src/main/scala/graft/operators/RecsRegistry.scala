@@ -10,9 +10,44 @@ object RecsRegistry {
   private val SeedPart = 1L
   private val SeedCust = 1L
 
+  // Hoisted so the DataFrame builders and their SQL-TEXT twins
+  // (sql_api_rec_*) bind the SAME oracle string — twins by
+  // construction, not by copy.
+  private val CoOccurrenceOracle =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+       |seed AS (SELECT order_id FROM items WHERE product_id = $SeedPart)
+       |SELECT i.product_id, CAST(count(*) AS DOUBLE) AS score, 'co-occurrence' AS reason
+       |FROM items i JOIN seed USING (order_id)
+       |WHERE i.product_id <> $SeedPart
+       |GROUP BY i.product_id
+       |ORDER BY score DESC, product_id ASC
+       |LIMIT 10""".stripMargin
+
+  private val CustomerRecsOracle =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+       |myorders AS (SELECT o_orderkey AS order_id FROM orders WHERE o_custkey = $SeedCust),
+       |bind1 AS (SELECT i.order_id, i.product_id FROM items i JOIN myorders USING (order_id)),
+       |mine AS (SELECT DISTINCT product_id FROM bind1),
+       |m AS (SELECT product_id, count(*) AS m FROM bind1 GROUP BY product_id),
+       |owgt AS (SELECT i.order_id, sum(m.m) AS w FROM items i JOIN m USING (product_id) GROUP BY i.order_id)
+       |SELECT i.product_id, CAST(sum(w) AS DOUBLE) AS score, 'co-occurrence' AS reason
+       |FROM items i JOIN owgt USING (order_id)
+       |WHERE i.product_id NOT IN (SELECT product_id FROM mine)
+       |GROUP BY i.product_id
+       |ORDER BY score DESC, product_id ASC
+       |LIMIT 10""".stripMargin
+
   val registry: Registry = Registry(
     queries = Map(
       "rec_cooccurrence" -> ((s, d) => Recs.coOccurrence(s, d, SeedPart)),
+      // SQL-TEXT twins of the flagship rec queries (r8 advice: the
+      // reference's surface is a query language, so the text frontend
+      // needs coverage beyond the one Q1 example). Same oracle strings
+      // as the DataFrame rows; plan equality asserted in PlanAuditSpec.
+      "sql_api_rec_cooccurrence" -> ((s, d) =>
+        Recs.sqlApiCoOccurrence(s, d, SeedPart)),
+      "sql_api_rec_customer" -> ((s, d) =>
+        Recs.sqlApiCustomerRecs(s, d, SeedCust)),
       "rec_same_category" -> ((s, d) => Recs.sameCategory(s, d, SeedPart)),
       "rec_customer" -> ((s, d) => Recs.customerRecs(s, d, SeedCust)),
       "rec_customer_category" -> ((s, d) =>
@@ -30,15 +65,9 @@ object RecsRegistry {
       "rec_als_topk" -> ((s, d) => Recs.alsRecs(s, d, SeedCust))
     ),
     oracles = Map(
-      "rec_cooccurrence" ->
-        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
-           |seed AS (SELECT order_id FROM items WHERE product_id = $SeedPart)
-           |SELECT i.product_id, CAST(count(*) AS DOUBLE) AS score, 'co-occurrence' AS reason
-           |FROM items i JOIN seed USING (order_id)
-           |WHERE i.product_id <> $SeedPart
-           |GROUP BY i.product_id
-           |ORDER BY score DESC, product_id ASC
-           |LIMIT 10""".stripMargin,
+      "rec_cooccurrence" -> CoOccurrenceOracle,
+      "sql_api_rec_cooccurrence" -> CoOccurrenceOracle,
+      "sql_api_rec_customer" -> CustomerRecsOracle,
       "rec_same_category" ->
         s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
            |seed AS (SELECT category_id FROM part_cat WHERE product_id = $SeedPart)
@@ -140,19 +169,7 @@ object RecsRegistry {
       // Cypher count(*) over FULL path bindings (reference main.py:88-104):
       // score(other) = #(o1, p, o2) triples, decomposed as Σ w(o2) with
       // w(o2) = Σ_{p ∈ o2 ∩ mine} m(p), m(p) = #customer orders holding p.
-      "rec_customer" ->
-        s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
-           |myorders AS (SELECT o_orderkey AS order_id FROM orders WHERE o_custkey = $SeedCust),
-           |bind1 AS (SELECT i.order_id, i.product_id FROM items i JOIN myorders USING (order_id)),
-           |mine AS (SELECT DISTINCT product_id FROM bind1),
-           |m AS (SELECT product_id, count(*) AS m FROM bind1 GROUP BY product_id),
-           |owgt AS (SELECT i.order_id, sum(m.m) AS w FROM items i JOIN m USING (product_id) GROUP BY i.order_id)
-           |SELECT i.product_id, CAST(sum(w) AS DOUBLE) AS score, 'co-occurrence' AS reason
-           |FROM items i JOIN owgt USING (order_id)
-           |WHERE i.product_id NOT IN (SELECT product_id FROM mine)
-           |GROUP BY i.product_id
-           |ORDER BY score DESC, product_id ASC
-           |LIMIT 10""".stripMargin,
+      "rec_customer" -> CustomerRecsOracle,
       "rec_customer_category" ->
         s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
            |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),

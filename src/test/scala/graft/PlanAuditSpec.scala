@@ -325,6 +325,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"$nExpand Expands — per-doc metrics no longer share one pass:\n$plan")
   }
 
+  test("SQL-text rec twins compile to the DataFrame builders' plans") {
+    // The text frontend must be the same engine, not a parallel
+    // implementation: the spark.sql text of each flagship rec query and
+    // its DataFrame builder must reach the same canonical optimized
+    // plan (modulo cosmetic expression ids). A drift here means the SQL
+    // surface no longer exercises the audited scalable shapes.
+    for ((sqlName, dfName) <- Seq(
+      "sql_api_rec_cooccurrence" -> "rec_cooccurrence",
+      "sql_api_rec_customer" -> "rec_customer")) {
+      val sqlPlan = SparkEntry.queries(sqlName)(spark, dir)
+        .queryExecution.optimizedPlan.canonicalized
+      val dfPlan = SparkEntry.queries(dfName)(spark, dir)
+        .queryExecution.optimizedPlan.canonicalized
+      assert(sqlPlan == dfPlan,
+        s"$sqlName diverged from $dfName:\nSQL:\n$sqlPlan\nDF:\n$dfPlan")
+    }
+  }
+
   test("negative sampling broadcasts every bounded side, windows per customer") {
     // Candidates (top-nCand popularity) cross the customer relation as a
     // broadcast nested-loop with the BOUNDED side built — linear in
