@@ -8,6 +8,41 @@ import graft.Registry
   * longs (`epoch_ns // 1000` — lossless here, events carry no sub-µs). */
 object StreamingRegistry {
 
+  /** Unrolled min-label components over the behavioral bipartite graph
+    * ("U<user>" ↔ "P<product>" from the deduped event edges, rel_type
+    * collapsed) — the GraphRegistry.componentsSql pattern over the
+    * stream_edge_counts dedup. MATERIALIZED is load-bearing: each round
+    * reads the previous one twice. */
+  private def storeComponentsSql(rounds: Int): String = {
+    val head =
+      """WITH be AS (
+        |  SELECT DISTINCT user_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |  WHERE lower(event_type) IN
+        |      ('view','click','add_to_cart','purchase','signup','error')
+        |    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |      IS NOT NULL),
+        |e0 AS MATERIALIZED (SELECT DISTINCT
+        |  'U' || CAST(user_id AS VARCHAR) AS src,
+        |  'P' || CAST(k AS VARCHAR) AS dst FROM be),
+        |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |nodes AS (SELECT DISTINCT src AS id FROM und),
+        |c0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes)""".stripMargin
+    val iterCtes = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (
+         |  SELECT id, comp FROM c${i - 1}
+         |  UNION ALL
+         |  SELECT u.dst AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.src
+         |) GROUP BY id)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"""\nSELECT size, count(*) AS n_components FROM (
+         |  SELECT comp, count(*) AS size FROM c$rounds GROUP BY comp
+         |) GROUP BY size ORDER BY size""".stripMargin
+  }
+
   val registry: Registry = Registry(
     queries = Map(
       "stream_window_counts" -> ((s, d) =>
@@ -21,7 +56,16 @@ object StreamingRegistry {
       "stream_window_topk" -> ((s, d) =>
         EventStreams.windowTopProductsBatch(s, d)),
       "stream_transitions" -> ((s, d) =>
-        EventStreams.transitionCountsBatch(s, d))
+        EventStreams.transitionCountsBatch(s, d)),
+      // The streaming→graph loop closed: components over a committed
+      // generation of the stream-maintained edge store. The store is
+      // built by the REAL readStream→foreachBatch machinery
+      // (Trigger.AvailableNow, checkpointed), then read back via
+      // edgeStoreAt — the oracle computes the same bounded-round
+      // min-label components from the batch dedup of the events table,
+      // equal by the stream≡batch convergence identity.
+      "store_components_at" -> ((s, d) =>
+        EventStreams.storeComponentsAt(s, d))
     ),
     oracles = Map(
       "stream_window_counts" ->
@@ -101,6 +145,8 @@ object StreamingRegistry {
           |  AND p.ts_us >= v.ts_us AND p.ts_us <= v.ts_us + 86400000000
           |GROUP BY p.k
           |ORDER BY product_id""".stripMargin,
+      "store_components_at" ->
+        storeComponentsSql(EventStreams.StoreComponentsRounds),
       "stream_sessions" ->
         """WITH t AS (
           |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us

@@ -475,6 +475,189 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // ---- real file-source runs with checkpoint + kill + restart ----
+  // MemoryStream equivalence shows the transforms; these show RECOVERY:
+  // a checkpointed query killed mid-stream, restarted, must converge to
+  // the batch result exactly once — including a forced REPLAY of the
+  // crash-window batch (offsets written, commit marker lost: the state
+  // every sink must absorb idempotently).
+
+  /** Delete the newest commit marker so the restarted query re-runs that
+    * batch — the standard simulation of a crash between the sink commit
+    * and the checkpoint commit. */
+  private def dropLatestCommit(ckpt: String): Unit = {
+    val commits = new java.io.File(s"$ckpt/commits")
+    val files = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.forall(_.isDigit))
+    assert(files.nonEmpty, "no committed batch to drop")
+    val latest = files.maxBy(_.getName.toInt)
+    // local FS keeps a checksum shadow; leaving it behind makes the
+    // replayed commit's rename fail as a spurious concurrent writer
+    new java.io.File(commits, s".${latest.getName}.crc").delete()
+    assert(latest.delete())
+  }
+
+  private def commitCount(ckpt: String): Int =
+    Option(new java.io.File(s"$ckpt/commits").listFiles())
+      .getOrElse(Array.empty).count(_.getName.forall(_.isDigit))
+
+  test("file-source edge store: kill mid-stream, replay crash-window batch, restart → exactly-once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-store")
+    val in = base.resolve("in").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // several input files → several microbatches at maxFilesPerTrigger=1;
+    // time-range slices so the watermarked dedup never sees late rows
+    writeTimeOrderedSlices(ev, "ts", in, slices = 4)
+    def stream() = {
+      val schema = spark.read.parquet(in).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+    }
+    // phase 1: process SOME of the input, then kill the query
+    val q1 = EventStreams.maintainEdgeStore(stream(), store, Some(ckpt))
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (commitCount(ckpt) < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(commitCount(ckpt) >= 2, "stream never committed two batches")
+    } finally q1.stop()
+    // crash window: the last batch's merge reached the store but its
+    // checkpoint commit is lost → the restart must replay it
+    dropLatestCommit(ckpt)
+    assert(EventStreams.committedGenerations(store).nonEmpty)
+    // phase 2: restart from the same checkpoint and drain everything
+    val q2 = EventStreams.maintainEdgeStore(stream(), store, Some(ckpt),
+      availableNow = true)
+    q2.awaitTermination(120000)
+    // exactly-once content: the store equals the batch dedup — the
+    // replayed batch added nothing twice, the unprocessed files arrived
+    val stored = EventStreams.edgeStore(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batch = EventStreams.dedupedBehavioralEdges(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(stored.length == stored.distinct.length,
+      "store holds duplicate edges after the replayed batch")
+    assert(stored.toSet == batch.toSet)
+    // no lost partitions: every rel_type the batch dedup produces is live
+    assert(stored.map(_._3).toSet == batch.map(_._3).toSet)
+  }
+
+  /** Write `df` as `slices` contiguous time-range parquet files with
+    * strictly increasing mtimes, so the file source delivers them as
+    * microbatches in EVENT-TIME order. This matters twice: a watermarked
+    * operator drops rows older than the watermark, so a later batch must
+    * never carry earlier events; and the stateful extractors' exactness
+    * contract is per-user time-ordered delivery (within a batch they
+    * sort; across batches delivery order is the file order, which the
+    * file source takes from mtime). */
+  private def writeTimeOrderedSlices(df: org.apache.spark.sql.DataFrame,
+      sortCol: String, in: String, slices: Int): Unit = {
+    df.repartitionByRange(slices,
+        org.apache.spark.sql.functions.col(sortCol))
+      .write.parquet(in)
+    // part-0000i holds range partition i (ascending): stamp mtimes in
+    // file-name order so the source's mtime order IS time order.
+    val files = Option(new java.io.File(in).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length >= 2, "expected multiple input slices")
+    var mtime = System.currentTimeMillis() - 3600000
+    files.foreach { f => assert(f.setLastModified(mtime)); mtime += 2000 }
+  }
+
+  private def sf0001FunnelInput: org.apache.spark.sql.DataFrame =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("event_type")).as("et"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts_us"),
+        org.apache.spark.sql.functions.col("event_id"))
+
+  /** Run a checkpointed file-source → parquet-sink query through the
+    * kill / drop-commit / restart cycle and return the committed sink
+    * rows (read through the sink's _spark_metadata log — the
+    * exactly-once view). */
+  private def killReplayRestart(in: String, out: String, ckpt: String)(
+      start: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.DataFrame = {
+    val schema = spark.read.parquet(in).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q1 = start(stream(), out, ckpt)
+    try {
+      val deadline = System.currentTimeMillis() + 120000
+      while (commitCount(ckpt) < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(commitCount(ckpt) >= 2, "stream never committed two batches")
+    } finally q1.stop()
+    dropLatestCommit(ckpt)
+    val q2 = start(stream(), out, ckpt)
+    q2.awaitTermination(120000)
+    // the parquet batch read resolves through _spark_metadata: files of
+    // replayed-but-superseded batch attempts are not visible
+    spark.read.parquet(out)
+  }
+
+  test("file-source funnel with checkpoint survives kill + batch replay exactly once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-funnel")
+    val in = base.resolve("in").toString
+    writeTimeOrderedSlices(sf0001FunnelInput, "ts_us", in, slices = 4)
+    val sink = killReplayRestart(in, base.resolve("out").toString,
+      base.resolve("ckpt").toString) { (stream, out, ckpt) =>
+      EventStreams.funnelStages(
+          stream.select("user_id", "et", "ts_us")
+            .as[EventStreams.FunnelEvent])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val byStage = sink.collect().groupBy(_.getInt(1))
+      .view.mapValues(_.length.toLong).toMap
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("event_type")).as("et"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts_us"))
+    val b = graft.operators.Funnel.conversionCountsOf(ev).head()
+    assert(byStage.getOrElse(1, 0L) == b.getLong(0))
+    assert(byStage.getOrElse(2, 0L) == b.getLong(1))
+    assert(byStage.getOrElse(3, 0L) == b.getLong(2))
+    assert(b.getLong(0) > 0)
+  }
+
+  test("file-source transitions with checkpoint survive kill + batch replay exactly once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-trans")
+    val in = base.resolve("in").toString
+    writeTimeOrderedSlices(sf0001FunnelInput, "ts_us", in, slices = 4)
+    val sink = killReplayRestart(in, base.resolve("out").toString,
+      base.resolve("ckpt").toString) { (stream, out, ckpt) =>
+      EventStreams.transitionPairs(
+          stream.select("user_id", "ts_us", "event_id", "et")
+            .as[EventStreams.TransEvent])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val streamed = sink.collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    val batch = EventStreams
+      .transitionCountsBatch(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("time-travel window only lists fully readable snapshots after GC") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-edges-gc")
