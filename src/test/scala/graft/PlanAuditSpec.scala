@@ -325,6 +325,59 @@ class PlanAuditSpec extends SparkTestBase {
       s"$nExpand Expands — per-doc metrics no longer share one pass:\n$plan")
   }
 
+  test("unpartitioned windows appear ONLY in the documented bounded-input whitelist") {
+    // The bench tail's permanent WindowExec warning comes from seven
+    // known global windows over calendar- or k-bounded POST-AGGREGATE
+    // relations (documented at their sites); the danger is that a NEW,
+    // genuinely unbounded one would hide in that noise. Convert the
+    // convention to enforcement: walk every registry plan, collect
+    // WindowExec nodes with an empty partitionSpec, and pin the exact
+    // query set. Adding an unpartitioned window over raw rows fails
+    // here; adding a justified one means extending the whitelist WITH
+    // its boundedness argument at the operator site.
+    import org.apache.spark.sql.execution.SparkPlan
+    def globalWindows(p: SparkPlan): Int = {
+      val self = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => 1
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case other => other.children
+      }
+      self + kids.map(globalWindows).sum
+    }
+    val offenders = (for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) yield {
+      val n = globalWindows(fn(spark, dir).queryExecution.executedPlan)
+      if (n > 0) Some(name) else None
+    }).flatten.toSet
+    // Whitelist, each entry justified at the cited operator site:
+    //  - dau_cumulative (Cohorts.scala:44), revenue_monthly_growth
+    //    (Cohorts.scala:196), ewma_daily_revenue (Resample.scala:92):
+    //    running windows over the daily/monthly POST-AGGREGATE series —
+    //    calendar-bounded whatever the corpus size
+    //  - text_vocab_coverage / text_vocab_growth
+    //    (TextAnalysis.scala:516,519,988): cumulative rank over the
+    //    aggregated vocabulary / first-seen-bucket histograms
+    //  - text_hybrid_retrieval (TextAnalysis.scala:653,657) and
+    //    rec_rrf_fusion (Recs.scala): RRF rank over the two k-row
+    //    survivor lists of already-top-k'd arms
+    //  - drift_split_ks: cumulative window over the bounded quantile
+    //    histogram (see the dedicated shape test above)
+    val whitelist = Set(
+      "dau_cumulative", "revenue_monthly_growth", "ewma_daily_revenue",
+      "text_vocab_coverage", "text_vocab_growth",
+      "text_hybrid_retrieval", "rec_rrf_fusion", "drift_split_ks")
+    assert(offenders == whitelist,
+      s"global-window set drifted.\n  unexpected: ${(offenders -- whitelist).toSeq.sorted}\n  missing: ${(whitelist -- offenders).toSeq.sorted}")
+  }
+
   test("SQL-text rec twins compile to the DataFrame builders' plans") {
     // The text frontend must be the same engine, not a parallel
     // implementation: the spark.sql text of each flagship rec query and
