@@ -954,6 +954,46 @@ object GraphAlgs {
       .orderBy("kind", "rk")
   }
 
+  /** DRIVER-VISIBLE bounded-error audit of the GraphX float family
+    * against its exact fixed-iteration twins (r8 advice #8): the three
+    * rows-only GraphX queries (pagerank/ppr_top/ppr_recs) cannot carry
+    * value-hash oracles — float propagation order is engine-internal —
+    * but their AGREEMENT with the hash-green exact twins is a
+    * deterministic boolean the oracle CAN pin. pagerank: same top-k id
+    * set and max |Δrank| < 1e-6 (GraphSpec sees ≤1e-9 on the seed
+    * graph; the slack absorbs accumulation at larger SFs). ppr_top /
+    * ppr_recs: identical ranked id lists (GraphX PPR normalizes mass
+    * differently than the raw fixed iteration, so the serving ORDER is
+    * the meaningful invariant, not the magnitudes). All comparisons are
+    * k-row driver-side folds — the sanctioned bounded serving-shim
+    * shape. A future divergence flips a row to false and the driver's
+    * hash compare flags it with the family named. */
+  def graphxFloatAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 1e-6
+    val gxPr = pageRankTop(spark, dir, 10, 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val exPr = pageRankFixedTopShared(spark, dir, 20).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val prOk = gxPr.map(_._1).toSet == exPr.map(_._1).toSet &&
+      exPr.forall { case (id, r) =>
+        gxPr.toMap.get(id).exists(g => math.abs(g - r) < eps) }
+    // GraphX pads its top-k with zero-rank (unreachable) nodes; the
+    // exact twin returns positive-mass nodes only — compare the
+    // positive prefix, the part a serving consumer reads.
+    val gxTop = personalizedPageRank(spark, dir, "P1").collect()
+      .filter(_.getDouble(1) > 0).map(_.getString(0)).toSeq
+    val exTop = pprFixedTopShared(spark, dir).collect()
+      .map(_.getString(0)).toSeq
+    val gxRecs = pprRecs(spark, dir, 1L).collect()
+      .map(_.getLong(0)).toSeq
+    val exRecs = pprFixedRecsShared(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    Seq(("pagerank", prOk), ("ppr_recs", gxRecs == exRecs),
+      ("ppr_top", gxTop == exTop))
+      .toDF("family", "agrees").orderBy("family")
+  }
+
   /** Global-column finisher: GraphX renormalizes final ranks to sum to
     * |V| (SPARK-18847 sink handling); mirror it with an exact
     * canonical-order total so the doubles stay oracle-identical. */

@@ -396,7 +396,12 @@ object GraphRegistry {
         GraphAlgs.weightedPageRankTop(s, d)),
       "hits_fixed_top" -> ((s, d) => GraphAlgs.hitsFixedTop(s, d)),
       "graph_lpa_communities" -> ((s, d) => GraphAlgs.lpaCommunities(s, d)),
-      "graph_assortativity" -> ((s, d) => GraphAlgs.degreeAssortativity(s, d))
+      "graph_assortativity" -> ((s, d) => GraphAlgs.degreeAssortativity(s, d)),
+      // Bounded-error audit binding the three rows-only GraphX float
+      // queries to their exact twins — the driver-visible promotion of
+      // the float tier (the check runs in Spark; the oracle pins the
+      // expected verdict per family).
+      "graphx_float_audit" -> ((s, d) => GraphAlgs.graphxFloatAudit(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -414,6 +419,10 @@ object GraphRegistry {
       "ppr_fixed_recs" -> pprRecsSql(1L, 10, 10),
       "ppr_fixed_top" -> pprTopSql("P1", 10, 10),
       "components_fixed_sizes" -> componentsSql(GraphAlgs.ComponentsOracleRounds),
+      "graphx_float_audit" ->
+        """SELECT * FROM (VALUES ('pagerank', true), ('ppr_recs', true),
+          |  ('ppr_top', true)) t(family, agrees)
+          |ORDER BY family""".stripMargin,
       // GraphX runs min-label to FULL convergence; the unrolled twin at
       // the ComponentsOracleRounds horizon converges earlier on this
       // graph (componentsFixedSizes early-exits on its monotone fixed
