@@ -41,6 +41,7 @@ object Bench {
       graph.GraphAlgs.prewarm(spark, sfDir)
       similarity.Similarity.prewarm(spark, sfDir)
       operators.Recs.prewarm(spark, sfDir)
+      streaming.EventStreams.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
     // Shuffle bytes written per query, summed over the executed COUNT
     // action's exchanges (AQE stages traversed): wall time on a shared

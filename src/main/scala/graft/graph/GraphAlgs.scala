@@ -246,7 +246,16 @@ object GraphAlgs {
     * determinism of the returned id set; ranks are floating-point and not
     * oracle-hashable → rows-only check + ScalaTest fixture. */
   def personalizedPageRank(spark: SparkSession, dir: String, seedId: String,
-                           iters: Int = 10, k: Int = 10): DataFrame = {
+                           iters: Int = 10, k: Int = 10): DataFrame =
+    graft.Memo.get(spark, "graphx-ppr-top", (dir, seedId, iters, k)) {
+      personalizedPageRankRun(spark, dir, seedId, iters, k)
+        .localCheckpoint(true)
+    }
+
+  /** Un-memoized body ([[personalizedPageRank]] caches the k-row result
+    * so the float-audit row doesn't re-run the Pregel kernel). */
+  private def personalizedPageRankRun(spark: SparkSession, dir: String,
+      seedId: String, iters: Int, k: Int): DataFrame = {
     import spark.implicits._
     val (graph, vm) = builtGraph(spark, dir)
     val seedRow = vm.filter(col("id") === seedId).select("vid")
@@ -270,7 +279,14 @@ object GraphAlgs {
     * anti-join), top-k. Composition of the GraphX kernel with relational
     * post-processing; rows-only (no SQL twin for PPR). */
   def pprRecs(spark: SparkSession, dir: String, custId: Long,
-              iters: Int = 10, k: Int = 10): DataFrame = {
+              iters: Int = 10, k: Int = 10): DataFrame =
+    graft.Memo.get(spark, "graphx-ppr-recs", (dir, custId, iters, k)) {
+      pprRecsRun(spark, dir, custId, iters, k).localCheckpoint(true)
+    }
+
+  /** Un-memoized body (see [[personalizedPageRank]]). */
+  private def pprRecsRun(spark: SparkSession, dir: String, custId: Long,
+                         iters: Int, k: Int): DataFrame = {
     import spark.implicits._
     val (graph, vm) = builtGraph(spark, dir)
     val seedRow = vm.filter(col("id") === s"C$custId").select("vid")
@@ -297,18 +313,24 @@ object GraphAlgs {
       .limit(k)
   }
 
-  /** Global PageRank top-k (G6 family). Rows-only check + ScalaTest. */
+  /** Global PageRank top-k (G6 family). Rows-only check + ScalaTest.
+    * Memoized: the graphx_float_audit row re-reads the same kernel the
+    * graphx_pagerank_top row serves, and a second GraphX propagation of
+    * identical input is pure duplicate work — the k-row result is
+    * checkpointed, so repeat consumers pay a scan, not a Pregel run. */
   def pageRankTop(spark: SparkSession, dir: String, iters: Int = 10,
-                  k: Int = 20): DataFrame = {
-    import spark.implicits._
-    val (graph, _) = builtGraph(spark, dir)
-    val ranks = graph.staticPageRank(iters).vertices
-    ranks.join(graph.vertices)
-      .map { case (_, (rank, id)) => (id, rank) }
-      .toDF("id", "rank")
-      .orderBy(desc("rank"), asc("id"))
-      .limit(k)
-  }
+                  k: Int = 20): DataFrame =
+    graft.Memo.get(spark, "graphx-pagerank-top", (dir, iters, k)) {
+      import spark.implicits._
+      val (graph, _) = builtGraph(spark, dir)
+      val ranks = graph.staticPageRank(iters).vertices
+      ranks.join(graph.vertices)
+        .map { case (_, (rank, id)) => (id, rank) }
+        .toDF("id", "rank")
+        .orderBy(desc("rank"), asc("id"))
+        .limit(k)
+        .localCheckpoint(true)
+    }
 
   /** Connected components over the undirected view; returns component
     * sizes. Exercises GraphX's iterative Pregel path. Unlike the float
@@ -436,13 +458,18 @@ object GraphAlgs {
     * id-order a<b<c formulation — same number, simpler SQL. Degree
     * relation is |products|-sized → broadcast into both orientation
     * joins; the wedge and closure joins are the only shuffles. */
-  /** Per-vertex degree over the undirected co-purchase graph. */
-  def coPurchaseDegrees(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coPurchasePairs(spark, dir)
-    pairs.select(col("p1").as("p")).unionAll(
-        pairs.select(col("p2").as("p")))
-      .groupBy("p").agg(count(lit(1)).as("d"))
-  }
+  /** Per-vertex degree over the undirected co-purchase graph. Memoized
+    * (|products| rows): triangles, clustering, k-core, assortativity,
+    * and link prediction all fold it — without the memo each consumer
+    * re-aggregates the persisted pair relation. */
+  def coPurchaseDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "co-purchase-degrees", dir) {
+      val pairs = coPurchasePairs(spark, dir)
+      pairs.select(col("p1").as("p")).unionAll(
+          pairs.select(col("p2").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+    }
 
   /** SEEDED link prediction over the co-purchase graph: rank products
     * NOT yet co-purchased with `seed` by neighborhood Jaccard

