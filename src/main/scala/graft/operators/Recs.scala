@@ -225,6 +225,54 @@ object Recs {
          |LIMIT $k""".stripMargin)
   }
 
+  /** SQL-text twin of [[sameCategory]] (reference `app/main.py:72-84`).
+    * Shares rec_same_category's oracle. */
+  def sqlApiSameCategory(spark: SparkSession, dir: String, seedPart: Long,
+                         k: Int = 10): DataFrame = {
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"),
+        col("p_brand").as("category_id"))
+      .createOrReplaceTempView("graft_part_cat_v")
+    spark.sql(
+      s"""WITH seed AS (SELECT category_id FROM graft_part_cat_v
+         |  WHERE product_id = $seedPart)
+         |SELECT /*+ BROADCAST(seed) */ p.product_id,
+         |  CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
+         |FROM graft_part_cat_v p JOIN seed USING (category_id)
+         |WHERE p.product_id <> $seedPart
+         |ORDER BY product_id ASC
+         |LIMIT $k""".stripMargin)
+  }
+
+  /** SQL-text twin of [[customerCategoryRecs]] (reference
+    * `app/main.py:110-123`) — J5 category walk + J4 anti-join spelled
+    * as text. Shares rec_customer_category's oracle. */
+  def sqlApiCustomerCategoryRecs(spark: SparkSession, dir: String,
+                                 custId: Long, k: Int = 10): DataFrame = {
+    rawItems(spark, dir).createOrReplaceTempView("graft_items_v")
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"))
+      .createOrReplaceTempView("graft_placed_v")
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"),
+        col("p_brand").as("category_id"))
+      .createOrReplaceTempView("graft_part_cat_v")
+    spark.sql(
+      s"""WITH myorders AS (SELECT order_id FROM graft_placed_v
+         |  WHERE customer_id = $custId),
+         |mine AS (SELECT /*+ BROADCAST(myorders) */ DISTINCT i.product_id
+         |  FROM graft_items_v i JOIN myorders USING (order_id)),
+         |mycats AS (SELECT /*+ BROADCAST(mine) */ DISTINCT category_id
+         |  FROM graft_part_cat_v JOIN mine USING (product_id))
+         |SELECT /*+ BROADCAST(mycats, mine) */ DISTINCT p.product_id,
+         |  CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
+         |FROM graft_part_cat_v p JOIN mycats USING (category_id)
+         |LEFT ANTI JOIN mine ON p.product_id = mine.product_id
+         |ORDER BY product_id ASC
+         |LIMIT $k""".stripMargin)
+  }
+
   /** The reference's fallback cascade (reference `app/main.py:61,70-71`):
     * run the rich query; if empty, run the cheap one. Kept as engine-level
     * control flow — `isEmpty` on a TakeOrderedAndProject plan is cheap. */

@@ -23,6 +23,27 @@ object RecsRegistry {
        |ORDER BY score DESC, product_id ASC
        |LIMIT 10""".stripMargin
 
+  private val SameCategoryOracle =
+    s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+       |seed AS (SELECT category_id FROM part_cat WHERE product_id = $SeedPart)
+       |SELECT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
+       |FROM part_cat p JOIN seed USING (category_id)
+       |WHERE p.product_id <> $SeedPart
+       |ORDER BY product_id ASC
+       |LIMIT 10""".stripMargin
+
+  private val CustomerCategoryOracle =
+    s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+       |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+       |placed AS (SELECT o_custkey AS customer_id, o_orderkey AS order_id FROM orders),
+       |mine AS (SELECT DISTINCT product_id FROM placed JOIN items USING (order_id) WHERE customer_id = $SeedCust),
+       |my_cats AS (SELECT DISTINCT category_id FROM part_cat JOIN mine USING (product_id))
+       |SELECT DISTINCT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
+       |FROM part_cat p JOIN my_cats USING (category_id)
+       |WHERE p.product_id NOT IN (SELECT product_id FROM mine)
+       |ORDER BY product_id ASC
+       |LIMIT 10""".stripMargin
+
   private val CustomerRecsOracle =
     s"""WITH items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
        |myorders AS (SELECT o_orderkey AS order_id FROM orders WHERE o_custkey = $SeedCust),
@@ -48,6 +69,10 @@ object RecsRegistry {
         Recs.sqlApiCoOccurrence(s, d, SeedPart)),
       "sql_api_rec_customer" -> ((s, d) =>
         Recs.sqlApiCustomerRecs(s, d, SeedCust)),
+      "sql_api_rec_same_category" -> ((s, d) =>
+        Recs.sqlApiSameCategory(s, d, SeedPart)),
+      "sql_api_rec_customer_category" -> ((s, d) =>
+        Recs.sqlApiCustomerCategoryRecs(s, d, SeedCust)),
       "rec_same_category" -> ((s, d) => Recs.sameCategory(s, d, SeedPart)),
       "rec_customer" -> ((s, d) => Recs.customerRecs(s, d, SeedCust)),
       "rec_customer_category" -> ((s, d) =>
@@ -68,14 +93,9 @@ object RecsRegistry {
       "rec_cooccurrence" -> CoOccurrenceOracle,
       "sql_api_rec_cooccurrence" -> CoOccurrenceOracle,
       "sql_api_rec_customer" -> CustomerRecsOracle,
-      "rec_same_category" ->
-        s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
-           |seed AS (SELECT category_id FROM part_cat WHERE product_id = $SeedPart)
-           |SELECT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
-           |FROM part_cat p JOIN seed USING (category_id)
-           |WHERE p.product_id <> $SeedPart
-           |ORDER BY product_id ASC
-           |LIMIT 10""".stripMargin,
+      "rec_same_category" -> SameCategoryOracle,
+      "sql_api_rec_same_category" -> SameCategoryOracle,
+      "sql_api_rec_customer_category" -> CustomerCategoryOracle,
       // RRF fusion of the two arms: row_number ranks over each arm's
       // total order, fused as 1/(60+r) + 1/(60+r) with fixed operand
       // order (two IEEE ops — bit-exact). FULL OUTER ... USING keeps
@@ -170,17 +190,7 @@ object RecsRegistry {
       // score(other) = #(o1, p, o2) triples, decomposed as Σ w(o2) with
       // w(o2) = Σ_{p ∈ o2 ∩ mine} m(p), m(p) = #customer orders holding p.
       "rec_customer" -> CustomerRecsOracle,
-      "rec_customer_category" ->
-        s"""WITH part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
-           |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
-           |placed AS (SELECT o_custkey AS customer_id, o_orderkey AS order_id FROM orders),
-           |mine AS (SELECT DISTINCT product_id FROM placed JOIN items USING (order_id) WHERE customer_id = $SeedCust),
-           |my_cats AS (SELECT DISTINCT category_id FROM part_cat JOIN mine USING (product_id))
-           |SELECT DISTINCT p.product_id, CAST(1.0 AS DOUBLE) AS score, 'same-category' AS reason
-           |FROM part_cat p JOIN my_cats USING (category_id)
-           |WHERE p.product_id NOT IN (SELECT product_id FROM mine)
-           |ORDER BY product_id ASC
-           |LIMIT 10""".stripMargin
+      "rec_customer_category" -> CustomerCategoryOracle
     )
   )
 

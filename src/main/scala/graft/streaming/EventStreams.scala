@@ -535,6 +535,56 @@ object EventStreams {
       s"$base/store"
     }
 
+  /** Two-generation edge store built through the BATCH BACKFILL path
+    * (mergeEdgeBatch called directly — the documented non-streaming
+    * entry): generation 1 holds the first half of event time,
+    * generation 2 merges the second half. Memoized per (session, dir);
+    * returns the store path. The halving cutpoint is exact long
+    * arithmetic over epoch micros (min + (max−min)/2), so the SQL twin
+    * reproduces it bit-for-bit. */
+  private def builtTwoGenStore(spark: SparkSession, dir: String): String =
+    graft.Memo.get(spark, "edge-store-twogen", dir) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)
+      val store = graft.Scratch.dir("graft-estore2", tag) + "/store"
+      val ev = graft.Tables.load(spark, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val cut = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+        .selectExpr("mn + ((mx - mn) div 2) AS cut") // exact long div
+        .head().getLong(0)
+      if (committedGenerations(store).length < 2) {
+        mergeEdgeBatch(
+          dedupedBehavioralEdges(ev.filter(col("ts_us") < cut)), store)
+        mergeEdgeBatch(
+          dedupedBehavioralEdges(ev.filter(col("ts_us") >= cut)), store)
+      }
+      store
+    }
+
+  /** TIME TRAVEL as a first-class query: the per-type count of edges
+    * that are NEW between two committed generations of the edge store —
+    * snapshot N−1 anti-joined from snapshot N, both resolved through
+    * their manifests ([[edgeStoreAt]]). This is the ingest-audit query
+    * every incremental warehouse needs ("what did yesterday's load
+    * add?"), and it is exactly-once checkable: the oracle predicts the
+    * same counts from the event halves directly, so a merge that
+    * duplicated, dropped, or mis-carried a partition across generations
+    * hash-fails. Cost: two manifest resolutions + one anti-join keyed
+    * on the deduped edge triple — O(store), no event re-scan. */
+  def storeGenerationDiff(spark: SparkSession, dir: String): DataFrame = {
+    val store = builtTwoGenStore(spark, dir)
+    val gens = committedGenerations(store)
+    require(gens.length >= 2,
+      s"two-generation store at $store has ${gens.length} generations")
+    val before = edgeStoreAt(spark, store, gens(gens.length - 2))
+    val after = edgeStoreAt(spark, store, gens.last)
+    after.join(before, Seq("user_id", "product_id", "rel_type"),
+        "left_anti")
+      .groupBy("rel_type").agg(count(lit(1)).as("n_new"))
+      .orderBy("rel_type")
+  }
+
   /** Long-lived-service state built once, untimed (the Bench warm-up
     * shape shared with the IVF index build): the streamed edge store is
     * INGEST-side work — a deployment's maintenance stream keeps it

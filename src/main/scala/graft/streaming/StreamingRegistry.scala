@@ -65,7 +65,12 @@ object StreamingRegistry {
       // min-label components from the batch dedup of the events table,
       // equal by the stream≡batch convergence identity.
       "store_components_at" -> ((s, d) =>
-        EventStreams.storeComponentsAt(s, d))
+        EventStreams.storeComponentsAt(s, d)),
+      // Time travel as a first-class query: per-type counts of edges NEW
+      // between two committed generations (batch-backfill two-gen store;
+      // the oracle predicts the same diff from the event halves).
+      "store_generation_diff" -> ((s, d) =>
+        EventStreams.storeGenerationDiff(s, d))
     ),
     oracles = Map(
       "stream_window_counts" ->
@@ -147,6 +152,34 @@ object StreamingRegistry {
           |ORDER BY product_id""".stripMargin,
       "store_components_at" ->
         storeComponentsSql(EventStreams.StoreComponentsRounds),
+      // Same dedup CTE as stream_edge_counts; the cutpoint is exact long
+      // arithmetic (min + (max-min)//2 over epoch micros) mirroring the
+      // Scala `div`, and "new in gen 2" = deduped edges of the full set
+      // anti-joined against the first half's deduped edges.
+      "store_generation_diff" ->
+        """WITH raw AS (
+          |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    CASE lower(event_type)
+          |      WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+          |      WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
+          |      WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
+          |      WHEN 'error' THEN 'ERRORED' END AS rel_type
+          |  FROM events),
+          |cutp AS (SELECT min(ts_us) + ((max(ts_us) - min(ts_us)) // 2)
+          |    AS cut
+          |  FROM (SELECT epoch_ns(ts) // 1000 AS ts_us FROM events)),
+          |e AS (SELECT user_id, k, rel_type, ts_us FROM raw
+          |  WHERE rel_type IS NOT NULL AND k IS NOT NULL),
+          |firsthalf AS (SELECT DISTINCT user_id, k, rel_type
+          |  FROM e, cutp WHERE ts_us < cut),
+          |full_set AS (SELECT DISTINCT user_id, k, rel_type FROM e)
+          |SELECT rel_type, count(*) AS n_new
+          |FROM full_set f
+          |WHERE NOT EXISTS (SELECT 1 FROM firsthalf h
+          |  WHERE h.user_id = f.user_id AND h.k = f.k
+          |    AND h.rel_type = f.rel_type)
+          |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
       "stream_sessions" ->
         """WITH t AS (
           |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us

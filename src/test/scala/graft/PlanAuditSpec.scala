@@ -386,7 +386,9 @@ class PlanAuditSpec extends SparkTestBase {
     // surface no longer exercises the audited scalable shapes.
     for ((sqlName, dfName) <- Seq(
       "sql_api_rec_cooccurrence" -> "rec_cooccurrence",
-      "sql_api_rec_customer" -> "rec_customer")) {
+      "sql_api_rec_customer" -> "rec_customer",
+      "sql_api_rec_same_category" -> "rec_same_category",
+      "sql_api_rec_customer_category" -> "rec_customer_category")) {
       val sqlPlan = SparkEntry.queries(sqlName)(spark, dir)
         .queryExecution.optimizedPlan.canonicalized
       val dfPlan = SparkEntry.queries(dfName)(spark, dir)
