@@ -591,7 +591,9 @@ object EventStreams {
     * current continuously — while the store-sourced queries measure
     * what a reader pays: snapshot resolution + the propagation. */
   def prewarm(spark: SparkSession, dir: String): Unit = {
-    builtStore(spark, dir); ()
+    builtStore(spark, dir)
+    builtTwoGenStore(spark, dir)
+    ()
   }
 
   /** The streaming→graph loop, closed: weakly-connected components over
