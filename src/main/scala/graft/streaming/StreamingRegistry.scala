@@ -70,7 +70,12 @@ object StreamingRegistry {
       // between two committed generations (batch-backfill two-gen store;
       // the oracle predicts the same diff from the event halves).
       "store_generation_diff" -> ((s, d) =>
-        EventStreams.storeGenerationDiff(s, d))
+        EventStreams.storeGenerationDiff(s, d)),
+      // OPTIMIZE as a first-class row: compact the live partitions and
+      // verify row-set identity (the compaction contract) + one file
+      // per partition against the oracle's prediction.
+      "store_compaction_report" -> ((s, d) =>
+        EventStreams.storeCompactionReport(s, d))
     ),
     oracles = Map(
       "stream_window_counts" ->
@@ -179,6 +184,21 @@ object StreamingRegistry {
           |WHERE NOT EXISTS (SELECT 1 FROM firsthalf h
           |  WHERE h.user_id = f.user_id AND h.k = f.k
           |    AND h.rel_type = f.rel_type)
+          |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
+      "store_compaction_report" ->
+        """WITH e AS (
+          |  SELECT user_id,
+          |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+          |    CASE lower(event_type)
+          |      WHEN 'view' THEN 'VIEWED' WHEN 'click' THEN 'CLICKED'
+          |      WHEN 'add_to_cart' THEN 'ADDED_TO_CART'
+          |      WHEN 'purchase' THEN 'PURCHASED' WHEN 'signup' THEN 'SIGNED_UP'
+          |      WHEN 'error' THEN 'ERRORED' END AS rel_type
+          |  FROM events
+          |  WHERE lower(event_type) IN
+          |    ('view','click','add_to_cart','purchase','signup','error'))
+          |SELECT rel_type, count(*) AS n, CAST(1 AS INT) AS n_files FROM (
+          |  SELECT DISTINCT user_id, k, rel_type FROM e WHERE k IS NOT NULL)
           |GROUP BY rel_type ORDER BY rel_type""".stripMargin,
       "stream_sessions" ->
         """WITH t AS (
