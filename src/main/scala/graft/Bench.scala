@@ -196,11 +196,27 @@ object Bench {
       case (Some((s0, _)), Some((s1, _))) => s1 - s0
       case _ => -1L
     }
-    val stealBudget = wallS * cpus.toLong * 2
+    // The aggregate `cpu` line in /proc/stat sums over ALL host cores,
+    // so the 2% budget must scale by the host's core count (number of
+    // cpuN lines), NOT by SPARK_GRAFT_CPUS: on a host with more cores
+    // than the allotment a cpus-scaled budget would under-count real
+    // steal pressure. Fallback to the allotment only if /proc/stat is
+    // unreadable (in which case stealTicks is -1 and the gate fails
+    // closed anyway).
+    val hostCores: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val n = try src.getLines().count(_.matches("cpu\\d+\\s.*"))
+        finally src.close()
+        if (n > 0) n.toLong else cpus.toLong
+      } catch { case _: Throwable => cpus.toLong }
+    val stealBudget = wallS * hostCores * 2
+    // Fail CLOSED on missing steal data: an artifact that cannot prove
+    // its bracket was quiet must not self-certify as clean.
     val clean = failed == 0 && loadStart < 1.0 &&
-      (stealTicks < 0 || stealTicks < stealBudget)
+      stealTicks >= 0 && stealTicks < stealBudget
     val cleanGate =
-      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"load_avg_start_max":1.0}"""
+      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0}"""
     def line(qs: Seq[(String, Double)], decimals: Int, extra: String) = {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)

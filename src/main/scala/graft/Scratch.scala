@@ -34,23 +34,40 @@ object Scratch {
 
   private def tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
 
-  /** Remove graft-* scratch from dead JVMs. Keyed on lastModified of the
-    * top-level dir (writes create it once; nothing re-touches it), so a
-    * dir older than the threshold was made by a JVM from a prior run. */
+  /** Pid embedded in a scratch dir name (`p<pid>x` inside the tag). */
+  private val PidInTag = """-p(\d+)x""".r
+
+  /** True iff the pid named in the dir's tag is still running (Linux
+    * /proc probe; the only platform this harness targets). Dirs from the
+    * pre-pid naming scheme have no match and fall back to the age gate
+    * alone. */
+  private def ownerAlive(name: String): Boolean =
+    PidInTag.findFirstMatchIn(name).exists(m =>
+      new java.io.File(s"/proc/${m.group(1)}").exists())
+
+  /** Remove graft-* scratch from dead JVMs. Age-gated on lastModified of
+    * the top-level dir, AND pid-gated: a dir whose embedded owner pid is
+    * still alive is never touched, however old — a long scale-stress JVM
+    * (hours) must not lose its scratch to a freshly started sweeper,
+    * which would reintroduce the cross-process FAILED_READ_FILE race
+    * this object exists to prevent. */
   private def sweepStale(exceptTag: String): Unit = {
     val now = System.currentTimeMillis()
     val entries = tmpRoot.listFiles()
     if (entries != null) entries
       .filter(f => f.getName.startsWith("graft-") &&
         !f.getName.contains(s"-$exceptTag-") &&
-        now - f.lastModified() > StaleAfterMs)
+        now - f.lastModified() > StaleAfterMs &&
+        !ownerAlive(f.getName))
       .foreach(rmTree)
   }
 
-  /** Per-JVM nonce; first touch installs the shutdown hook and sweeps
-    * stale dirs left by killed JVMs. */
+  /** Per-JVM nonce carrying the owning pid (`p<pid>x<uuid8>`), so the
+    * stale-sweep can check /proc liveness; first touch installs the
+    * shutdown hook and sweeps stale dirs left by killed JVMs. */
   lazy val jvmTag: String = {
-    val t = java.util.UUID.randomUUID().toString.take(8)
+    val t = s"p${ProcessHandle.current().pid()}x" +
+      java.util.UUID.randomUUID().toString.take(8)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val entries = tmpRoot.listFiles()
       if (entries != null) entries

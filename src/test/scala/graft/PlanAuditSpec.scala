@@ -18,8 +18,25 @@ class PlanAuditSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  /** Rows whose builder is EAGER with side effects — they run their
+    * distributed work on construction (sanctioned driver-fold shim:
+    * collect GraphX runs, drain a checkpointed stream, publish a
+    * compaction generation) and return a local-Seq-backed frame, so
+    * walking their executedPlan audits nothing while the side effect
+    * fires on every inspection. The full-registry walks skip them; the
+    * underlying distributed shapes are audited through their lazy
+    * siblings (pairComponents via components_fixed_sizes /
+    * dedup_minhash_clusters, the GraphX family via the pagerank/ppr
+    * exact twins, the store read via store_generation_diff). */
+  private val driverFoldRows = Set(
+    "graphx_float_audit", "store_components_at", "store_compaction_report")
+
+  private def lazyRegistryRows =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => driverFoldRows(n) }
+
   test("no registry query plans an unbounded CartesianProduct") {
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((name, fn) <- lazyRegistryRows) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
@@ -33,7 +50,7 @@ class PlanAuditSpec extends SparkTestBase {
     // directly from scanned rows — the shape that turns a 100 TB scan
     // into a one-task sort. Queries justified to violate this would be
     // whitelisted here with a reason; today none need it.
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((name, fn) <- lazyRegistryRows) {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       assertSinglePartitionOnlyAboveAgg(name, plan)
     }
@@ -353,7 +370,7 @@ class PlanAuditSpec extends SparkTestBase {
       }
       self + kids.map(globalWindows).sum
     }
-    val offenders = (for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) yield {
+    val offenders = (for ((name, fn) <- lazyRegistryRows) yield {
       val n = globalWindows(fn(spark, dir).queryExecution.executedPlan)
       if (n > 0) Some(name) else None
     }).flatten.toSet
