@@ -159,6 +159,148 @@ object Recs {
       .limit(k)
   }
 
+  /** Seed-sweep constants, shared by the DataFrame builders and the
+    * DuckDB oracle strings (RecsRegistry derives the SQL from THESE, so
+    * the two surfaces cannot drift — the param-drift rule). ~100 seeds:
+    * every 7th key ascending, capped at 97, plus three out-of-domain
+    * ids (negative / far past any key) that drive the cascade through
+    * empty-co-occurrence → empty-fallback → 'none'. Note: in this
+    * corpus every product co-occurs with something (verified at sf0.01
+    * — zero empty-first-arm seeds exist), so instead of relying on
+    * lucky seeds the sweep emits BOTH arms' top-1 and candidate count
+    * for every seed: the fallback computation is oracle-pinned on all
+    * ~100 seeds even where the cascade elects the first arm. */
+  private[graft] val SweepStride = 7L
+  private[graft] val SweepSeedCap = 97
+  private[graft] val SweepMissingSeeds = Seq(-1L, -7L, 987654321987L)
+
+  /** J1+A1+O1 swept over ~100 deterministic seed products at once, with
+    * the J2 fallback arm computed alongside and the reference's cascade
+    * (`app/main.py:51-84`: co-occurrence, else same-category) elected
+    * per seed — the multi-seed audit of the single-seed rec rows, which
+    * all pin seed 1 and would hide a seed-dependent tie-break bug.
+    *
+    * Set-based, not a driver loop: the seed list is a bounded (≤100-row)
+    * broadcast, every seed-derived relation (seed orders, seed
+    * categories) stays broadcast-sized, the fact table is only joined
+    * against broadcasts and then deduped on the pruned slice (the
+    * rawItems convention), and per-seed top-1 is a seed-partitioned
+    * rank window over the (seed, candidate) aggregate — no global
+    * window, no collect. At 100 TB this is ~100 broadcast-pruned scans
+    * folded into one pass of the fact table. */
+  def coOccurrenceSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val li = rawItems(spark, dir)
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"),
+        col("p_brand").as("category_id"))
+    val seeds = part
+      .filter(col("product_id") % SweepStride === 1)
+      .select(col("product_id").as("seed_id"))
+      .orderBy("seed_id").limit(SweepSeedCap)
+      .unionByName(SweepMissingSeeds.toDF("seed_id"))
+    val seedItems = li
+      .join(broadcast(seeds), col("product_id") === col("seed_id"))
+      .select("seed_id", "order_id").distinct()
+    val co = li.join(broadcast(seedItems), "order_id")
+      .filter(col("product_id") =!= col("seed_id"))
+      .select("seed_id", "order_id", "product_id").distinct()
+      .groupBy("seed_id", "product_id").agg(count(lit(1)).as("score"))
+    val rankW = Window.partitionBy("seed_id")
+      .orderBy(desc("score"), asc("product_id"))
+    val coAgg = co.withColumn("r", row_number().over(rankW))
+      .groupBy("seed_id").agg(count(lit(1)).as("nco"),
+        max(when(col("r") === 1, col("product_id"))).as("t1"),
+        max(when(col("r") === 1, col("score"))).as("s1"))
+    val seedCat = part
+      .join(broadcast(seeds), col("product_id") === col("seed_id"))
+      .select("seed_id", "category_id")
+    val catAgg = part.join(broadcast(seedCat), "category_id")
+      .filter(col("product_id") =!= col("seed_id"))
+      .groupBy("seed_id")
+      .agg(count(lit(1)).as("ncat"), min("product_id").as("ct1"))
+    sweepCascade(seeds, coAgg, catAgg)
+  }
+
+  /** J3+J4+A1+O1 swept over ~100 deterministic seed customers with the
+    * J5 category fallback alongside — the customer-side twin of
+    * [[coOccurrenceSweep]], same cascade (`app/main.py:88-123`), same
+    * Cypher path-binding multiplicity scoring as [[customerRecs]]
+    * decomposed so nothing unbounded shuffles. The only non-broadcast
+    * join is items ⋈ order-weights on order id (the co-order footprint
+    * of ≤100 customers — data-dependent, so it is left to AQE rather
+    * than hinted broadcast); everything else seed-derived stays
+    * broadcast-sized. */
+  def customerRecsSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val li = rawItems(spark, dir)
+    val seeds = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("seed_id"))
+      .filter(col("seed_id") % SweepStride === 1)
+      .orderBy("seed_id").limit(SweepSeedCap)
+      .unionByName(SweepMissingSeeds.toDF("seed_id"))
+    val myOrders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("seed_id"),
+        col("o_orderkey").as("order_id"))
+      .join(broadcast(seeds), "seed_id")
+    val bind1 = li.join(broadcast(myOrders), "order_id")
+      .select("seed_id", "order_id", "product_id").distinct()
+    val mine = bind1.select("seed_id", "product_id").distinct()
+    val mult = bind1.groupBy("seed_id", "product_id")
+      .agg(count(lit(1)).as("m"))
+    val orderWeights = li.join(broadcast(mult), "product_id")
+      .select("seed_id", "order_id", "product_id", "m").distinct()
+      .groupBy("seed_id", "order_id").agg(sum("m").as("w"))
+    val scores = li.join(orderWeights, "order_id")
+      .select("seed_id", "order_id", "product_id", "w").distinct()
+      .join(broadcast(mine), Seq("seed_id", "product_id"), "left_anti")
+      .groupBy("seed_id", "product_id")
+      .agg(sum("w").cast("double").as("score"))
+    val rankW = Window.partitionBy("seed_id")
+      .orderBy(desc("score"), asc("product_id"))
+    val coAgg = scores.withColumn("r", row_number().over(rankW))
+      .groupBy("seed_id").agg(count(lit(1)).as("nco"),
+        max(when(col("r") === 1, col("product_id"))).as("t1"),
+        max(when(col("r") === 1, col("score"))).as("s1"))
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("product_id"),
+        col("p_brand").as("category_id"))
+    val myCats = part.join(broadcast(mine), "product_id")
+      .select("seed_id", "category_id").distinct()
+    val catAgg = part.join(broadcast(myCats), "category_id")
+      .join(broadcast(mine), Seq("seed_id", "product_id"), "left_anti")
+      .groupBy("seed_id")
+      .agg(count(lit(1)).as("ncat"), min("product_id").as("ct1"))
+    sweepCascade(seeds, coAgg, catAgg)
+  }
+
+  /** Shared cascade election + output shape of the two sweep rows:
+    * reason = first non-empty arm ('none' if both empty — the
+    * out-of-domain seeds), elected top-1 id/score, and both arms'
+    * candidate count and top-1 pinned per seed (-1/0 sentinels instead
+    * of nulls — cross-engine null canonicalization is not worth
+    * gambling the hash on). */
+  private def sweepCascade(seeds: DataFrame, coAgg: DataFrame,
+                           catAgg: DataFrame): DataFrame =
+    seeds.join(coAgg, Seq("seed_id"), "left")
+      .join(catAgg, Seq("seed_id"), "left")
+      .select(col("seed_id"),
+        when(col("nco") > 0, lit("co-occurrence"))
+          .when(col("ncat") > 0, lit("same-category"))
+          .otherwise(lit("none")).as("reason"),
+        coalesce(when(col("nco") > 0, col("t1")).otherwise(col("ct1")),
+          lit(-1L)).as("top1_id"),
+        when(col("nco") > 0, col("s1").cast("double"))
+          .when(col("ncat") > 0, lit(1.0)).otherwise(lit(0.0))
+          .as("top1_score"),
+        coalesce(col("nco"), lit(0L)).as("co_n"),
+        coalesce(col("t1"), lit(-1L)).as("co_top1"),
+        coalesce(col("ncat"), lit(0L)).as("cat_n"),
+        coalesce(col("ct1"), lit(-1L)).as("cat_top1"))
+      .orderBy("seed_id")
+
   /** SQL-TEXT front door for the flagship co-occurrence recs — the same
     * query a reference user writes in Cypher (`app/main.py:51-60`),
     * submitted as ANSI SQL text through `spark.sql` over a registered

@@ -10,6 +10,104 @@ object RecsRegistry {
   private val SeedPart = 1L
   private val SeedCust = 1L
 
+  // Sweep params come from the SAME constants the builders close over
+  // (Recs.SweepStride/SweepSeedCap/SweepMissingSeeds) — param-drift
+  // rule: a hardcoded oracle literal would silently diverge if the
+  // Scala default changed.
+  private def seedsCte(keyTable: String, keyCol: String): String = {
+    val missing = Recs.SweepMissingSeeds
+      .map(v => s"(CAST($v AS BIGINT))").mkString(", ")
+    s"""real_seeds AS (SELECT $keyCol AS seed_id FROM $keyTable
+       |  WHERE $keyCol % ${Recs.SweepStride} = 1
+       |  ORDER BY $keyCol LIMIT ${Recs.SweepSeedCap}),
+       |seeds AS (SELECT seed_id FROM real_seeds
+       |  UNION ALL SELECT * FROM (VALUES $missing) v(seed_id))""".stripMargin
+  }
+
+  // Shared tail of both sweep oracles: cascade election + two-arm
+  // pinning, the SQL twin of Recs.sweepCascade.
+  private val SweepSelect =
+    """SELECT s.seed_id,
+      |  CASE WHEN nco > 0 THEN 'co-occurrence'
+      |       WHEN ncat > 0 THEN 'same-category' ELSE 'none' END AS reason,
+      |  CAST(COALESCE(CASE WHEN nco > 0 THEN t1 ELSE ct1 END, -1)
+      |    AS BIGINT) AS top1_id,
+      |  CASE WHEN nco > 0 THEN CAST(s1 AS DOUBLE)
+      |       WHEN ncat > 0 THEN CAST(1 AS DOUBLE)
+      |       ELSE CAST(0 AS DOUBLE) END AS top1_score,
+      |  CAST(COALESCE(nco, 0) AS BIGINT) AS co_n,
+      |  CAST(COALESCE(t1, -1) AS BIGINT) AS co_top1,
+      |  CAST(COALESCE(ncat, 0) AS BIGINT) AS cat_n,
+      |  CAST(COALESCE(ct1, -1) AS BIGINT) AS cat_top1
+      |FROM seeds s LEFT JOIN co_agg USING (seed_id)
+      |  LEFT JOIN cat_agg USING (seed_id)
+      |ORDER BY seed_id""".stripMargin
+
+  private val CoOccurrenceSweepOracle =
+    s"""WITH ${seedsCte("part", "p_partkey")},
+       |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+       |seed_items AS (SELECT s.seed_id, i.order_id FROM seeds s
+       |  JOIN items i ON i.product_id = s.seed_id),
+       |co AS (SELECT si.seed_id, i.product_id,
+       |    CAST(count(*) AS BIGINT) AS score
+       |  FROM seed_items si JOIN items i USING (order_id)
+       |  WHERE i.product_id <> si.seed_id
+       |  GROUP BY 1, 2),
+       |co_r AS (SELECT seed_id, product_id, score,
+       |  row_number() OVER (PARTITION BY seed_id
+       |    ORDER BY score DESC, product_id) AS r FROM co),
+       |co_agg AS (SELECT seed_id, CAST(count(*) AS BIGINT) AS nco,
+       |  max(CASE WHEN r = 1 THEN product_id END) AS t1,
+       |  max(CASE WHEN r = 1 THEN score END) AS s1
+       |  FROM co_r GROUP BY 1),
+       |part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+       |seed_cat AS (SELECT s.seed_id, pc.category_id FROM seeds s
+       |  JOIN part_cat pc ON pc.product_id = s.seed_id),
+       |cat_agg AS (SELECT sc.seed_id, CAST(count(*) AS BIGINT) AS ncat,
+       |    min(pc.product_id) AS ct1
+       |  FROM seed_cat sc JOIN part_cat pc USING (category_id)
+       |  WHERE pc.product_id <> sc.seed_id
+       |  GROUP BY 1)
+       |$SweepSelect""".stripMargin
+
+  private val CustomerRecsSweepOracle =
+    s"""WITH ${seedsCte("customer", "c_custkey")},
+       |items AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id FROM lineitem),
+       |placed AS (SELECT o_custkey AS seed_id, o_orderkey AS order_id FROM orders),
+       |myorders AS (SELECT s.seed_id, p.order_id FROM seeds s
+       |  JOIN placed p USING (seed_id)),
+       |bind1 AS (SELECT m.seed_id, i.order_id, i.product_id
+       |  FROM myorders m JOIN items i USING (order_id)),
+       |mine AS (SELECT DISTINCT seed_id, product_id FROM bind1),
+       |mult AS (SELECT seed_id, product_id, CAST(count(*) AS BIGINT) AS m
+       |  FROM bind1 GROUP BY 1, 2),
+       |owgt AS (SELECT mu.seed_id, i.order_id,
+       |    CAST(sum(mu.m) AS BIGINT) AS w
+       |  FROM items i JOIN mult mu USING (product_id) GROUP BY 1, 2),
+       |sc0 AS (SELECT ow.seed_id, i.product_id, ow.w
+       |  FROM items i JOIN owgt ow USING (order_id)),
+       |sc1 AS (SELECT s0.* FROM sc0 s0
+       |  ANTI JOIN mine USING (seed_id, product_id)),
+       |sc AS (SELECT seed_id, product_id, CAST(sum(w) AS DOUBLE) AS score
+       |  FROM sc1 GROUP BY 1, 2),
+       |sc_r AS (SELECT seed_id, product_id, score,
+       |  row_number() OVER (PARTITION BY seed_id
+       |    ORDER BY score DESC, product_id) AS r FROM sc),
+       |co_agg AS (SELECT seed_id, CAST(count(*) AS BIGINT) AS nco,
+       |  max(CASE WHEN r = 1 THEN product_id END) AS t1,
+       |  max(CASE WHEN r = 1 THEN score END) AS s1
+       |  FROM sc_r GROUP BY 1),
+       |part_cat AS (SELECT p_partkey AS product_id, p_brand AS category_id FROM part),
+       |my_cats AS (SELECT DISTINCT m.seed_id, pc.category_id
+       |  FROM part_cat pc JOIN mine m USING (product_id)),
+       |catc AS (SELECT mc.seed_id, pc.product_id
+       |  FROM part_cat pc JOIN my_cats mc USING (category_id)),
+       |catc2 AS (SELECT c.* FROM catc c
+       |  ANTI JOIN mine USING (seed_id, product_id)),
+       |cat_agg AS (SELECT seed_id, CAST(count(*) AS BIGINT) AS ncat,
+       |  min(product_id) AS ct1 FROM catc2 GROUP BY 1)
+       |$SweepSelect""".stripMargin
+
   // Hoisted so the DataFrame builders and their SQL-TEXT twins
   // (sql_api_rec_*) bind the SAME oracle string — twins by
   // construction, not by copy.
@@ -78,6 +176,11 @@ object RecsRegistry {
       "rec_customer_category" -> ((s, d) =>
         Recs.customerCategoryRecs(s, d, SeedCust)),
       "rec_rrf_fusion" -> ((s, d) => Recs.rrfFusion(s, d, SeedPart)),
+      // Multi-seed audit of the single-seed rec surface (r9 verdict
+      // item 2): the J1/J3 pipelines + cascade swept over ~100
+      // deterministic seeds each, both arms oracle-pinned per seed.
+      "rec_cooccurrence_sweep" -> ((s, d) => Recs.coOccurrenceSweep(s, d)),
+      "rec_customer_sweep" -> ((s, d) => Recs.customerRecsSweep(s, d)),
       "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d)),
       "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d)),
       // ALS training has no SQL twin, but SERVING does: the fitted
@@ -91,6 +194,8 @@ object RecsRegistry {
     ),
     oracles = Map(
       "rec_cooccurrence" -> CoOccurrenceOracle,
+      "rec_cooccurrence_sweep" -> CoOccurrenceSweepOracle,
+      "rec_customer_sweep" -> CustomerRecsSweepOracle,
       "sql_api_rec_cooccurrence" -> CoOccurrenceOracle,
       "sql_api_rec_customer" -> CustomerRecsOracle,
       "rec_same_category" -> SameCategoryOracle,

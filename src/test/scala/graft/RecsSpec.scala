@@ -65,6 +65,72 @@ class RecsSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((12L, 3.0, "co-occurrence")))
   }
 
+  test("sweep cascade elects the same-category fallback when co-occurrence is empty") {
+    // No real seed at any shipped SF has an empty first arm (checked at
+    // sf0.01: every product co-occurs with something), so the election
+    // of the fallback arm is pinned on a constructed corpus instead:
+    // P1 (1 ≡ 1 mod 7 → in the sweep) sits alone in O1 → co empty, but
+    // shares CAT1 with P8 → the cascade must land on 'same-category'.
+    // P8 (8 ≡ 1 mod 7) has real co-occurrence → first arm elected. The
+    // three out-of-domain sweep seeds must come back 'none'.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    Seq((1L, "CAT1"), (8L, "CAT1"), (2L, "CAT2"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq((1L, 1L), (2L, 8L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 1L), (2L, 8L), (2L, 2L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq(1L, 8L).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val rows = Recs.coOccurrenceSweep(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(1L) == (("same-category", 8L, 1.0)))
+    assert(rows(8L) == (("co-occurrence", 2L, 1.0)))
+    for (m <- Recs.SweepMissingSeeds)
+      assert(rows(m) == (("none", -1L, 0.0)), s"missing seed $m")
+    // Customer side: C1 bought only P1 (no co-order) → fallback to
+    // CAT1 \ {P1} = {P8}; C8 bought {P8, P2} (whole catalog of its
+    // cats minus mine = {P1}) → fallback too.
+    val crows = Recs.customerRecsSweep(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(crows(1L) == (("same-category", 8L, 1.0)))
+    assert(crows(8L) == (("same-category", 1L, 1.0)))
+    for (m <- Recs.SweepMissingSeeds)
+      assert(crows(m) == (("none", -1L, 0.0)), s"missing cust seed $m")
+  }
+
+  test("sweep rows agree with the single-seed builders at sf0.001") {
+    // The sweep is a set-based reformulation of the per-seed pipelines;
+    // its elected top-1 must equal row 1 of the single-seed builder for
+    // every swept seed (sampled: first/last/middle — full parity is the
+    // oracle's job, this pins the Scala-vs-Scala reformulation).
+    val sf = "/root/testdata/sf0.001"
+    val sweep = Recs.coOccurrenceSweep(spark, sf).collect()
+      .filter(_.getString(1) == "co-occurrence")
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(sweep.length > 5)
+    for ((seed, t1, s1) <- Seq(sweep.head, sweep(sweep.length / 2),
+        sweep.last)) {
+      val one = Recs.coOccurrence(spark, sf, seed).head()
+      assert(one.getLong(0) == t1 && one.getDouble(1) == s1,
+        s"seed $seed: sweep ($t1, $s1) vs single (${one.getLong(0)}, ${one.getDouble(1)})")
+    }
+    val csweep = Recs.customerRecsSweep(spark, sf).collect()
+      .filter(_.getString(1) == "co-occurrence")
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(csweep.length > 5)
+    for ((seed, t1, s1) <- Seq(csweep.head, csweep(csweep.length / 2),
+        csweep.last)) {
+      val one = Recs.customerRecs(spark, sf, seed).head()
+      assert(one.getLong(0) == t1 && one.getDouble(1) == s1,
+        s"cust seed $seed: sweep ($t1, $s1) vs single (${one.getLong(0)}, ${one.getDouble(1)})")
+    }
+  }
+
   test("negative sampling: candidates minus purchases, hand-checkable") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-neg").toString
