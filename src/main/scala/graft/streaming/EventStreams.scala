@@ -364,8 +364,138 @@ object EventStreams {
                   gen: Int): DataFrame =
     readSnapshot(spark, manifestAt(storeDir, gen))
 
+  /** Thrown when the next-generation commit claim cannot be acquired
+    * (another writer holds it past this committer's patience) or is
+    * found broken at publish time. The caller's retry re-reads the
+    * advanced head, so a streaming retry of the batch merges into the
+    * NEW current generation — no lost update. */
+  class ConcurrentEdgeStoreCommit(msg: String)
+    extends java.io.IOException(msg)
+
+  /** A claim older than this belongs to a crashed committer (the claim
+    * is created immediately before the build and deleted immediately
+    * after publish; no healthy build in this engine approaches 10 min)
+    * and is broken by the next claimer, which also reclaims the
+    * unpublished partial generation dir — the single-writer crash story
+    * unchanged, now crash-safe under concurrency too. */
+  private[graft] val ClaimTtlMs: Long = 10L * 60 * 1000
+  private val ClaimRetries = 150
+  private val ClaimRetrySleepMs = 200L
+
+  /** Atomically create-if-absent the claim file with this committer's
+    * token as content. On the local scheme Hadoop's
+    * `create(overwrite = false)` is CHECK-then-act (two processes can
+    * both pass the exists probe), so the claim goes through NIO
+    * `CREATE_NEW` — POSIX O_EXCL, truly atomic. Elsewhere the
+    * FileSystem contract applies: atomic on HDFS; unsupported on bare
+    * S3 (front a commit coordinator there, the standard Delta-on-S3
+    * caveat). */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem, claim: Path,
+                       token: String): Boolean = {
+    def create(): Boolean =
+      if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+        try {
+          val nio = java.nio.file.Paths.get(
+            fs.makeQualified(claim).toUri.getPath)
+          java.nio.file.Files.createDirectories(nio.getParent)
+          java.nio.file.Files.write(nio, token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try {
+          val out = fs.create(claim, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    create() || {
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(claim).getModificationTime > ClaimTtlMs
+        catch { case _: java.io.FileNotFoundException => false }
+      stale && { fs.delete(claim, false); create() }
+    }
+  }
+
+  private def claimOwner(fs: org.apache.hadoop.fs.FileSystem,
+                         claim: Path): String =
+    try {
+      val in = fs.open(claim)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch { case _: Exception => "" }
+
+  /** Everything a claimed commit needs: the head it was claimed
+    * against, its strict manifest, the claimed generation dir, and the
+    * claim identity publishGeneration re-verifies before the manifest
+    * rename. */
+  private case class CommitClaim(cur: Option[Path],
+                                 curMan: Map[String, Path], next: Path,
+                                 claim: Path, token: String)
+
+  /** CONCURRENT-COMMITTER CONTRACT: writers to one store serialize via
+    * an exclusive claim on the next generation number. A committer that
+    * finds the claim held waits (bounded patience), re-reading the head
+    * each attempt, so interleaved committers each land on a fresh
+    * generation — every committed batch survives, untouched partitions
+    * carry forward, nothing is lost. A committer whose patience runs
+    * out, or whose claim is found broken at publish time, fails LOUDLY
+    * with [[ConcurrentEdgeStoreCommit]]; crashed committers' stale
+    * claims are broken after [[ClaimTtlMs]]. */
+  /** In-JVM committer serialization, striped per store path: threads of
+    * ONE process take a monitor before contending on the claim file, so
+    * same-JVM committers queue without claim-retry sleep churn; the
+    * claim file remains the cross-PROCESS serializer. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitClaim[A](storeDir: String)
+      (build: CommitClaim => A): A = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(hconf())
+    val lock = storeLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+    lock.synchronized { withCommitClaimLocked(fs, root, storeDir)(build) }
+  }
+
+  private def withCommitClaimLocked[A](
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, storeDir: String)
+      (build: CommitClaim => A): A = {
+    fs.mkdirs(root)
+    val token = s"${graft.Scratch.jvmTag}:${java.util.UUID.randomUUID()}"
+    var attempt = 0
+    while (attempt < ClaimRetries) {
+      val cur = currentGen(storeDir)
+      val curN = cur.map(_.getName match { case GenName(n) => n.toInt })
+        .getOrElse(0)
+      val next = new Path(root, s"v${curN + 1}")
+      val claim = new Path(root, s"v${curN + 1}.claim")
+      if (tryClaim(fs, claim, token)) {
+        try {
+          // The head may have advanced between the read and the claim
+          // (the winner published and released v(curN+1) already): a
+          // claim on a PUBLISHED generation is meaningless — release
+          // and retry against the new head.
+          if (!fs.exists(new Path(next, Manifest)))
+            return build(
+              CommitClaim(cur, manifestStrict(storeDir), next, claim, token))
+        } finally { fs.delete(claim, false); () }
+      }
+      attempt += 1
+      Thread.sleep(ClaimRetrySleepMs)
+    }
+    throw new ConcurrentEdgeStoreCommit(
+      s"gave up claiming the next generation of $storeDir after " +
+        s"${ClaimRetries * ClaimRetrySleepMs / 1000} s — another " +
+        "committer holds the claim (or a crashed one inside the TTL " +
+        "window); retry merges into the advanced head")
+  }
+
   /** Merge one batch of edges into the versioned store (the foreachBatch
-    * body; also directly callable for batch backfill). */
+    * body; also directly callable for batch backfill). Safe under
+    * concurrent committers — see [[withCommitClaim]] for the contract. */
   def mergeEdgeBatch(incoming: DataFrame, storeDir: String): Unit = {
     val spark = incoming.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -379,32 +509,33 @@ object EventStreams {
       val touched = inc.select("rel_type").distinct().collect()
         .map(_.getString(0)).toSet
       if (touched.isEmpty) return
-      val cur = currentGen(storeDir)
-      val curMan = manifestStrict(storeDir) // write path: never degraded
-      val curN = cur.map(_.getName match { case GenName(n) => n.toInt })
-        .getOrElse(0)
-      val next = new Path(root, s"v${curN + 1}")
-      // A crash mid-build leaves an unpublished (manifest-less, so never
-      // visible to readers) partial generation with this name — rebuild it.
-      if (fs.exists(next)) fs.delete(next, true)
-      // Touched partitions: existing ∪ incoming → dedup, one partition at
-      // a time, written into the new generation. Untouched partitions:
-      // manifest entries carried forward verbatim — zero I/O.
-      val entries = scala.collection.mutable.Map.empty[String, Path] ++
-        curMan.view.filterKeys(!touched.contains(_)).toMap
-      for (t <- touched) {
-        val mine = inc.filter(col("rel_type") === t)
-          .select("user_id", "product_id")
-        val existing = curMan.get(t)
-          .map(p => spark.read.parquet(p.toString)
-            .select("user_id", "product_id"))
-        val merged = existing.fold(mine)(mine.unionByName(_))
-          .dropDuplicates("user_id", "product_id")
-        val dst = new Path(next, s"rel_type=$t")
-        merged.write.mode("overwrite").parquet(dst.toString)
-        entries(t) = dst
+      withCommitClaim(storeDir) { cc =>
+        // A crash mid-build leaves an unpublished (manifest-less, so
+        // never visible to readers) partial generation with this name —
+        // rebuild it. Exclusive under the claim: no racing builder's
+        // half-written dir can be deleted here.
+        if (fs.exists(cc.next)) fs.delete(cc.next, true)
+        // Touched partitions: existing ∪ incoming → dedup, one partition
+        // at a time, written into the new generation. Untouched
+        // partitions: manifest entries carried forward verbatim — zero
+        // I/O.
+        val entries = scala.collection.mutable.Map.empty[String, Path] ++
+          cc.curMan.view.filterKeys(!touched.contains(_)).toMap
+        for (t <- touched) {
+          val mine = inc.filter(col("rel_type") === t)
+            .select("user_id", "product_id")
+          val existing = cc.curMan.get(t)
+            .map(p => spark.read.parquet(p.toString)
+              .select("user_id", "product_id"))
+          val merged = existing.fold(mine)(mine.unionByName(_))
+            .dropDuplicates("user_id", "product_id")
+          val dst = new Path(cc.next, s"rel_type=$t")
+          merged.write.mode("overwrite").parquet(dst.toString)
+          entries(t) = dst
+        }
+        publishGeneration(fs, root, cc.next, entries.toMap, cc.cur,
+          cc.curMan, Some(cc))
       }
-      publishGeneration(fs, root, next, entries.toMap, cur, curMan)
     } finally { inc.unpersist(); () }
   }
 
@@ -420,12 +551,22 @@ object EventStreams {
                                 root: Path, next: Path,
                                 entries: Map[String, Path],
                                 prevGen: Option[Path],
-                                prevMan: Map[String, Path]): Unit = {
+                                prevMan: Map[String, Path],
+                                claim: Option[CommitClaim] = None): Unit = {
     val body = entries.toSeq.sortBy(_._1)
       .map { case (t, p) => s"$t\t$p" }.mkString("\n")
     val tmp = new Path(next, Manifest + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    // Last-instant ownership check: if a build outlived the claim TTL
+    // and another committer broke the claim, publishing would interleave
+    // two builders in one generation dir — abort loudly instead. The
+    // window between this check and the rename is the residual race,
+    // negligible against the 10-min TTL.
+    for (cc <- claim if claimOwner(fs, cc.claim) != cc.token)
+      throw new ConcurrentEdgeStoreCommit(
+        s"commit claim ${cc.claim} was broken during the build " +
+          "(TTL exceeded and taken over) — aborting this publish")
     if (!fs.rename(tmp, new Path(next, Manifest)))
       throw new java.io.IOException(s"manifest publish failed for $next")
     val retained = (Set(next.getName) ++ prevGen.map(_.getName) ++
@@ -467,22 +608,24 @@ object EventStreams {
                        filesPerPartition: Int = 1): Unit = {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val cur = currentGen(storeDir)
-    val curMan = manifestStrict(storeDir) // write path: never degraded
-    if (curMan.isEmpty) return
-    val curN = cur.map(_.getName match { case GenName(n) => n.toInt }).get
-    val next = new Path(root, s"v${curN + 1}")
-    if (fs.exists(next)) fs.delete(next, true)
-    val entries = curMan.map { case (t, p) =>
-      val dst = new Path(next, s"rel_type=$t")
-      // In production filesPerPartition derives from target file size
-      // (bytes/128 MB); the mechanism — coalesce, not repartition: a
-      // rewrite must not shuffle — is the same at any size.
-      spark.read.parquet(p.toString).coalesce(filesPerPartition)
-        .write.mode("overwrite").parquet(dst.toString)
-      t -> dst
+    if (manifest(storeDir).isEmpty) return
+    withCommitClaim(storeDir) { cc =>
+      if (cc.curMan.nonEmpty) {
+        if (fs.exists(cc.next)) fs.delete(cc.next, true)
+        val entries = cc.curMan.map { case (t, p) =>
+          val dst = new Path(cc.next, s"rel_type=$t")
+          // In production filesPerPartition derives from target file
+          // size (bytes/128 MB); the mechanism — coalesce, not
+          // repartition: a rewrite must not shuffle — is the same at
+          // any size.
+          spark.read.parquet(p.toString).coalesce(filesPerPartition)
+            .write.mode("overwrite").parquet(dst.toString)
+          t -> dst
+        }
+        publishGeneration(fs, root, cc.next, entries, cc.cur, cc.curMan,
+          Some(cc))
+      }
     }
-    publishGeneration(fs, root, next, entries, cur, curMan)
   }
 
   /** `checkpointDir` makes the maintenance query RESTARTABLE — offsets
@@ -490,7 +633,11 @@ object EventStreams {
     * resumes at its last uncommitted batch; replays of a batch whose
     * store merge DID land before the crash are absorbed by the merge's
     * idempotent upsert (exactly-once store content, asserted with a
-    * real kill/restart in StreamingSpec). `availableNow` drains all
+    * real kill/restart in StreamingSpec). Concurrent writers to one
+    * store serialize through the next-generation commit claim
+    * ([[ConcurrentEdgeStoreCommit]] names the loud-failure arm) — every
+    * committed batch survives, untouched partitions carry forward.
+    * `availableNow` drains all
     * currently-available input and stops — the batch-ingest trigger the
     * registry's store-sourced queries use. */
   def maintainEdgeStore(events: DataFrame, storeDir: String,

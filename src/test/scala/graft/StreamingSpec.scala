@@ -530,7 +530,8 @@ class StreamingSpec extends SparkTestBase {
     // phase 2: restart from the same checkpoint and drain everything
     val q2 = EventStreams.maintainEdgeStore(stream(), store, Some(ckpt),
       availableNow = true)
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000),
+      "restarted edge-store query did not drain within 120s")
     // exactly-once content: the store equals the batch dedup — the
     // replayed batch added nothing twice, the unprocessed files arrived
     val stored = EventStreams.edgeStore(spark, store).collect()
@@ -596,7 +597,8 @@ class StreamingSpec extends SparkTestBase {
     } finally q1.stop()
     dropLatestCommit(ckpt)
     val q2 = start(stream(), out, ckpt)
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000),
+      "restarted query did not drain within 120s")
     // the parquet batch read resolves through _spark_metadata: files of
     // replayed-but-superseded batch attempts are not visible
     spark.read.parquet(out)
@@ -686,5 +688,87 @@ class StreamingSpec extends SparkTestBase {
       Seq("user_id", "product_id", "rel_type") && expired.isEmpty)
     // The live snapshot still carries all four edges.
     assert(EventStreams.edgeStore(spark, store).count() == 4)
+  }
+
+  test("concurrent committers serialize: every committed batch survives, no lost partitions") {
+    // The declared contract (EventStreams.withCommitClaim): interleaved
+    // mergeEdgeBatch committers on ONE store serialize via the
+    // next-generation claim — each lands on a fresh generation, each
+    // batch's rows AND every carried-forward partition survive. Two
+    // writers × 4 batches of disjoint rows across two rel_type
+    // partitions; the final snapshot must be the exact union.
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-ccommit")
+      .resolve("store").toString
+    def rows(t: Int, b: Int) = (0 until 10).map { i =>
+      (t * 10000L + b * 100L + i, i.toLong,
+        if (i % 2 == 0) "VIEWED" else "PURCHASED")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val tasks = (0 until 2).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try for (b <- 0 until 4)
+            EventStreams.mergeEdgeBatch(
+              rows(t, b).toDF("user_id", "product_id", "rel_type"), store)
+          catch { case e: Throwable => errs.add(e); () }
+        }
+      })
+    }
+    start.countDown()
+    tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"committer failed: ${errs.peek()}")
+    val got = EventStreams.edgeStore(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = (for (t <- 0 until 2; b <- 0 until 4; r <- rows(t, b))
+      yield r).toSet
+    assert(got == want,
+      s"lost update: missing ${(want -- got).size}, extra ${(got -- want).size}")
+    // No stray claim files left behind a clean run.
+    val claims = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".claim"))
+    assert(claims.isEmpty, s"leaked claims: ${claims.mkString(",")}")
+  }
+
+  test("a crashed committer's stale claim is broken; a live claim is waited out") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val store = java.nio.file.Files.createTempDirectory("graft-claim")
+      .resolve("store").toString
+    EventStreams.mergeEdgeBatch(
+      Seq((1L, 1L, "VIEWED")).toDF("user_id", "product_id", "rel_type"),
+      store)
+    // Stale claim (mtime past the TTL — a crashed committer): the next
+    // merge must break it and commit.
+    val stale = new org.apache.hadoop.fs.Path(store, "v2.claim")
+    fs.create(stale, true).close()
+    fs.setTimes(stale, System.currentTimeMillis() -
+      EventStreams.ClaimTtlMs - 60000, -1)
+    EventStreams.mergeEdgeBatch(
+      Seq((2L, 1L, "VIEWED")).toDF("user_id", "product_id", "rel_type"),
+      store)
+    assert(EventStreams.edgeStore(spark, store).count() == 2)
+    // Live claim (fresh mtime — an in-flight committer): the merge must
+    // WAIT, then proceed once the holder releases.
+    val live = new org.apache.hadoop.fs.Path(store, "v3.claim")
+    fs.create(live, true).close()
+    val releaser = new Thread(() => {
+      Thread.sleep(1500)
+      fs.delete(live, false); ()
+    })
+    releaser.start()
+    val t0 = System.nanoTime()
+    EventStreams.mergeEdgeBatch(
+      Seq((3L, 1L, "VIEWED")).toDF("user_id", "product_id", "rel_type"),
+      store)
+    releaser.join()
+    assert((System.nanoTime() - t0) / 1e9 > 1.0,
+      "merge did not wait for the live claim")
+    assert(EventStreams.edgeStore(spark, store).count() == 3)
   }
 }
