@@ -63,6 +63,98 @@ object Formats {
       .orderBy("fmt", "event_type")
   }
 
+  /** DECLARED SCHEMA-DRIFT POSTURE for parquet sources (S2 at FILE
+    * granularity — the likelier 100 TB incident than a wholly absent
+    * table): reads go through an EXPLICIT canonical schema, under which
+    * Spark's parquet reader resolves per-file drift as
+    *  - missing optional column → null-filled (rows survive, accounted);
+    *  - compatible numeric widening in the file (e.g. int32 where the
+    *    canonical type is int64) → upcast at the scan, values exact;
+    *  - incompatible physical type (e.g. string where int64 expected) →
+    *    the scan fails LOUDLY (FAILED_READ_FILE.PARQUET_COLUMN_DATA_
+    *    TYPE_MISMATCH) — silent coercion of incompatible data is never
+    *    the right default for a training corpus.
+    * All three arms are pinned in FormatsSpec; the drifted-but-readable
+    * arms are additionally oracle-checked end-to-end by
+    * [[schemaDriftReport]]. */
+  def readParquetDeclared(spark: SparkSession, schema: StructType,
+                          paths: String*): DataFrame =
+    spark.read.schema(schema).parquet(paths: _*)
+
+  /** Audit + read-back row for the drift posture, oracle-exactly (the
+    * tolerantJsonlCounts pattern): construct a three-file layout from
+    * the orders table in per-JVM scratch — one canonical file, one
+    * missing `o_totalprice`, one with `o_custkey` narrowed to int32
+    * (modulo 1e6 first, so the narrowing is value-preserving at every
+    * scale slice — raw keys pass 2³¹ at 10×) — then (a) classify every
+    * file's FOOTER against the canonical schema on the executors
+    * (metadata-only reads, the audit cost model a 100k-file table
+    * needs), and (b) read the layout back through the declared posture
+    * and account rows, null-fills, and exact-cents sums. The oracle
+    * never sees the files: it predicts every number from the slicing
+    * rule over the parquet original. */
+  def schemaDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = scratchDir("graft-drift", dir)
+    // coalesce(1): exactly one file per slice, so the file-class counts
+    // are scale-independent constants the oracle can state.
+    orders.filter(col("o_orderkey") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/s0")
+    orders.filter(col("o_orderkey") % 3 === 1).drop("o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/s1")
+    orders.filter(col("o_orderkey") % 3 === 2)
+      .withColumn("o_custkey", (col("o_custkey") % 1000000L).cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/s2")
+    val canonical = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    // (a) footer audit, distributed: parquet footers are O(KB) metadata
+    // reads, classified against the canonical physical types on the
+    // executors — never a driver loop over data files.
+    val files = Seq("s0", "s1", "s2")
+      .flatMap(s => Option(new java.io.File(s"$base/$s").listFiles)
+        .getOrElse(Array.empty[java.io.File]).toSeq)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val canonPhys = Map("o_orderkey" -> "INT64", "o_custkey" -> "INT64",
+      "o_totalprice" -> "DOUBLE")
+    val classCounts = spark.sparkContext
+      .parallelize(files, math.max(1, files.length))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val sch = try r.getFooter.getFileMetaData.getSchema
+        finally r.close()
+        val phys = (0 until sch.getFieldCount).map { i =>
+          val fld = sch.getType(i)
+          fld.getName -> fld.asPrimitiveType().getPrimitiveTypeName.name()
+        }.toMap
+        if (canonPhys.keys.exists(k => !phys.contains(k))) "missing_col"
+        else if (phys.exists { case (n, t) =>
+          canonPhys.get(n).exists(_ != t) }) "type_drift"
+        else "conforming"
+      }.countByValue()
+    // (b) declared read-back over the whole drifted layout.
+    val back = readParquetDeclared(spark, canonical,
+      s"$base/s0", s"$base/s1", s"$base/s2")
+    back.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("o_totalprice").isNull, 1)).as("n_null_filled"),
+        sum(col("o_custkey")).as("sum_custkey"),
+        (sum(graft.operators.Relational.cents(col("o_totalprice")))
+          / lit(100.0)).as("sum_price_present"))
+      .select(
+        lit(classCounts.getOrElse("conforming", 0L)).as("n_files_conforming"),
+        lit(classCounts.getOrElse("missing_col", 0L)).as("n_files_missing_col"),
+        lit(classCounts.getOrElse("type_drift", 0L)).as("n_files_type_drift"),
+        col("n_rows"), col("n_null_filled"), col("sum_custkey"),
+        col("sum_price_present"))
+  }
+
   /** PERMISSIVE JSONL read: malformed records land whole in
     * `_corrupt_record` instead of killing the scan — the S2 posture at
     * ROW granularity (at 100 TB corrupt lines are data to account for,

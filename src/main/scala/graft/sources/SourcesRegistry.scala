@@ -11,7 +11,8 @@ object SourcesRegistry {
       "source_roundtrip_counts" -> ((s, d) => Formats.roundTripCounts(s, d)),
       "source_jdbc_counts" -> ((s, d) => Jdbc.ordersJdbcCounts(s, d)),
       "source_jdbc_lookup" -> ((s, d) => Jdbc.ordersJdbcLookup(s, d)),
-      "source_jsonl_tolerant" -> ((s, d) => Formats.tolerantJsonlCounts(s, d))
+      "source_jsonl_tolerant" -> ((s, d) => Formats.tolerantJsonlCounts(s, d)),
+      "source_schema_drift" -> ((s, d) => Formats.schemaDriftReport(s, d))
     ),
     oracles = Map(
       "source_roundtrip_counts" ->
@@ -48,7 +49,25 @@ object SourcesRegistry {
           |  sum(CASE WHEN event_id % 97 <> 0
           |      THEN CAST(round(value * 100) AS BIGINT) END)
           |    / CAST(100 AS DOUBLE) AS sum_value_good
-          |FROM events""".stripMargin
+          |FROM events""".stripMargin,
+      // The oracle never reads the drifted files: it predicts the
+      // declared posture's accounting (null-fill of the dropped column,
+      // exact value survival of the widened one) from the slicing rule
+      // over the parquet original. File-class counts are the layout's
+      // coalesce(1) constants.
+      "source_schema_drift" ->
+        """SELECT CAST(1 AS BIGINT) AS n_files_conforming,
+          |  CAST(1 AS BIGINT) AS n_files_missing_col,
+          |  CAST(1 AS BIGINT) AS n_files_type_drift,
+          |  count(*) AS n_rows,
+          |  count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END)
+          |    AS n_null_filled,
+          |  CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN o_custkey % 1000000
+          |      ELSE o_custkey END) AS BIGINT) AS sum_custkey,
+          |  sum(CASE WHEN o_orderkey % 3 <> 1
+          |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+          |    / CAST(100 AS DOUBLE) AS sum_price_present
+          |FROM orders""".stripMargin
     )
   )
 }
