@@ -315,6 +315,41 @@ object Relational {
         .as("approx_median"),
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
 
+  /** Sketch-tier bounded-error audit — the graphx_float_audit pattern
+    * applied to the three sketch rows, converting their declared
+    * accuracy contracts into one hash-checkable frame the driver greens
+    * every round (rows-only tier shrinks accordingly):
+    *  - hll: approx_count_distinct within ±5% of the exact distinct
+    *    (Spark's default HLL precision contract);
+    *  - quantiles: percentile_approx(accuracy=10000) lands at rank
+    *    0.5 ± 1/accuracy of the exact total order (the sketch's actual
+    *    guarantee — checked in RANK space, not value space);
+    *  - cms: estimates never undercount and overcount ≤ ε·N under the
+    *    fixed seed ([[graft.text.TextAnalysis.cmsAuditOk]]).
+    * Deterministic (fixed seeds, fixed data) → the oracle pins
+    * (true, true, true). Driver-fold row by design: the k-row/1-row
+    * collects behind each check are the sanctioned serving-shim shape
+    * (skip-listed in PlanAuditSpec like the float audit). */
+  def sketchAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ad = approxDistinct(spark, dir).head()
+    val hllOk = math.abs(ad.getLong(0).toDouble - ad.getLong(1)) <=
+      0.05 * ad.getLong(1)
+    val aq = approxQuantiles(spark, dir).head()
+    val am = aq.getDouble(0)
+    val fr = Tables.load(spark, dir, "orders").agg(
+      count(when(col("o_totalprice") < am, 1)).as("lt"),
+      count(when(col("o_totalprice") <= am, 1)).as("le"),
+      count(lit(1)).as("n")).head()
+    val (lt, le, n) = (fr.getLong(0), fr.getLong(1), fr.getLong(2))
+    val rankEps = 1.0 / 10000
+    val qOk = lt.toDouble / n <= 0.5 + rankEps &&
+      le.toDouble / n >= 0.5 - rankEps
+    val cmsOk = graft.text.TextAnalysis.cmsAuditOk(spark, dir)
+    Seq(("cms", cmsOk), ("hll", hllOk), ("quantiles", qOk))
+      .toDF("family", "agrees").orderBy("family")
+  }
+
   /** Exact WHOLE-TABLE quantiles (p50/p90/p99 of order totals) with no
     * global window: [[Ranks.withGlobalPos]] assigns each row its exact
     * position in the total order via range partitions (the distributed

@@ -51,6 +51,11 @@ object RelationalRegistry {
       "multi_distinct_stats" -> ((s, d) =>
         Relational.multiDistinctStats(s, d)),
       "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
+      // The sketch tier's declared accuracy contracts as one
+      // hash-checkable frame (the graphx_float_audit pattern): HLL ±5%,
+      // percentile_approx rank-error ≤ 1/accuracy, CMS no-undercount +
+      // ≤ ε·N overcount. Deterministic under the fixed seeds.
+      "sketch_audit" -> ((s, d) => Relational.sketchAudit(s, d)),
       "asof_event_order" -> ((s, d) => AsofJoin.eventsToLastOrder(s, d)),
       "resample_ffill" -> ((s, d) => Resample.eventValuesFfill(s, d)),
       "ewma_daily_revenue" -> ((s, d) => Resample.ewmaDailyRevenue(s, d)),
@@ -189,6 +194,11 @@ object RelationalRegistry {
            |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
       },
       // approx_distinct: rows-only (HLL sketches differ across engines)
+      // — but its accuracy CONTRACT is oracle-green via sketch_audit:
+      "sketch_audit" ->
+        """SELECT * FROM (VALUES ('cms', true), ('hll', true),
+          |  ('quantiles', true)) t(family, agrees)
+          |ORDER BY family""".stripMargin,
       // The same ⌊(n+1)/2⌋ row_number formulation on both sides — native
       // median()/quantile() interpolation differs across engines.
       "median_price_per_brand" ->

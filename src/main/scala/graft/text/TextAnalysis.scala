@@ -1024,4 +1024,18 @@ object TextAnalysis {
       .toSeq.toDF("term", "n_exact", "n_cms")
       .orderBy(desc("n_exact"), asc("term"))
   }
+
+  /** CMS guarantee as one boolean (for the sketch audit row): every
+    * top-k estimate ≥ its exact count (CMS never undercounts), and the
+    * overcount stays ≤ ε·N where N is the stream length — deterministic
+    * under the fixed sketch seed. */
+  def cmsAuditOk(spark: SparkSession, dir: String,
+                 eps: Double = 0.001): Boolean = {
+    val n = Tables.load(spark, dir, "documents")
+      .select(explode(tokens).as("term")).count()
+    heavyHittersCms(spark, dir, eps = eps).collect().forall { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      est >= exact && est - exact <= math.ceil(eps * n).toLong
+    }
+  }
 }

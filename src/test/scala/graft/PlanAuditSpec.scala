@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkTestBase {
     * dedup_minhash_clusters, the GraphX family via the pagerank/ppr
     * exact twins, the store read via store_generation_diff). */
   private val driverFoldRows = Set(
-    "graphx_float_audit", "store_components_at", "store_compaction_report")
+    "graphx_float_audit", "store_components_at", "store_compaction_report",
+    "sketch_audit")
 
   private def lazyRegistryRows =
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -36,6 +36,44 @@ class ServeSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("16 parallel clients get each their own seed's answer — no cross-request bleed") {
+    // The reference runs a driver per request (app/main.py's FastAPI +
+    // Neo4j session lifecycle); here all requests share ONE SparkSession
+    // behind a bounded 4-thread pool. Correctness under concurrency =
+    // every response equals the sequentially-computed answer for ITS
+    // request's seed, byte-for-byte on the items array.
+    val server = Serve.start(spark, dir, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val seeds: Seq[(String, Long)] =
+        (1L to 8L).map("product_id" -> _) ++ (1L to 8L).map("customer_id" -> _)
+      val expected = seeds.map { case (kind, id) =>
+        val df =
+          if (kind == "product_id")
+            operators.Recs.recsForProduct(spark, dir, id)
+          else operators.Recs.recsForCustomer(spark, dir, id)
+        (kind, id) -> operators.Json.toItemsArray(df)
+      }.toMap
+      // At least one non-empty answer on each arm, or the test is vacuous.
+      assert(expected.exists { case ((k, _), v) => k == "product_id" && v != "[]" })
+      assert(expected.exists { case ((k, _), v) => k == "customer_id" && v != "[]" })
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futures = seeds.map { case (kind, id) =>
+          pool.submit(new java.util.concurrent.Callable[(String, Long, String)] {
+            def call() = (kind, id, get(port, s"/recs?$kind=$id"))
+          })
+        }
+        for (f <- futures) {
+          val (kind, id, body) = f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+          val items = expected((kind, id))
+          assert(body.startsWith(s"""{"items": $items, "took_ms":"""),
+            s"$kind=$id got a response not matching its own seed:\n$body")
+        }
+      } finally pool.shutdown()
+    } finally server.stop(0)
+  }
+
   test("a broken engine degrades per-endpoint: ok:false probes, empty recs") {
     // A dir with no tables: /health stays true (the liveness probe is
     // engine-only), but /etl and /recs hit missing parquet — each must
