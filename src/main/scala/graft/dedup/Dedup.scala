@@ -401,14 +401,31 @@ object Dedup {
     * the memo only dedups the ROUNDS across consumers. */
   private[graft] def minhashComponents(spark: SparkSession, dir: String,
                                        threshold: Double = 0.8,
-                                       rounds: Int = 5): DataFrame =
+                                       rounds: Int = ClusterRounds): DataFrame =
     graft.Memo.get(spark, "dedup-minhash-comp", (dir, threshold, rounds)) {
       graft.graph.GraphAlgs.pairComponents(
         minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
     }
 
+  /** Propagation horizon of the MinHash cluster tier — shared by the
+    * Scala loop, the DuckDB unrolled twin (minhashClusterCtes) and the
+    * convergence audit, so the three can never drift. */
+  val ClusterRounds: Int = 5
+
+  /** True iff the MinHash cluster propagation reaches its fixed point
+    * within [[ClusterRounds]] — the `convergence_audit` probe; its
+    * DuckDB twin unrolls rounds+1 over the same verified-pair CTEs. */
+  private[graft] def minhashConvergedWithin(spark: SparkSession,
+      dir: String, threshold: Double = 0.8,
+      rounds: Int = ClusterRounds): Boolean =
+    graft.graph.GraphAlgs.pairComponentsConvergedWithin(spark,
+      ("minhash", dir, threshold, rounds),
+      minhashLshPairs(spark, dir, threshold).select("d1", "d2"),
+      minhashComponents(spark, dir, threshold, rounds))
+
   def minhashClusters(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8, rounds: Int = 5): DataFrame =
+                      threshold: Double = 0.8,
+                      rounds: Int = ClusterRounds): DataFrame =
     minhashComponents(spark, dir, threshold, rounds)
       .groupBy("comp").agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)

@@ -608,25 +608,7 @@ object GraphAlgs {
   def kCoreSummary(spark: SparkSession, dir: String,
                    k: Int = KCoreK, rounds: Int = KCoreRounds): DataFrame = {
     val pairs = coPurchasePairs(spark, dir)
-    var alive = coPurchaseDegrees(spark, dir).select("p")
-      .localCheckpoint(true)
-    var r = 0
-    var converged = false
-    while (r < rounds && !converged) {
-      r += 1
-      val kept = pairs
-        .join(alive.withColumnRenamed("p", "p1"), "p1")
-        .join(alive.withColumnRenamed("p", "p2"), "p2")
-      val next = kept.select(col("p1").as("p"))
-        .unionAll(kept.select(col("p2").as("p")))
-        .groupBy("p").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select("p")
-        .localCheckpoint(true)
-      if (r < rounds)
-        converged = next.count() == alive.count()
-      alive = next
-    }
+    val alive = kCoreAlive(spark, dir, k, rounds)
     val coreEdges = pairs
       .join(alive.withColumnRenamed("p", "p1"), "p1")
       .join(alive.withColumnRenamed("p", "p2"), "p2")
@@ -635,6 +617,56 @@ object GraphAlgs {
       .select(lit(k.toLong).as("k"), col("n_core_vertices"),
         col("n_core_edges"))
   }
+
+  /** The round-`rounds` survivor set of the peel loop — memoized so the
+    * summary row and the convergence audit ([[kCoreConvergedWithin]])
+    * pay one peeling between them per session. */
+  private[graft] def kCoreAlive(spark: SparkSession, dir: String,
+                                k: Int, rounds: Int): DataFrame =
+    graft.Memo.get(spark, "kcore-alive", (dir, k, rounds)) {
+      val pairs = coPurchasePairs(spark, dir)
+      var alive = coPurchaseDegrees(spark, dir).select("p")
+        .localCheckpoint(true)
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        r += 1
+        val next = kCorePeelStep(pairs, alive, k).localCheckpoint(true)
+        if (r < rounds)
+          converged = next.count() == alive.count()
+        alive = next
+      }
+      alive
+    }
+
+  /** One peel round, uncheckpointed — shared verbatim by the loop and
+    * the convergence probe: restrict the static pair set to surviving
+    * endpoints, recount degrees within the subgraph, keep ≥ k. */
+  private def kCorePeelStep(pairs: DataFrame, alive: DataFrame,
+                            k: Int): DataFrame = {
+    val kept = pairs
+      .join(alive.withColumnRenamed("p", "p1"), "p1")
+      .join(alive.withColumnRenamed("p", "p2"), "p2")
+    kept.select(col("p1").as("p"))
+      .unionAll(kept.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k)
+      .select("p")
+  }
+
+  /** True iff peeling reaches its fixed point within `rounds` rounds:
+    * one more peel from the round-`rounds` survivors drops nobody.
+    * Peeling is monotone (survivors only shrink), so count equality IS
+    * set equality — no join needed. Memoized; the DuckDB twin in the
+    * `convergence_audit` row unrolls rounds+1 and compares the same
+    * counts, so the boolean is oracle-checked, not assumed. */
+  private[graft] def kCoreConvergedWithin(spark: SparkSession, dir: String,
+                                          k: Int, rounds: Int): Boolean =
+    graft.Memo.get(spark, "kcore-converged", (dir, k, rounds)) {
+      val alive = kCoreAlive(spark, dir, k, rounds)
+      kCorePeelStep(coPurchasePairs(spark, dir), alive, k).count() ==
+        alive.count()
+    }
 
   /** Association rules over baskets: confidence P(cons|ante) and lift
     * for the top-k rules by lift. Every input is an exact count —
@@ -865,32 +897,81 @@ object GraphAlgs {
     * it; the per-round shuffle is the |E|-keyed vote count, and the
     * argmax window runs per node over ≤ degree-many label rows (never
     * a global sort). Output: community sizes, top-k deterministic. */
-  def lpaCommunities(spark: SparkSession, dir: String, rounds: Int = 4,
-                     k: Int = 20): DataFrame = {
-    val coPart = stateCoPartitioned(spark, dir)
-    val und = undirectedEdges(spark, dir, bySrc = coPart)
-      .filter(!col("self"))
-    val nodes = nodesById(spark, dir)
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    for (i <- 1 to rounds) {
-      val state = labels.withColumnRenamed("id", "src")
-      val votes = und
-        .join(if (coPart) state.hint("merge") else broadcast(state), "src")
-        .groupBy(col("dst").as("id"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-        .orderBy(desc("c"), asc("label"))
-      val best = votes.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1).select(col("id"), col("label"))
-      labels = graft.Layout.roundCheckpoint(
-        nodes.join(best, Seq("id"), "left")
-          .select(col("id"), coalesce(col("label"), col("id")).as("label")),
-        preserveLayout = coPart, round = i, last = i == rounds)
-    }
-    labels.groupBy(col("label").as("community"))
+  def lpaCommunities(spark: SparkSession, dir: String,
+                     rounds: Int = LpaRounds, k: Int = 20): DataFrame =
+    lpaLabels(spark, dir, rounds)
+      .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(desc("n_members"), asc("community")).limit(k)
+
+  /** Round horizon shared by the LPA oracle twins (Scala loop + DuckDB
+    * unrolled SQL) and the convergence audit — one constant so the three
+    * can never drift (the ComponentsOracleRounds convention). */
+  val LpaRounds: Int = 4
+
+  /** The (id, label) frame after `rounds` synchronous LPA votes — the
+    * loop body of [[lpaCommunities]], memoized so the registry row and
+    * the convergence audit ([[lpaConvergedWithin]]) pay one propagation
+    * between them per session. */
+  private[graft] def lpaLabels(spark: SparkSession, dir: String,
+                               rounds: Int): DataFrame =
+    graft.Memo.get(spark, "lpa-labels", (dir, rounds)) {
+      val coPart = stateCoPartitioned(spark, dir)
+      val und = undirectedEdges(spark, dir, bySrc = coPart)
+        .filter(!col("self"))
+      val nodes = nodesById(spark, dir)
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (i <- 1 to rounds)
+        labels = graft.Layout.roundCheckpoint(
+          lpaStep(und, nodes, labels, coPart),
+          preserveLayout = coPart, round = i, last = i == rounds)
+      labels
+    }
+
+  /** One synchronous LPA vote round, uncheckpointed — split out (the
+    * rankStep/pairComponentsStep convention) so the loop and the
+    * convergence probe execute the identical formula: per-dst vote
+    * count, count-desc-then-min-label argmax over ≤ degree-many rows,
+    * isolated nodes keep their own label. Same gated state-join
+    * strategy as every propagation round. */
+  private def lpaStep(und: DataFrame, nodes: DataFrame, labels: DataFrame,
+                      coPart: Boolean): DataFrame = {
+    val state = labels.withColumnRenamed("id", "src")
+    val votes = und
+      .join(if (coPart) state.hint("merge") else broadcast(state), "src")
+      .groupBy(col("dst").as("id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(desc("c"), asc("label"))
+    val best = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("id"), col("label"))
+    nodes.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** True iff synchronous LPA reaches its label fixed point within
+    * `rounds` rounds: one more vote round from the round-`rounds` state
+    * must change no label. Unlike min-label propagation LPA is NOT
+    * monotone (synchronous votes can 2-cycle on bipartite structure),
+    * so this is a genuine data-dependent fact, not a tautology — which
+    * is exactly why the registry's `convergence_audit` row computes it
+    * on BOTH engines (the DuckDB twin unrolls rounds+1) instead of the
+    * code assuming it. The label diff is a gate-free keyed aggregation
+    * (union + per-id distinct-count), never a |V| broadcast. */
+  private[graft] def lpaConvergedWithin(spark: SparkSession, dir: String,
+                                        rounds: Int): Boolean =
+    graft.Memo.get(spark, "lpa-converged", (dir, rounds)) {
+      val labels = lpaLabels(spark, dir, rounds)
+      val coPart = stateCoPartitioned(spark, dir)
+      val und = undirectedEdges(spark, dir, bySrc = coPart)
+        .filter(!col("self"))
+      val nodes = nodesById(spark, dir)
+      lpaStep(und, nodes, labels, coPart).unionAll(labels)
+        .groupBy("id")
+        .agg(countDistinct(col("label")).as("nl"))
+        .filter(col("nl") > 1)
+        .isEmpty
+    }
 
   /** Degree assortativity — the network-science summary of whether
     * hubs attach to hubs (r > 0) or to leaves (r < 0): the Pearson
@@ -1294,6 +1375,33 @@ object GraphAlgs {
       .select(col("id"), col("comp"),
         (col("comp") =!= col("own")).as("changed"))
   }
+
+  /** True iff bounded-round min-label propagation over `pairs` reaches
+    * its LABEL-LEVEL fixed point at `labels` (the memoized round-N
+    * state of [[pairComponents]] over the same pair relation): one more
+    * [[pairComponentsStep]] must change no label. The in-loop probe is
+    * only sufficient ("round N was a no-op"), not necessary — the last
+    * round may settle everything — so the audit re-runs one genuine
+    * step. Same exact-count state gate as the loop (the |members| label
+    * frame must never broadcast past it — the componentsConvergedWithin
+    * lesson). Memoized per caller-supplied key; the DuckDB twin unrolls
+    * rounds+1 over the same pair CTEs, so the boolean is oracle-checked
+    * rather than assumed by either engine. */
+  private[graft] def pairComponentsConvergedWithin(
+      spark: SparkSession, cacheKey: Any, pairs: DataFrame,
+      labels: DataFrame): Boolean =
+    graft.Memo.get(spark, "pair-comp-converged", cacheKey) {
+      val p = pairs.localCheckpoint(true)
+      val undRaw = p.unionByName(
+        p.select(col("d2").as("d1"), col("d1").as("d2")))
+      val members = labels.select(col("id"))
+      val undSelf = undRaw.withColumn("self", lit(false)).unionByName(
+        members.select(col("id").as("d1"), col("id").as("d2"),
+          lit(true).as("self")))
+      val coPart = members.count() > stateBroadcastMaxRows(spark)
+      pairComponentsStep(undSelf, labels, coPart)
+        .filter(col("changed")).isEmpty
+    }
 
   /** Harmonic centrality toward a landmark set: h(v) = Σ_s 1/d(v,s)
     * over the landmarks v reaches (d > 0) — the centrality that stays

@@ -13,6 +13,38 @@ object GraphRegistry {
     * Spark query and the oracle's CTE VALUES list. */
   private val HarmonicLandmarks = Seq("P1", "P2", "P3")
 
+  /** DRIVER-VISIBLE fixed-point audit of every bounded-horizon
+    * propagation twin (r9 advice #7): each family's registry row
+    * computes "after N rounds" semantics that its DuckDB twin unrolls
+    * identically — structurally equivalent regardless of convergence —
+    * but whether the horizon REACHES the concept's fixed point
+    * (components, communities, the true k-core, complete near-dup
+    * clusters) is a data-dependent fact both engines can check: one
+    * more round must change nothing. The Spark side re-runs one genuine
+    * step off each family's memoized round-N state; the oracle unrolls
+    * N+1 rounds and diffs the last two states — the graphx_float_audit
+    * agreement-as-a-hashable-boolean pattern. A horizon that stops
+    * binding on new data flips a row and the driver's hash compare
+    * names the family, instead of the claim silently decaying. */
+  def convergenceAudit(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq(
+      ("components", GraphAlgs.ComponentsOracleRounds.toLong,
+        GraphAlgs.componentsConvergedWithin(s, d,
+          GraphAlgs.ComponentsOracleRounds)),
+      ("dedup_minhash", graft.dedup.Dedup.ClusterRounds.toLong,
+        graft.dedup.Dedup.minhashConvergedWithin(s, d)),
+      ("graph_kcore", GraphAlgs.KCoreRounds.toLong,
+        GraphAlgs.kCoreConvergedWithin(s, d, GraphAlgs.KCoreK,
+          GraphAlgs.KCoreRounds)),
+      ("graph_lpa", GraphAlgs.LpaRounds.toLong,
+        GraphAlgs.lpaConvergedWithin(s, d, GraphAlgs.LpaRounds)),
+      ("sim_dup", graft.similarity.Similarity.ClusterRounds.toLong,
+        graft.similarity.Similarity.dupConvergedWithin(s, d)))
+      .toDF("family", "horizon", "converged").orderBy("family")
+  }
+
   /** The canonical edge list, as DuckDB SQL — the oracle twin of
     * GraphBuilder.edges. Column names come from the first UNION branch. */
   private val EdgesSql =
@@ -198,10 +230,49 @@ object GraphRegistry {
          |WHERE id <> '$seedId' AND rank > 0
          |ORDER BY rank DESC, id LIMIT $k""".stripMargin
 
-  /** Twin of GraphAlgs.componentsFixedSizes (exact string mins). */
-  private def componentsSql(rounds: Int): String = {
+  /** The convergence_audit oracle: five families, each unrolled one
+    * round past its Scala horizon inside a scoped derived table. */
+  private def convergenceAuditSql: String = {
+    val cr = GraphAlgs.ComponentsOracleRounds
+    val kr = GraphAlgs.KCoreRounds
+    val lr = GraphAlgs.LpaRounds
+    val mr = graft.dedup.Dedup.ClusterRounds
+    val sr = graft.similarity.Similarity.ClusterRounds
+    s"""SELECT * FROM (
+       |SELECT 'components' AS family, CAST($cr AS BIGINT) AS horizon,
+       |  conv AS converged FROM (
+       |  WITH ${componentsCtes(cr + 1)}
+       |  SELECT (SELECT count(*) FROM c$cr a JOIN c${cr + 1} b USING (id)
+       |          WHERE a.comp <> b.comp) = 0 AS conv)
+       |UNION ALL
+       |SELECT 'dedup_minhash', CAST($mr AS BIGINT), conv FROM (
+       |  WITH ${graft.dedup.DedupRegistry.minhashClusterCtes(mr + 1)}
+       |  SELECT (SELECT count(*) FROM c$mr a JOIN c${mr + 1} b USING (id)
+       |          WHERE a.comp <> b.comp) = 0 AS conv)
+       |UNION ALL
+       |SELECT 'graph_kcore', CAST($kr AS BIGINT), conv FROM (
+       |  WITH ${kCoreCtes(GraphAlgs.KCoreK, kr + 1)}
+       |  SELECT (SELECT count(*) FROM v$kr) =
+       |         (SELECT count(*) FROM v${kr + 1}) AS conv)
+       |UNION ALL
+       |SELECT 'graph_lpa', CAST($lr AS BIGINT), conv FROM (
+       |  WITH ${lpaCtes(lr + 1)}
+       |  SELECT (SELECT count(*) FROM l$lr a JOIN l${lr + 1} b USING (id)
+       |          WHERE a.label <> b.label) = 0 AS conv)
+       |UNION ALL
+       |SELECT 'sim_dup', CAST($sr AS BIGINT), conv FROM (
+       |  WITH ${graft.similarity.SimilarityRegistry.dupAssignCtes(sr + 1)}
+       |  SELECT (SELECT count(*) FROM c$sr a JOIN c${sr + 1} b USING (id)
+       |          WHERE a.comp <> b.comp) = 0 AS conv)
+       |) ORDER BY family""".stripMargin
+  }
+
+  /** CTE chain of the unrolled min-label rounds c0..cN — shared by the
+    * components histogram twin and the convergence audit (which unrolls
+    * one extra round and diffs the last two states). */
+  private def componentsCtes(rounds: Int): String = {
     val head =
-      s"""WITH nodes AS ($NodeIdsSql),
+      s"""nodes AS ($NodeIdsSql),
          |e0 AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
          |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
          |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
@@ -215,18 +286,31 @@ object GraphRegistry {
          |  SELECT u.dst AS id, c.comp FROM und u JOIN c${i - 1} c ON c.id = u.src
          |) GROUP BY id)""".stripMargin
     }
-    (head +: iterCtes).mkString(",\n") +
+    (head +: iterCtes).mkString(",\n")
+  }
+
+  /** Twin of GraphAlgs.componentsFixedSizes (exact string mins). */
+  private def componentsSql(rounds: Int): String =
+    s"WITH ${componentsCtes(rounds)}" +
       s"""\nSELECT size, count(*) AS n_components FROM (
          |  SELECT comp, count(*) AS size FROM c$rounds GROUP BY comp
          |) GROUP BY size ORDER BY size""".stripMargin
-  }
 
   /** Twin of GraphAlgs.lpaCommunities: unrolled synchronous vote
     * rounds, count-desc-then-min-label argmax, isolated nodes keep
     * their own label. */
-  private def lpaSql(rounds: Int, k: Int): String = {
+  private def lpaSql(rounds: Int, k: Int): String =
+    s"WITH ${lpaCtes(rounds)}" +
+      s"""
+         |SELECT label AS community, count(*) AS n_members
+         |FROM l$rounds GROUP BY label
+         |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
+
+  /** CTE chain of the unrolled LPA vote rounds l0..lN — shared by the
+    * communities twin and the convergence audit. */
+  private def lpaCtes(rounds: Int): String = {
     val head =
-      s"""WITH nodes AS ($NodeIdsSql),
+      s"""nodes AS ($NodeIdsSql),
          |e0 AS MATERIALIZED (SELECT src, dst FROM ($EdgesSql)),
          |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
          |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
@@ -240,11 +324,7 @@ object GraphRegistry {
          |l$i AS MATERIALIZED (SELECT n.id, coalesce(b.label, n.id) AS label
          |  FROM nodes n LEFT JOIN b$i b USING (id))""".stripMargin
     }
-    (head +: iterCtes).mkString(",\n") +
-      s"""
-         |SELECT label AS community, count(*) AS n_members
-         |FROM l$rounds GROUP BY label
-         |ORDER BY n_members DESC, community LIMIT $k""".stripMargin
+    (head +: iterCtes).mkString(",\n")
   }
 
   /** Unrolled k-core peeling twin. Every CTE is MATERIALIZED: each round
@@ -252,9 +332,19 @@ object GraphRegistry {
     * set once — inlining would blow up exponentially (the components
     * lesson). Fixed rounds mirror GraphAlgs.kCoreSummary's early exit
     * exactly because peeling is monotone. */
-  private def kCoreSql(k: Int, rounds: Int): String = {
+  private def kCoreSql(k: Int, rounds: Int): String =
+    s"WITH ${kCoreCtes(k, rounds)}" +
+      s"""\nSELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT count(*) FROM v$rounds) AS n_core_vertices,
+         |  (SELECT count(*) FROM pairs e
+         |     JOIN v$rounds a ON e.p1 = a.p
+         |     JOIN v$rounds b ON e.p2 = b.p) AS n_core_edges""".stripMargin
+
+  /** CTE chain of the unrolled peel rounds v0..vN — shared by the
+    * summary twin and the convergence audit. */
+  private def kCoreCtes(k: Int, rounds: Int): String = {
     val head =
-      s"""WITH items AS MATERIALIZED (
+      s"""items AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
          |  FROM lineitem),
          |sane AS (SELECT order_id FROM items GROUP BY order_id
@@ -279,12 +369,7 @@ object GraphRegistry {
          |    ) u GROUP BY 1)
          |  WHERE d >= $k)""".stripMargin
     }
-    (head +: iters).mkString(",\n") +
-      s"""\nSELECT CAST($k AS BIGINT) AS k,
-         |  (SELECT count(*) FROM v$rounds) AS n_core_vertices,
-         |  (SELECT count(*) FROM pairs e
-         |     JOIN v$rounds a ON e.p1 = a.p
-         |     JOIN v$rounds b ON e.p2 = b.p) AS n_core_edges""".stripMargin
+    (head +: iters).mkString(",\n")
   }
 
   /** graph_node_props oracle, parameterized on whether the customer
@@ -401,7 +486,8 @@ object GraphRegistry {
       // queries to their exact twins — the driver-visible promotion of
       // the float tier (the check runs in Spark; the oracle pins the
       // expected verdict per family).
-      "graphx_float_audit" -> ((s, d) => GraphAlgs.graphxFloatAudit(s, d))
+      "graphx_float_audit" -> ((s, d) => GraphAlgs.graphxFloatAudit(s, d)),
+      "convergence_audit" -> ((s, d) => convergenceAudit(s, d))
     ),
     oracles = Map(
       "graph_nodes_by_label" ->
@@ -423,6 +509,13 @@ object GraphRegistry {
         """SELECT * FROM (VALUES ('pagerank', true), ('ppr_recs', true),
           |  ('ppr_top', true)) t(family, agrees)
           |ORDER BY family""".stripMargin,
+      // Fixed-point audit twin: unroll each family ONE round past its
+      // horizon and diff the last two states — the same boolean the
+      // Spark probe computes by running one genuine step off the
+      // memoized round-N state. Each family's CTE chain is scoped
+      // inside its own derived table, so the shared names (und, c0…)
+      // never collide across families.
+      "convergence_audit" -> convergenceAuditSql,
       // GraphX runs min-label to FULL convergence; the unrolled twin at
       // the ComponentsOracleRounds horizon converges earlier on this
       // graph (componentsFixedSizes early-exits on its monotone fixed
@@ -647,7 +740,7 @@ object GraphRegistry {
            |LIMIT 10""".stripMargin,
       "weighted_pagerank_top" -> weightedPageRankSql(5, 20),
       "hits_fixed_top" -> hitsSql(5, 10),
-      "graph_lpa_communities" -> lpaSql(4, 20),
+      "graph_lpa_communities" -> lpaSql(GraphAlgs.LpaRounds, 20),
       // Endpoint-degree Pearson over the symmetrized edge set; decimal
       // sufficient statistics, doubles only at the last three casts.
       "graph_assortativity" ->

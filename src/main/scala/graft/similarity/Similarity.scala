@@ -222,14 +222,31 @@ object Similarity {
     * .pairComponents]] (exact-count state gate, monotone early exit),
     * memoized per (session, dir, threshold, rounds). */
   def dupAssignments(spark: SparkSession, dir: String,
-                     threshold: Double = 0.4, rounds: Int = 5): DataFrame =
+                     threshold: Double = 0.4,
+                     rounds: Int = ClusterRounds): DataFrame =
     graft.Memo.get(spark, "srp-dup-assign", (dir, threshold, rounds)) {
       graft.graph.GraphAlgs.pairComponents(
         srpLshPairsCore(spark, dir, threshold).select("d1", "d2"), rounds)
     }
 
+  /** Propagation horizon of the SRP near-dup cluster tier — shared by
+    * the Scala loop, the DuckDB unrolled twin (dupAssignCtes) and the
+    * convergence audit, so the three can never drift. */
+  val ClusterRounds: Int = 5
+
+  /** True iff the SRP cluster propagation reaches its fixed point
+    * within [[ClusterRounds]] — the `convergence_audit` probe; its
+    * DuckDB twin unrolls rounds+1 over the same verified-pair CTEs. */
+  private[graft] def dupConvergedWithin(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, rounds: Int = ClusterRounds): Boolean =
+    graft.graph.GraphAlgs.pairComponentsConvergedWithin(spark,
+      ("srp", dir, threshold, rounds),
+      srpLshPairsCore(spark, dir, threshold).select("d1", "d2"),
+      dupAssignments(spark, dir, threshold, rounds))
+
   def dupClusters(spark: SparkSession, dir: String,
-                  threshold: Double = 0.4, rounds: Int = 5): DataFrame =
+                  threshold: Double = 0.4,
+                  rounds: Int = ClusterRounds): DataFrame =
     // Every member here sits on ≥1 verified pair, so after propagation a
     // singleton label can only appear via bounded rounds on a long chain;
     // filter it — singletons aren't duplicates (and the oracle twin

@@ -252,6 +252,32 @@ class GraphSpec extends SparkTestBase {
     assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
   }
 
+  test("convergence audit: every horizon binds at sf0.001 except sync-LPA's designed 2-cycle") {
+    val got = graph.GraphRegistry
+      .convergenceAudit(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // Monotone families reach their true fixed point inside the shared
+    // horizon constants — the bounded-round result IS the concept here.
+    // A failure names the family and horizon: either the fixture grew a
+    // longer chain (raise the shared constant, which retunes the oracle
+    // unrolling with it) or a propagation step regressed.
+    for (fam <- Seq("components", "dedup_minhash", "graph_kcore", "sim_dup"))
+      assert(got(fam)._2,
+        s"$fam: propagation did not reach its fixed point within " +
+          s"horizon ${got(fam)._1} rounds on the sf0.001 fixture")
+    // Synchronous LPA is NOT monotone and 2-cycles on bipartite
+    // structure — at this fixture round 5 still flips labels, so the
+    // 4-round result is horizon-bounded semantics by declaration (both
+    // twins unroll the same 4 rounds). If this ever flips to true the
+    // declared posture should be revisited, hence pinned.
+    assert(!got("graph_lpa")._2,
+      s"graph_lpa unexpectedly converged within ${got("graph_lpa")._1} " +
+        "rounds at sf0.001 — the horizon-bounded declaration is stale")
+    assert(got.keySet ==
+      Set("components", "dedup_minhash", "graph_kcore", "graph_lpa",
+        "sim_dup"))
+  }
+
   test("canonical write round-trips, partitioned by label/rel_type, idempotently") {
     val out = java.nio.file.Files.createTempDirectory("graft-canon").toString
     GraphBuilder.writeCanonical(spark, dir, out)

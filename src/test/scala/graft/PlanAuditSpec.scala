@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkTestBase {
     * exact twins, the store read via store_generation_diff). */
   private val driverFoldRows = Set(
     "graphx_float_audit", "store_components_at", "store_compaction_report",
-    "sketch_audit")
+    "sketch_audit", "convergence_audit")
 
   private def lazyRegistryRows =
     SparkEntry.queries.toSeq.sortBy(_._1)
