@@ -25,24 +25,42 @@ object GraphRegistry {
     * N+1 rounds and diffs the last two states — the graphx_float_audit
     * agreement-as-a-hashable-boolean pattern. A horizon that stops
     * binding on new data flips a row and the driver's hash compare
-    * names the family, instead of the claim silently decaying. */
+    * names the family, instead of the claim silently decaying.
+    *
+    * The five family probes are INDEPENDENT Spark job chains over
+    * memoized state, so they run concurrently (five driver threads;
+    * Spark actions are thread-safe, and Memo's per-key latching keeps
+    * each shared root — edges, node ids, the und layout — built exactly
+    * once with the other probes waiting). Serial, the row convoys the
+    * first-payer cost of four propagation families end-to-end on a
+    * 32-core host that each chain alone cannot saturate. */
   def convergenceAudit(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    Seq(
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val probes = Seq[(String, Long, () => Boolean)](
       ("components", GraphAlgs.ComponentsOracleRounds.toLong,
-        GraphAlgs.componentsConvergedWithin(s, d,
+        () => GraphAlgs.componentsConvergedWithin(s, d,
           GraphAlgs.ComponentsOracleRounds)),
       ("dedup_minhash", graft.dedup.Dedup.ClusterRounds.toLong,
-        graft.dedup.Dedup.minhashConvergedWithin(s, d)),
+        () => graft.dedup.Dedup.minhashConvergedWithin(s, d)),
       ("graph_kcore", GraphAlgs.KCoreRounds.toLong,
-        GraphAlgs.kCoreConvergedWithin(s, d, GraphAlgs.KCoreK,
+        () => GraphAlgs.kCoreConvergedWithin(s, d, GraphAlgs.KCoreK,
           GraphAlgs.KCoreRounds)),
       ("graph_lpa", GraphAlgs.LpaRounds.toLong,
-        GraphAlgs.lpaConvergedWithin(s, d, GraphAlgs.LpaRounds)),
+        () => GraphAlgs.lpaConvergedWithin(s, d, GraphAlgs.LpaRounds)),
       ("sim_dup", graft.similarity.Similarity.ClusterRounds.toLong,
-        graft.similarity.Similarity.dupConvergedWithin(s, d)))
-      .toDF("family", "horizon", "converged").orderBy("family")
+        () => graft.similarity.Similarity.dupConvergedWithin(s, d)))
+    try {
+      val fs = probes.map { case (fam, horizon, probe) =>
+        Future((fam, horizon, probe()))
+      }
+      Await.result(Future.sequence(fs),
+          scala.concurrent.duration.Duration(30, "min"))
+        .toDF("family", "horizon", "converged").orderBy("family")
+    } finally pool.shutdown()
   }
 
   /** The canonical edge list, as DuckDB SQL — the oracle twin of
