@@ -20,13 +20,32 @@ object Bench {
       } catch { case _: Throwable => None }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle parallelism scales with DATA, cores with the machine: at
+    // the bench SF they coincide (32), but a 100× slice needs partitions
+    // small enough to sort/join within task memory — the same knob a
+    // 1000-executor deployment sizes by input volume, surfaced as an env
+    // so scale-stress runs can raise it without re-shaping the bench.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional subset (comma-separated names): targeted A/B runs on a
+    // family of queries without paying the full suite. Unset → all.
+    // Parsed BEFORE the prewarm tier so a targeted run only warms the
+    // modules it will measure: warming every index family for a
+    // single-query 100× scale run is wasted work at best and an OOM at
+    // worst (the GraphX view alone is tens of GB there). Full runs —
+    // the committed artifact — prewarm everything, accounting unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selectedNames: Set[String] = only.getOrElse(SparkEntry.queries.keySet)
+    def touches(reg: Registry): Boolean =
+      selectedNames.exists(reg.queries.keySet)
     // Untimed warm-up: pay JVM/codegen/file-listing startup once, not
     // inside the first measured query.
     try {
@@ -38,10 +57,16 @@ object Bench {
       // query reads, and the IVF vector index (VERDICT r5 item 5 —
       // an index build is ingest-side work; the probe is what a serving
       // query pays). Propagations and queries stay measured.
-      graph.GraphAlgs.prewarm(spark, sfDir)
-      similarity.Similarity.prewarm(spark, sfDir)
-      operators.Recs.prewarm(spark, sfDir)
-      streaming.EventStreams.prewarm(spark, sfDir)
+      if (touches(graph.GraphRegistry.registry))
+        graph.GraphAlgs.prewarm(spark, sfDir,
+          kernels = selectedNames.exists(graph.GraphAlgs.KernelServedRows))
+      if (touches(similarity.SimilarityRegistry.registry) ||
+          touches(pipeline.CurationRegistry.registry))
+        similarity.Similarity.prewarm(spark, sfDir)
+      if (touches(operators.RecsRegistry.registry))
+        operators.Recs.prewarm(spark, sfDir)
+      if (touches(streaming.StreamingRegistry.registry))
+        streaming.EventStreams.prewarm(spark, sfDir)
     } catch { case _: Throwable => () }
     // Shuffle bytes written per query, summed over the executed COUNT
     // action's exchanges (AQE stages traversed): wall time on a shared
@@ -100,10 +125,6 @@ object Bench {
         case _ => -1.0
       }
     val runTicks0 = cpuTicks()
-    // Optional subset (comma-separated names): targeted A/B runs on a
-    // family of queries without paying the full suite. Unset → all.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) =>
         val unknown = names.diff(SparkEntry.queries.keySet)
@@ -126,9 +147,18 @@ object Bench {
           .invoke(bus, Long.box(10000L))
       } catch { case _: Throwable => () }
     // Deterministic order keeps per-query numbers comparable across runs.
+    // Shuffle files live until their exchange is GC'd (ContextCleaner is
+    // reference-triggered), and a large-heap scale run may never GC on
+    // its own — accumulated spill from finished queries then fills the
+    // disk under a later one (observed at the 100× slice: ENOSPC with
+    // ~70 GB of dead shuffle files). Opt-in knob for such runs: a full
+    // GC between queries lets the cleaner drop them. OUTSIDE the timed
+    // window; default off so artifact timings keep their usual JVM shape.
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
     // A failed query must NOT look like a fast passing one: log the error
     // and record a -1.0 sentinel no timing can produce.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (gcBetween) { System.gc(); Thread.sleep(500) }
       val ticks0 = cpuTicks()
       val t0 = System.nanoTime()
       val (elapsed, shuffled) =

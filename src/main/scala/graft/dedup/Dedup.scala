@@ -48,6 +48,7 @@ object Dedup {
     * corpus. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "dedup-shingles", dir) {
+      val n = spark.sessionState.conf.numShufflePartitions
       Tables.spread(spark, Tables.load(spark, dir, "documents"))
         .withColumn("toks", TextAnalysis.tokens)
         .filter(size(col("toks")) >= ShingleN)
@@ -56,6 +57,16 @@ object Dedup {
             i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
           .as("s"))
         .distinct()
+        // Stored co-located by doc: the signature aggregation's 128
+        // md5-min columns then combine FULLY map-side (one 4 KB row per
+        // doc, total |docs|). Left on the distinct()'s (doc_id, s) hash
+        // layout, every doc appears in nearly every partition and the
+        // "partial" aggregate emits |partitions|×|docs| 4 KB rows — at
+        // the 100× slice that was ~50 GB of spill for an output whose
+        // true size is 2 GB. One extra raw-shingle exchange here (narrow
+        // rows, the cheap side) buys that combine for every downstream
+        // per-doc aggregation.
+        .repartition(n, col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -104,17 +115,49 @@ object Dedup {
       .orderBy("keep_doc_id")
 
   /** Exact Jaccard over candidate pairs: given (doc_id, s) shingle sets and
-    * a candidate pair set (d1 < d2), compute |A∩B| / |A∪B|. */
+    * a candidate pair set (d1 < d2), compute |A∩B| / |A∪B|.
+    *
+    * The shingle relation is pruned to candidate PARTICIPANTS before any
+    * heavy join: the distinct doc ids appearing in a pair are bounded by
+    * 2×|candidates| (dup-mass-proportional, corpus-size-independent), so
+    * AQE broadcasts the semi-join from runtime stats and the
+    * corpus-sized `sh` is never shuffled — without it the (d2, s)-keyed
+    * intersection join re-shuffles EVERY shingle of EVERY document,
+    * which at the 100× slice spilled ~70 GB and filled the disk (the
+    * sf0.1 plan hid it by broadcasting the then-small pair side). No
+    * explicit broadcast hint: an adversarial corpus whose dup mass
+    * itself is huge must degrade to a shuffled semi-join, not OOM.
+    * Pruning is semantics-free: docs in no candidate pair can
+    * contribute neither commons nor the n1/n2 sizes of any emitted
+    * row. */
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = candidates
-      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val participants = candidates.select(col("d1").as("doc_id"))
+      .unionAll(candidates.select(col("d2").as("doc_id"))).distinct()
+    val shp = sh.join(participants, Seq("doc_id"), "left_semi")
+    // One ARRAY row per participant doc, intersected per pair — never
+    // the (pair × shingle) expansion: candidates are dup-mass-linear
+    // but each carries ~|shingle set| rows through two joins, and the
+    // second join re-shuffles that product by (d2, s). Measured at the
+    // 30× slice: 236M- and 116M-row intermediates for 4.6M candidates
+    // (SweepProbe); at 100× the sort spill of that product filled the
+    // disk. As doc-keyed array joins the flowing relation stays
+    // |candidates| rows; the doc-set side is participants-bounded, so
+    // AQE broadcasts it at bench scales and degrades to a doc-keyed
+    // (never shingle-keyed) shuffle when the dup mass itself is huge.
+    // array_intersect is exact here — shingle rows are distinct per doc.
+    val docSets = shp.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("ss"))
+    candidates
+      .join(docSets.select(col("doc_id").as("d1"), col("ss").as("ss1")),
+        "d1")
+      .join(docSets.select(col("doc_id").as("d2"), col("ss").as("ss2")),
+        "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("ss1"), col("ss2")))
+          .cast("long").as("c"),
+        size(col("ss1")).cast("long").as("n1"),
+        size(col("ss2")).cast("long").as("n2"))
       // Raw IEEE-754 division of exact longs — bit-identical in Spark and
       // DuckDB, unlike round() whose half-rule differs between engines.
       .withColumn("jacc", col("c").cast("double") /
@@ -219,10 +262,17 @@ object Dedup {
       : DataFrame = {
     val ts = thresholds.sorted
     val base = minhashLshPairs(spark, dir, ts.min)
-    val exploded = base
-      .select(col("d1").as("d"), col("jacc"), lit(true).as("own"))
-      .unionAll(base
-        .select(col("d2").as("d"), col("jacc"), lit(false).as("own")))
+    // Single-pass doubling via explode, NOT a self-unionAll: union
+    // branches are separate subtrees, and with the verify's joins
+    // broadcast there is no reusable exchange between them — a union
+    // here executes the whole candidate+verify pipeline TWICE
+    // (confirmed by SweepProbe at 30×). The explode keeps one subtree.
+    val exploded = base.select(explode(array(
+        struct(col("d1").as("d"), col("jacc"), lit(true).as("own")),
+        struct(col("d2").as("d"), col("jacc"), lit(false).as("own"))))
+        .as("x"))
+      .select(col("x.d").as("d"), col("x.jacc").as("jacc"),
+        col("x.own").as("own"))
     val perDocAggs = max(col("jacc")).as("mj") +:
       ts.zipWithIndex.map { case (t, i) =>
         sum(when(col("own") && col("jacc") >= t, 1L).otherwise(0L))

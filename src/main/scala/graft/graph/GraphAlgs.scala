@@ -79,11 +79,21 @@ object GraphAlgs {
     * r2 task 9 sanctions and VERDICT r5 item 3 prescribes). The
     * propagations and queries themselves stay measured. The layout MODE
     * (broadcast vs co-partitioned) is the state-join gate's decision,
-    * so prewarm builds exactly the layouts the loops will read. */
-  def prewarm(spark: SparkSession, dir: String): Unit = {
+    * so prewarm builds exactly the layouts the loops will read.
+    *
+    * `kernels = false` (targeted scale runs via SPARK_GRAFT_ONLY that
+    * select none of [[KernelServedRows]]) skips the GraphX view and the
+    * full kernel materializations: GraphX caches its vertex/edge RDDs
+    * MEMORY_ONLY as deserialized objects, so at a 100× slice the view
+    * alone is tens of GB of heap a components-only run never reads —
+    * warming state for rows that will not execute is not a serving
+    * shape, it is an OOM. Full-suite runs keep kernels = true, so the
+    * committed artifact's accounting is unchanged. */
+  def prewarm(spark: SparkSession, dir: String,
+              kernels: Boolean = true): Unit = {
     GraphBuilder.nodes(spark, dir).count()
     GraphBuilder.edges(spark, dir).count()
-    builtGraph(spark, dir)._1.triplets.count()
+    if (kernels) builtGraph(spark, dir)._1.triplets.count()
     val coPart = stateCoPartitioned(spark, dir) // builds nodesById + gate
     rankEdges(spark, dir, bySrc = coPart).count()
     undirectedEdges(spark, dir, bySrc = coPart).count()
@@ -106,7 +116,8 @@ object GraphAlgs {
     // without this the first measured PPR query (bench order:
     // graphx_ppr_recs) pays the whole family's JIT (r6: 4.75 s vs the
     // warm twin's 2.83 s).
-    personalizedPageRank(spark, dir, "P1", iters = 1, k = 1).count()
+    if (kernels)
+      personalizedPageRank(spark, dir, "P1", iters = 1, k = 1).count()
     // HITS: the static bipartite purchase layout (index-class, like
     // rankEdges) plus a 1-iteration throwaway for the half-step
     // codegen; the measured 5-round run executes every real round.
@@ -129,12 +140,24 @@ object GraphAlgs {
     // comparison only. (Previously the audit row first-paid the whole
     // kernel family inside its measured window — 13.5 s — while ALS/IVF
     // builds were prewarmed: two conventions. This is the one kept.)
-    pageRankTop(spark, dir, 10, 20).count()
-    personalizedPageRank(spark, dir, "P1").count()
-    pprRecs(spark, dir, 1L).count()
-    fixedRanks(spark, dir, SharedRankSeeds, 10).count()
+    if (kernels) {
+      pageRankTop(spark, dir, 10, 20).count()
+      personalizedPageRank(spark, dir, "P1").count()
+      pprRecs(spark, dir, 1L).count()
+      fixedRanks(spark, dir, SharedRankSeeds, 10).count()
+    }
     ()
   }
+
+  /** The rows served from the prewarmed kernel-family state above —
+    * Bench's gate for `prewarm(kernels = ...)` on targeted subset runs:
+    * a SPARK_GRAFT_ONLY selection touching none of these skips the
+    * GraphX view and the full kernel runs entirely. */
+  val KernelServedRows: Set[String] = Set(
+    "graphx_pagerank_top", "graphx_ppr_top", "graphx_ppr_recs",
+    "graphx_components", "graphx_shortest_paths", "graphx_float_audit",
+    "pagerank_fixed_top", "ppr_fixed_top", "ppr_fixed_recs",
+    "hits_fixed_top", "weighted_pagerank_top")
 
   /** Node-id relation hash-partitioned by id and materialized via
     * [[graft.Layout.checkpoint]] — the shared "left side" of every
