@@ -67,7 +67,25 @@ object Bench {
         operators.Recs.prewarm(spark, sfDir)
       if (touches(streaming.StreamingRegistry.registry))
         streaming.EventStreams.prewarm(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch {
+      // Swallow (a broken prewarm must not fail the bench — queries
+      // rebuild their own state) but NEVER silently: a failed prewarm
+      // shifts its cost into the first measured query, and that
+      // accounting shift has to be visible in the run log.
+      case t: Throwable =>
+        System.err.println(
+          s"[graft.Bench] PREWARM FAILED — ${t.getClass.getName}: " +
+            s"${t.getMessage}; its cost now lands inside the first " +
+            "measured query of each affected family")
+    }
+    // ACCOUNTING CONVENTION (see BASELINE.md "Bench accounting"):
+    // index-class state — GraphX kernel views, ALS factors, IVF/PQ
+    // layouts, edge-store generations — is ingest-side work a long-lived
+    // service builds once, so it is prewarmed OUT of measurement above.
+    // Propagation ROUND-STATES (components/LPA/k-core/PPR fixed points)
+    // are query-side work and stay MEASURED, first-paid inside the query
+    // that first needs them (today: convergence_audit, which amortizes
+    // four families' states for their serving rows).
     // Shuffle bytes written per query, summed over the executed COUNT
     // action's exchanges (AQE stages traversed): wall time on a shared
     // host swings 2-4× with background load, but shuffle volume is a

@@ -37,13 +37,35 @@ object Scratch {
   /** Pid embedded in a scratch dir name (`p<pid>x` inside the tag). */
   private val PidInTag = """-p(\d+)x""".r
 
-  /** True iff the pid named in the dir's tag is still running (Linux
-    * /proc probe; the only platform this harness targets). Dirs from the
-    * pre-pid naming scheme have no match and fall back to the age gate
-    * alone. */
+  /** True iff the pid named in the dir's tag is still running AND still
+    * looks like the JVM that created the dir (Linux /proc probe; the
+    * only platform this harness targets). Bare /proc existence is not
+    * enough: after PID reuse, an unrelated long-lived process with the
+    * recycled pid would keep a dead JVM's scratch exempt from the sweep
+    * forever (this gate is AND'd with the age gate, so the age gate
+    * could never reclaim it). The cmdline probe shrinks that to the
+    * conscious residual: a recycled pid that IS another java process —
+    * rare enough, and bounded, because that JVM's own exit re-arms the
+    * age gate. An unreadable cmdline (permissions, kernel thread) is
+    * treated as alive — when in doubt, never delete: a wrongly swept
+    * live dir reintroduces the cross-process FAILED_READ_FILE race this
+    * object exists to prevent, while a wrongly kept dead dir is only a
+    * bounded /tmp leak. Dirs from the pre-pid naming scheme have no
+    * match and fall back to the age gate alone. */
   private def ownerAlive(name: String): Boolean =
-    PidInTag.findFirstMatchIn(name).exists(m =>
-      new java.io.File(s"/proc/${m.group(1)}").exists())
+    PidInTag.findFirstMatchIn(name).exists { m =>
+      val pid = m.group(1)
+      new java.io.File(s"/proc/$pid").exists() && {
+        try {
+          val cmd = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/$pid/cmdline")), "UTF-8")
+          // argv entries are NUL-separated; argv[0] of every JVM this
+          // harness spawns is "java" or a path ending in "/java".
+          cmd.split('\u0000').headOption
+            .exists(a => a == "java" || a.endsWith("/java"))
+        } catch { case _: Exception => true }
+      }
+    }
 
   /** Remove graft-* scratch from dead JVMs. Age-gated on lastModified of
     * the top-level dir, AND pid-gated: a dir whose embedded owner pid is

@@ -130,25 +130,53 @@ object Dedup {
     * Pruning is semantics-free: docs in no candidate pair can
     * contribute neither commons nor the n1/n2 sizes of any emitted
     * row. */
+  /** Per-doc shingle-count cap for the ARRAY verification path below: a
+    * doc with more distinct shingles than this would fold into ONE
+    * unsplittable multi-MB array row (built inside a single collect_list
+    * group, then duplicated once per candidate pair it appears in) — a
+    * per-task memory spike under adversarial input. Docs above the cap
+    * are excluded BEFORE collect_list and their pairs verified on the
+    * streamed row-based path instead, so one pathological document can
+    * never dominate task memory while the normal dup mass keeps the
+    * |candidates|-row array plan. 1<<16 shingles ≈ 1 MB of array per
+    * row — orders of magnitude above any real document here (sf* max
+    * is ~10² shingles), so every bench/oracle plan is pure array-path
+    * and the split is semantics-free by construction (both paths
+    * compute the same exact |A∩B|, |A|, |B|). */
+  // def, not val: read per plan-build so a test (or an operator rerun
+  // after a config change) picks the current setting up without a JVM
+  // restart.
+  private[graft] def verifyShingleArrayCap: Int =
+    sys.props.get("spark.graft.dedup.verify.arrayCap").map(_.toInt)
+      .getOrElse(1 << 16)
+
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
                             threshold: Double): DataFrame = {
     val participants = candidates.select(col("d1").as("doc_id"))
       .unionAll(candidates.select(col("d2").as("doc_id"))).distinct()
     val shp = sh.join(participants, Seq("doc_id"), "left_semi")
-    // One ARRAY row per participant doc, intersected per pair — never
-    // the (pair × shingle) expansion: candidates are dup-mass-linear
-    // but each carries ~|shingle set| rows through two joins, and the
-    // second join re-shuffles that product by (d2, s). Measured at the
-    // 30× slice: 236M- and 116M-row intermediates for 4.6M candidates
-    // (SweepProbe); at 100× the sort spill of that product filled the
-    // disk. As doc-keyed array joins the flowing relation stays
-    // |candidates| rows; the doc-set side is participants-bounded, so
-    // AQE broadcasts it at bench scales and degrades to a doc-keyed
+    // Exact per-doc set sizes first (a count agg builds no arrays) —
+    // they gate the huge-doc split and serve as n1/n2 on the row path.
+    val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hugeIds = sizes.filter(col("n") > verifyShingleArrayCap)
+      .select("doc_id")
+    // One ARRAY row per NON-huge participant doc, intersected per pair —
+    // never the (pair × shingle) expansion: candidates are dup-mass-
+    // linear but each carries ~|shingle set| rows through two joins, and
+    // the second join re-shuffles that product by (d2, s). Measured at
+    // the 30× slice: 236M- and 116M-row intermediates for 4.6M
+    // candidates (SweepProbe); at 100× the sort spill of that product
+    // filled the disk. As doc-keyed array joins the flowing relation
+    // stays |candidates| rows; the doc-set side is participants-bounded,
+    // so AQE broadcasts it at bench scales and degrades to a doc-keyed
     // (never shingle-keyed) shuffle when the dup mass itself is huge.
     // array_intersect is exact here — shingle rows are distinct per doc.
-    val docSets = shp.groupBy("doc_id")
-      .agg(collect_list(col("s")).as("ss"))
-    candidates
+    val docSets = shp.join(hugeIds, Seq("doc_id"), "left_anti")
+      .groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+    val arrayPairs = candidates
+      .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+      .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+    val arrayCounted = arrayPairs
       .join(docSets.select(col("doc_id").as("d1"), col("ss").as("ss1")),
         "d1")
       .join(docSets.select(col("doc_id").as("d2"), col("ss").as("ss2")),
@@ -158,6 +186,35 @@ object Dedup {
           .cast("long").as("c"),
         size(col("ss1")).cast("long").as("n1"),
         size(col("ss2")).cast("long").as("n2"))
+    // Row-based fallback for pairs touching a huge doc: the (pair ×
+    // shingle) expansion is restricted to THOSE pairs only, and it flows
+    // as ordinary splittable/spillable rows (a shuffled semi-join on
+    // (d2, s)) rather than one giant in-memory array. Empty at every
+    // real scale; exact whenever it runs.
+    // Explicit selects on both arms: a usingColumns join puts the join
+    // key FIRST in its output, so the d2 arm would emit (d2, d1) and the
+    // positional unionAll would mirror every pair.
+    val hugePairs = candidates
+      .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .select("d1", "d2")
+      .unionAll(candidates
+        .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
+        .select("d1", "d2"))
+      .distinct()
+    val rowCounted = shp.select(col("doc_id").as("d1"), col("s"))
+      .join(hugePairs.select("d1", "d2"), Seq("d1"))
+      .join(shp.select(col("doc_id").as("d2"), col("s")),
+        Seq("d2", "s"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+      // right join keeps zero-intersection huge pairs (c = 0) so a
+      // threshold of 0.0 still sees them, matching the array path.
+      .join(hugePairs.select("d1", "d2"), Seq("d1", "d2"), "right")
+      .na.fill(0L, Seq("c"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("c").cast("long").as("c"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+    arrayCounted.unionByName(rowCounted)
       // Raw IEEE-754 division of exact longs — bit-identical in Spark and
       // DuckDB, unlike round() whose half-rule differs between engines.
       .withColumn("jacc", col("c").cast("double") /

@@ -155,10 +155,55 @@ object Formats {
         col("sum_price_present"))
   }
 
+  /** DECLARED SCHEMA-DRIFT POSTURE for CSV sources — the same
+    * null-fill / upcast / loud-fail rule as [[readParquetDeclared]],
+    * restated for a format whose column resolution is POSITIONAL:
+    *  - a conforming header (names match the declared schema in order)
+    *    reads exactly; a malformed VALUE inside a conforming file →
+    *    PERMISSIVE null (ROW-granular drift, accounted by counting
+    *    nulls, same as parquet's null-fill arm);
+    *  - a DRIFTED HEADER (missing / renamed / reordered column) fails
+    *    LOUDLY — `enforceSchema=false` validates every file's header
+    *    against the declared schema. CSV has no per-file by-name
+    *    resolution, so "null-fill the missing column" is not expressible
+    *    without silently shifting every later column one place left —
+    *    the exact silent corruption the posture exists to prevent. A
+    *    drifted CSV header is therefore parquet's "incompatible
+    *    physical type" arm, not its null-fill arm;
+    *  - type WIDENING does not exist in a text format: a value parses
+    *    into the declared type exactly when representable, else the
+    *    PERMISSIVE null arm above applies.
+    * Pinned in FormatsSpec (conforming / bad-value / drifted-header
+    * cases). */
+  def readCsvDeclared(spark: SparkSession, path: String,
+                      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("enforceSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
   /** PERMISSIVE JSONL read: malformed records land whole in
     * `_corrupt_record` instead of killing the scan — the S2 posture at
     * ROW granularity (at 100 TB corrupt lines are data to account for,
-    * not exceptions to die on). */
+    * not exceptions to die on).
+    *
+    * This is also the DECLARED SCHEMA-DRIFT POSTURE for JSONL: the
+    * format resolves columns BY NAME per row, so parquet's file-level
+    * arms reappear at row granularity —
+    *  - missing key → null-filled (rows survive, accounted — the
+    *    null-fill arm);
+    *  - type widening does not exist (text carries no physical type):
+    *    a number parses into the declared type exactly when
+    *    representable — the upcast arm is the identity here;
+    *  - an incompatible value (string where bigint is declared,
+    *    fractional where integral) → the whole line lands in
+    *    `_corrupt_record`, nulls elsewhere — LOUD IN THE DATA rather
+    *    than the job, because row-granular drift at 100 TB is volume
+    *    to account, not an incident to die on (file-granular parquet
+    *    drift, by contrast, is a malformed TABLE and does kill the
+    *    scan).
+    * Pinned in FormatsSpec (missing-key / incompatible-value cases). */
   def readJsonlTolerant(spark: SparkSession, path: String,
                         schema: StructType): DataFrame = {
     val withCorrupt = schema

@@ -74,6 +74,70 @@ object Jdbc {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** DECLARED SCHEMA-DRIFT POSTURE for the JDBC tier — the parquet rule
+    * ([[Formats.readParquetDeclared]]) restated for a source whose
+    * schema comes from a LIVE catalog (drift = upstream ALTER TABLE
+    * between extracts):
+    *  - missing declared column → null-filled via projection (rows
+    *    survive, accounted);
+    *  - upstream type that widens LOSSLESSLY into the declared type
+    *    (INT where BIGINT is declared, REAL where DOUBLE) → cast at the
+    *    projection, values exact;
+    *  - anything else (VARCHAR where BIGINT, DOUBLE where BIGINT —
+    *    a lossy or semantic change) → loud [[SchemaDriftException]]
+    *    naming the column and both types, BEFORE any row is fetched
+    *    (the catalog resolves eagerly) — silent coercion of an
+    *    incompatible upstream change is never the right default for a
+    *    training corpus.
+    * Extra upstream columns are dropped by the projection (the declared
+    * schema IS the contract surface). Pinned in JdbcSpec. */
+  class SchemaDriftException(msg: String)
+    extends RuntimeException(msg)
+
+  import org.apache.spark.sql.types._
+
+  /** value-preserving widenings the declared read absorbs */
+  private def widensTo(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType, IntegerType) => true
+      case (ByteType, ShortType) => true
+      case (FloatType, DoubleType) => true
+      // Derby/Postgres surface DECIMAL for some integral catalogs; an
+      // exact-integral decimal that fits widens losslessly into long.
+      case (d: DecimalType, LongType) if d.scale == 0 && d.precision <= 18 =>
+        true
+      case _ => false
+    }
+
+  def loadJdbcDeclared(spark: SparkSession, url: String, table: String,
+                       partitionColumn: String, lowerBound: Long,
+                       upperBound: Long, numPartitions: Int,
+                       declared: StructType): DataFrame = {
+    val live = loadJdbc(spark, url, table, partitionColumn, lowerBound,
+      upperBound, numPartitions, declared)
+    // Case-INSENSITIVE name matching, like Spark's default analyzer —
+    // RDBMS catalogs fold unquoted identifiers (Derby/Oracle upper,
+    // Postgres lower), and a fold difference is not schema drift.
+    val liveFields = live.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val cols = declared.fields.map { f =>
+      liveFields.get(f.name.toLowerCase) match {
+        case None =>
+          lit(null).cast(f.dataType).as(f.name) // null-fill arm
+        case Some(t) if widensTo(t, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name) // upcast arm (≥ identity)
+        case Some(t) =>
+          throw new SchemaDriftException(
+            s"jdbc table $table column ${f.name}: upstream type $t " +
+              s"cannot widen losslessly into declared ${f.dataType} — " +
+              "refusing to coerce; fix the extract contract or re-declare")
+      }
+    }
+    live.select(cols.toIndexedSeq: _*)
+  }
+
   private val ordersJdbcSchema = StructType.fromDDL(
     "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
       "total_cents BIGINT")

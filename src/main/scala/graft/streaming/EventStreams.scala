@@ -382,6 +382,44 @@ object EventStreams {
   private val ClaimRetries = 150
   private val ClaimRetrySleepMs = 200L
 
+  /** FILESYSTEM CONTRACT for the claim protocol: the store's filesystem
+    * MUST provide ATOMIC CREATE-IF-ABSENT (exactly one of N concurrent
+    * creators of the same path succeeds, the rest fail). That primitive
+    * is what makes the claim file a cross-process mutex. Satisfied by:
+    * local/file (NIO `CREATE_NEW` = POSIX O_EXCL — used directly, since
+    * Hadoop's LocalFileSystem `create(overwrite=false)` is
+    * check-then-act), HDFS (namenode-atomic create), ABFS and GCS
+    * (connector implements conditional create via ETag/generation
+    * preconditions). NOT satisfied by S3-family and other
+    * last-writer-wins object stores whose Hadoop connectors implement
+    * `create(overwrite=false)` as a HEAD probe followed by an
+    * unconditional PUT — two committers can both "win" the claim and
+    * interleave one generation dir. Rather than degrade silently into
+    * exactly the lost-commit race the protocol exists to prevent, store
+    * paths on those schemes are REFUSED loudly here (the standard
+    * Delta-on-S3 posture: front a commit coordinator, e.g. a DynamoDB
+    * LogStore, then mount it under a scheme that keeps the contract).
+    * Escape hatch for deployments that have external serialization:
+    * `-Dspark.graft.store.claimFs.unsafe=true` acknowledges the
+    * contract is provided elsewhere. */
+  private val NonAtomicCreateSchemes =
+    Set("s3", "s3a", "s3n", "swift", "oss", "cos", "cosn", "obs")
+
+  private[graft] def requireClaimCapableFs(root: Path): Unit = {
+    val scheme = Option(root.toUri.getScheme).getOrElse("file").toLowerCase
+    if (NonAtomicCreateSchemes.contains(scheme) &&
+        !sys.props.get("spark.graft.store.claimFs.unsafe").contains("true"))
+      throw new UnsupportedOperationException(
+        s"edge store at '$root' uses scheme '$scheme', which cannot " +
+          "provide the claim protocol's required primitive (atomic " +
+          "create-if-absent): concurrent committers could both claim a " +
+          "generation and silently destroy each other's commits. Use a " +
+          "filesystem with atomic create (file/hdfs/abfs/gs), or front " +
+          "a commit coordinator and set " +
+          "-Dspark.graft.store.claimFs.unsafe=true to acknowledge " +
+          "external serialization.")
+  }
+
   /** Atomically create-if-absent the claim file with this committer's
     * token as content. On the local scheme Hadoop's
     * `create(overwrite = false)` is CHECK-then-act (two processes can
@@ -411,13 +449,52 @@ object EventStreams {
           true
         } catch { case _: java.io.IOException => false }
     create() || {
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(claim).getModificationTime > ClaimTtlMs
-        catch { case _: java.io.FileNotFoundException => false }
-      stale && { fs.delete(claim, false); create() }
+      // Stale-break is inherently check-then-act (no FS compare-and-
+      // delete primitive), so bind the break to the EXACT claim observed
+      // stale: record its owner token at staleness detection and re-read
+      // at the last instant before the delete. If the stale owner
+      // released and a fresh committer claimed in between, the token
+      // differs and the fresh claim is left alone (the fresh committer
+      // proceeds; we fall back to the retry loop) — the old
+      // unconditional delete destroyed it and handed this committer a
+      // claim the other side believed it held, failing the innocent
+      // party with a spurious ConcurrentEdgeStoreCommit after its whole
+      // build. The residual window (release+re-claim between the
+      // re-read and the delete, with the SAME uuid token — impossible
+      // by construction, tokens are per-attempt UUIDs) is gone; a
+      // release+re-claim with a new token in that instant is caught by
+      // the token comparison.
+      val staleTok: Option[String] =
+        try {
+          val st = fs.getFileStatus(claim)
+          if (System.currentTimeMillis() - st.getModificationTime > ClaimTtlMs)
+            Some(claimOwner(fs, claim)) // may be "" — a crash between
+                                        // create and write leaves an
+                                        // empty claim; still breakable
+          else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      staleTok.exists { tok =>
+        claimOwner(fs, claim) == tok &&
+          { fs.delete(claim, false); create() }
+      }
     }
   }
+
+  /** Release a claim ONLY while still owned by this committer — the
+    * same last-instant ownership check [[publishGeneration]] performs.
+    * Unconditional release had a lost-commit window: a builder that
+    * outlives [[ClaimTtlMs]] has its claim broken and re-created by a
+    * usurper; deleting the usurper's LIVE claim on the way out would let
+    * a third committer claim the same generation, pass the
+    * manifest-absence probe, and delete the usurper's generation dir
+    * just as its publish landed — a committed batch silently destroyed.
+    * With the owner check the timed-out builder leaves the usurper's
+    * claim untouched (its own failure is already loud via the publish
+    * ownership check). */
+  private def releaseClaim(fs: org.apache.hadoop.fs.FileSystem,
+                           claim: Path, token: String): Unit =
+    try { if (claimOwner(fs, claim) == token) { fs.delete(claim, false); () } }
+    catch { case _: java.io.IOException => () }
 
   private def claimOwner(fs: org.apache.hadoop.fs.FileSystem,
                          claim: Path): String =
@@ -454,6 +531,7 @@ object EventStreams {
   private def withCommitClaim[A](storeDir: String)
       (build: CommitClaim => A): A = {
     val root = new Path(storeDir)
+    requireClaimCapableFs(root)
     val fs = root.getFileSystem(hconf())
     val lock = storeLocks.computeIfAbsent(
       fs.makeQualified(root).toString, _ => new Object)
@@ -481,7 +559,7 @@ object EventStreams {
           if (!fs.exists(new Path(next, Manifest)))
             return build(
               CommitClaim(cur, manifestStrict(storeDir), next, claim, token))
-        } finally { fs.delete(claim, false); () }
+        } finally { releaseClaim(fs, claim, token) }
       }
       attempt += 1
       Thread.sleep(ClaimRetrySleepMs)
@@ -500,6 +578,7 @@ object EventStreams {
     val spark = incoming.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(storeDir)
+    requireClaimCapableFs(root)
     val fs = root.getFileSystem(conf)
     fs.mkdirs(root)
     val inc = incoming.select("user_id", "product_id", "rel_type")
@@ -607,6 +686,7 @@ object EventStreams {
   def compactEdgeStore(spark: SparkSession, storeDir: String,
                        filesPerPartition: Int = 1): Unit = {
     val root = new Path(storeDir)
+    requireClaimCapableFs(root)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (manifest(storeDir).isEmpty) return
     withCommitClaim(storeDir) { cc =>
@@ -644,6 +724,10 @@ object EventStreams {
                         checkpointDir: Option[String] = None,
                         availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Fail at query START, not inside the first micro-batch's
+    // foreachBatch (where it would surface as a wrapped streaming error
+    // after ingest work was already done).
+    requireClaimCapableFs(new Path(storeDir))
     var w = dedupedBehavioralEdges(events).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -290,4 +290,21 @@ class DedupSpec extends SparkTestBase {
     assert(execs.get() <= 1,
       s"sweep ran ${execs.get()} SQL executions — action loop?")
   }
+  test("huge-doc row-based verify path is bit-identical to the array path") {
+    // Default cap (1<<16): every fixture doc is far below it - pure
+    // array path. Cap forced to 4: every participant doc (10 shingles)
+    // is "huge" - the whole pair set runs the streamed row-based
+    // fallback. The two paths must agree bit-for-bit (same |A cap B|,
+    // |A|, |B|, same IEEE-754 division), proving the adversarial-input
+    // fallback is semantics-free.
+    def pairs() = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq
+    val arrayPath = pairs()
+    sys.props("spark.graft.dedup.verify.arrayCap") = "4"
+    val rowPath =
+      try pairs()
+      finally { sys.props.remove("spark.graft.dedup.verify.arrayCap"); () }
+    assert(arrayPath.nonEmpty && arrayPath == rowPath)
+  }
 }

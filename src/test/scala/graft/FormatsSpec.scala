@@ -94,4 +94,62 @@ class FormatsSpec extends SparkTestBase {
     val expNull = orders.filter(col("o_orderkey") % 3 === 1).count()
     assert(r.getLong(4) == expNull && expNull > 0)
   }
+  test("CSV drift posture: conforming header exact, bad value nulls, drifted header fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-csv-drift")
+      .toString
+    val declared = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    // conforming file, with one malformed VALUE in the numeric column
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/good.csv"),
+      "k,name,v\n1,a,1.5\n2,b,oops\n3,c,3.5\n".getBytes("UTF-8"))
+    val good = Formats.readCsvDeclared(spark, s"$base/good.csv", declared)
+    val rows = good.orderBy("k").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(2), "malformed value must null, not fail")
+    assert(rows(0).getDouble(2) == 1.5 && rows(2).getDouble(2) == 3.5)
+    // drifted header: the middle column vanished upstream - positional
+    // resolution would silently read v into name; the declared read
+    // must fail LOUDLY instead.
+    val driftDir = s"$base/drift"
+    new java.io.File(driftDir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$driftDir/d.csv"),
+      "k,v\n1,1.5\n".getBytes("UTF-8"))
+    val e = intercept[Throwable] {
+      Formats.readCsvDeclared(spark, driftDir, declared).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(m =>
+        m.contains("header") || m.contains("Header") ||
+          m.contains("CSV"))), s"unexpected failure: $e")
+  }
+
+  test("JSONL drift posture: missing key null-fills, incompatible value goes corrupt") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-jsonl-drift")
+      .toString
+    val declared = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/d.jsonl"),
+      ("""{"k":1,"name":"a","v":1.5}""" + "\n" +
+       """{"k":2,"v":2.5}""" + "\n" +            // name vanished upstream
+       """{"k":"oops","name":"c","v":3.5}""" + "\n") // string where bigint
+        .getBytes("UTF-8"))
+    val read = Formats.readJsonlTolerant(spark, s"$base/d.jsonl", declared)
+      .collect()
+    assert(read.length == 3)
+    val conforming = read.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(conforming.getString(1) == "a" && conforming.getDouble(2) == 1.5 &&
+      conforming.isNullAt(3))
+    // missing key -> null-filled, row SURVIVES, not corrupt
+    val nullFilled = read.find(r => !r.isNullAt(0) && r.getLong(0) == 2L).get
+    assert(nullFilled.isNullAt(1) && nullFilled.getDouble(2) == 2.5 &&
+      nullFilled.isNullAt(3))
+    // incompatible value -> whole line accounted in _corrupt_record
+    val corrupt = read.find(r => !r.isNullAt(3)).get
+    assert(corrupt.isNullAt(0) && corrupt.getString(3).contains("oops"))
+  }
 }

@@ -58,4 +58,34 @@ class JdbcSpec extends SparkTestBase {
       1L, 100L, 4, schema)
     assert(missing.isEmpty && missing.schema == schema)
   }
+  test("JDBC drift posture: null-fill missing, widen INT->BIGINT, reject VARCHAR->BIGINT") {
+    import org.apache.spark.sql.types._
+    val url = Jdbc.derbyUrlFor("/tmp/graft-jdbc-drift-spec")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE drifted") catch { case _: Exception => () }
+      // upstream catalog: k INT (narrower than declared BIGINT), plus an
+      // extra column the contract does not know; `name` was dropped
+      // upstream (missing), `v` stayed conforming.
+      st.execute("CREATE TABLE drifted (k INT, v DOUBLE, extra VARCHAR(8))")
+      st.execute("INSERT INTO drifted VALUES (7, 1.5, 'x'), (8, 2.5, 'y')")
+      val declared = StructType(Seq(StructField("k", LongType),
+        StructField("name", StringType), StructField("v", DoubleType)))
+      val got = Jdbc.loadJdbcDeclared(spark, url, "drifted", "k", 0L, 100L,
+        2, declared).orderBy("k").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(7L, 8L))   // widened exact
+      assert(got.forall(_.isNullAt(1)))                    // null-filled
+      assert(got.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
+      assert(got.head.length == 3)                         // extra dropped
+      // incompatible: VARCHAR upstream where BIGINT declared
+      val bad = StructType(Seq(StructField("k", LongType),
+        StructField("extra", LongType), StructField("v", DoubleType)))
+      val e = intercept[Jdbc.SchemaDriftException] {
+        Jdbc.loadJdbcDeclared(spark, url, "drifted", "k", 0L, 100L, 2, bad)
+      }
+      assert(e.getMessage.contains("extra") &&
+        e.getMessage.contains("cannot widen"))
+    } finally conn.close()
+  }
 }

@@ -771,4 +771,40 @@ class StreamingSpec extends SparkTestBase {
       "merge did not wait for the live claim")
     assert(EventStreams.edgeStore(spark, store).count() == 3)
   }
+  test("object-store schemes without atomic create-if-absent are refused loudly") {
+    import spark.implicits._
+    val batch = Seq((1L, 1L, "VIEWED")).toDF("user_id", "product_id", "rel_type")
+    // The claim protocol's required primitive (atomic create-if-absent)
+    // does not exist on S3-style last-writer-wins stores: rather than
+    // silently degrade into the lost-commit race, every commit entry
+    // point refuses the scheme up front, naming the contract. Fires
+    // BEFORE any filesystem access, so no s3a connector is needed.
+    for (bad <- Seq("s3a://bucket/store", "s3://bucket/store",
+        "oss://bucket/store")) {
+      val e = intercept[UnsupportedOperationException] {
+        EventStreams.mergeEdgeBatch(batch, bad)
+      }
+      assert(e.getMessage.contains("atomic") &&
+        e.getMessage.contains("create-if-absent"), e.getMessage)
+    }
+    // The streaming entry fails at query START, not inside the first
+    // micro-batch.
+    intercept[UnsupportedOperationException] {
+      EventStreams.maintainEdgeStore(
+        batch.withColumn("ts", org.apache.spark.sql.functions.current_timestamp()),
+        "s3a://bucket/store")
+    }
+    // The acknowledgment escape hatch opens the gate (external commit
+    // coordinator deployments); scheme check only - the merge then fails
+    // later on the missing connector, which is fine: the CONTRACT gate
+    // opened.
+    sys.props("spark.graft.store.claimFs.unsafe") = "true"
+    try intercept[Throwable] {
+      EventStreams.mergeEdgeBatch(batch, "s3a://bucket/store")
+    } match {
+      case _: UnsupportedOperationException =>
+        fail("gate still closed with the unsafe acknowledgment set")
+      case _ => ()
+    } finally { sys.props.remove("spark.graft.store.claimFs.unsafe"); () }
+  }
 }
