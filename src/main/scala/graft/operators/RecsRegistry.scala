@@ -181,6 +181,20 @@ object RecsRegistry {
       // deterministic seeds each, both arms oracle-pinned per seed.
       "rec_cooccurrence_sweep" -> ((s, d) => Recs.coOccurrenceSweep(s, d)),
       "rec_customer_sweep" -> ((s, d) => Recs.customerRecsSweep(s, d)),
+      // Swept SQL-TEXT row (r10 verdict item 7): the DataFrame cascade
+      // is ~100-seed-verified, and the four sql_api_rec_* rows cover the
+      // text frontend single-seed — this row closes the last single-seed
+      // surface by submitting the sweep's ORACLE STRING ITSELF through
+      // spark.sql over views of the raw tables. The strongest twin form:
+      // both engines execute the same literal text, so the comparison
+      // can only fail on genuine dialect/execution divergence, never on
+      // translation drift.
+      "sql_api_rec_sweep" -> ((s, d) => {
+        graft.Tables.load(s, d, "part").createOrReplaceTempView("part")
+        graft.Tables.load(s, d, "lineitem")
+          .createOrReplaceTempView("lineitem")
+        s.sql(CoOccurrenceSweepOracle)
+      }),
       "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d)),
       "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d)),
       // ALS training has no SQL twin, but SERVING does: the fitted
@@ -196,6 +210,7 @@ object RecsRegistry {
       "rec_cooccurrence" -> CoOccurrenceOracle,
       "rec_cooccurrence_sweep" -> CoOccurrenceSweepOracle,
       "rec_customer_sweep" -> CustomerRecsSweepOracle,
+      "sql_api_rec_sweep" -> CoOccurrenceSweepOracle,
       "sql_api_rec_cooccurrence" -> CoOccurrenceOracle,
       "sql_api_rec_customer" -> CustomerRecsOracle,
       "rec_same_category" -> SameCategoryOracle,

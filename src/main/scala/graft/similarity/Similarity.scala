@@ -737,13 +737,31 @@ object Similarity {
     val queries = assigned
       .select(col("vec_id").as("q"), col("embedding").as("qe"),
         explode(probes).as("cluster"))
-    val cand = queries.join(
+    val scored = queries.join(
         assigned.select(col("cluster"), col("vec_id").as("nn"),
           col("embedding").as("ne")),
         Seq("cluster"))
       .filter(col("q") =!= col("nn"))
-      .select(col("q"), col("nn"),
+      .select(col("cluster"), col("q"), col("nn"),
         cosine(col("qe"), col("ne")).as("cos"))
+    // PER-CELL top-k FIRST, before anything q-keyed: the scored relation
+    // is |V|·nProbe·cellsize rows (the N^1.5 bulk of this operator), and
+    // the old plan shuffled ALL of it twice — once by (q, nn) for the
+    // dedup, once by q for the global window. At the 100× slice those
+    // two exchanges of the bulk relation were most of sim_knn_join's
+    // 754 s. A window over (cluster, q) is satisfied by the cell join's
+    // existing hashpartitioning(cluster) output (partition keys ⊆
+    // required clustering), so this rank adds a partition-LOCAL sort and
+    // NO exchange, and only |V|·nProbe·k rows — 3·k per query, not
+    // nProbe·√N — ever shuffle by q. Exact: the global deduped rank of
+    // any (q, nn) is ≥ its rank within its own cell (cross-cell
+    // duplicates carry identical (cos, nn) keys and dedup to one row;
+    // rows above it cell-locally are distinct nns that also outrank it
+    // globally), so every global top-k row survives its cell's top-k.
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster", "q").orderBy(desc("cos"), asc("nn"))
+    val cand = scored.withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= k)
       // a neighbor shared by two probed cells must count once
       .dropDuplicates("q", "nn")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q")
