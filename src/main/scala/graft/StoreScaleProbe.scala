@@ -56,6 +56,20 @@ object StoreScaleProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // True task-level output bytes (parquet writes), the direct
+    // write-amplification measure: ingest_bytes_written / store_bytes is
+    // how many times the stream rewrote its own store.
+    val bytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            bytesWritten.addAndGet(e.taskMetrics.outputMetrics.bytesWritten)
+            ()
+          }
+      })
+
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$sfDir#$nBatches".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -82,6 +96,7 @@ object StoreScaleProbe {
       q.awaitTermination()
     }
     val gens = streaming.EventStreams.committedGenerations(store)
+    val ingestBytesWritten = bytesWritten.get()
     val edgesAfterIngest =
       streaming.EventStreams.edgeStore(spark, store).count()
     val storeBytes0 = duBytes(store)
@@ -130,6 +145,7 @@ object StoreScaleProbe {
       s""""events_per_sec":${f"${nEvents / math.max(tIngest, 1e-9)}%.0f"},""" +
       s""""generations_committed":${gens.length},""" +
       s""""n_edges":$edgesAfterIngest,""" +
+      s""""ingest_bytes_written":$ingestBytesWritten,""" +
       s""""store_bytes_pre":$storeBytes0,"store_files_pre":$storeFiles0,""" +
       s""""ckpt_bytes":$ckptBytes,""" +
       s""""components_pre_sec":${f"$tComponentsPre%.1f"},""" +

@@ -206,13 +206,32 @@ object EventStreams {
     *
     *   storeDir/v7/_MANIFEST                 commit marker + snapshot:
     *                                         "VIEWED <tab> …/v5/rel_type=VIEWED"
+    *                                         "VIEWED <tab> …/v7/rel_type=VIEWED"
     *   storeDir/v7/rel_type=ADDED_TO_CART/…  only partitions batch 7 touched
     *
-    * Each microbatch builds generation N+1 by merging ONLY the rel_type
-    * partitions the batch touches (work is O(touched partitions), not
-    * O(store)); untouched partitions are neither copied nor linked — the
-    * new generation's manifest references their existing data directories
-    * in place, exactly what a Delta/Iceberg MERGE records in its snapshot.
+    * Each microbatch builds generation N+1 by writing ONLY the batch's
+    * own rows per touched rel_type partition — a DELTA directory appended
+    * to that partition's manifest CHAIN (repeated `t\tdir` lines, chain
+    * order) — so commit I/O is O(batch), NOT O(store). The old
+    * rewrite-the-touched-partition merge had write amplification
+    * O(store-partition) per microbatch: over a stream's life that is
+    * Σ_batches |partition| ≈ B²·b bytes for B batches of size b — the
+    * constant that kills a month-long 100 TB ingest even though any one
+    * commit looks cheap (a 1-min-trigger day against a 1 TB store would
+    * rewrite ~1.4 PB). The store's content is a SET (the MERGE contract
+    * dedups on (user_id, product_id) within rel_type), so readers
+    * resolve a chain as union + dropDuplicates — a delta that replays
+    * rows already in the chain changes nothing, which is also what keeps
+    * checkpoint-replayed batches exactly-once at the content level.
+    * Chains are BOUNDED: when a partition's chain would exceed
+    * [[DeltaChainCap]] dirs, the merge folds chain ∪ batch into one
+    * compacted dir (a per-partition minor compaction) — read fan-in
+    * stays ≤ cap dirs and amortized write amplification drops to
+    * |partition|/cap per batch; [[compactEdgeStore]] (OPTIMIZE) folds
+    * every chain to one dir out-of-band. Untouched partitions are
+    * neither copied nor linked — the new manifest references their
+    * existing chains in place, exactly what a Delta/Iceberg MERGE
+    * records in its snapshot.
     * Publishing is the create-then-rename of the _MANIFEST inside the new
     * generation (dst never pre-exists → plain `FileSystem.rename`, atomic
     * on HDFS; object stores swap this for a conditional PUT): readers
@@ -223,9 +242,20 @@ object EventStreams {
     * the manifest closures of the new AND previous generations (one
     * publish cycle of snapshot expiry for in-flight readers); a data
     * directory lives exactly as long as a retained manifest references
-    * it. Read the store through `edgeStore`, never the raw dir. */
+    * it — under chains that includes delta dirs in older generation dirs,
+    * which therefore survive until a fold or OPTIMIZE releases them.
+    * Read the store through `edgeStore`, never the raw dir. */
   private val Manifest = "_MANIFEST"
   private val GenName = "v(\\d+)".r
+
+  /** Max delta dirs per rel_type partition before a merge folds the
+    * chain (minor compaction). Bounds read fan-in per partition and
+    * caps manifest length; 1 reproduces the old full-rewrite-per-merge
+    * behavior. Tunable per deployment: higher = cheaper commits,
+    * costlier cold reads between OPTIMIZE passes. */
+  private[graft] def DeltaChainCap: Int =
+    sys.props.get("spark.graft.store.deltaChainCap").map(_.toInt)
+      .getOrElse(8)
 
   private def hconf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -267,10 +297,11 @@ object EventStreams {
       .toSeq.sorted
   }
 
-  /** Parse one manifest file (no existence filtering — GC uses this to
-    * inspect closures that may be partially gone). */
+  /** Parse one manifest file into per-rel_type delta CHAINS (repeated
+    * `t\tdir` lines, file order = chain order; no existence filtering —
+    * GC uses this to inspect closures that may be partially gone). */
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
-                               mp: Path): Map[String, Path] =
+                               mp: Path): Map[String, Seq[Path]] =
     if (!fs.exists(mp)) Map.empty
     else {
       val buf = new Array[Byte](fs.getFileStatus(mp).getLen.toInt)
@@ -280,11 +311,12 @@ object EventStreams {
       body.split("\n").iterator.filter(_.nonEmpty).map { line =>
         val Array(t, p) = line.split("\t", 2)
         t -> new Path(p)
-      }.toMap
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     }
 
-  /** Snapshot of one committed generation: rel_type → data directory
-    * (possibly in an older generation — entries carry forward in place).
+  /** Snapshot of one committed generation: rel_type → delta-dir chain
+    * (dirs possibly in older generations — chains carry forward in
+    * place; a single-dir chain is exact, a longer one dedups at read).
     *
     * A snapshot whose closure is no longer fully on disk — GC removed a
     * data dir it carries forward, or a publish raced this read — is
@@ -293,16 +325,17 @@ object EventStreams {
     * unpublishes such manifests ([[publishGeneration]]), so steady-state
     * [[committedGenerations]] only lists fully readable snapshots; the
     * existence check here closes the read-side race. Cost: O(rel_type
-    * vocabulary) exists() calls. */
-  def manifestAt(storeDir: String, gen: Int): Map[String, Path] = {
+    * vocabulary × chain cap) exists() calls. */
+  def manifestAt(storeDir: String, gen: Int): Map[String, Seq[Path]] = {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(hconf())
     val snap = readManifestFile(fs, new Path(new Path(root, s"v$gen"), Manifest))
-    if (snap.nonEmpty && snap.values.forall(fs.exists)) snap else Map.empty
+    if (snap.nonEmpty && snap.values.forall(_.forall(fs.exists))) snap
+    else Map.empty
   }
 
   /** The live snapshot. */
-  def manifest(storeDir: String): Map[String, Path] =
+  def manifest(storeDir: String): Map[String, Seq[Path]] =
     currentGen(storeDir) match {
       case None => Map.empty
       case Some(gen) => manifestAt(storeDir,
@@ -319,7 +352,7 @@ object EventStreams {
     * them from the store forever. Fail the merge loudly instead; the
     * stream retries the batch, and a genuinely damaged store needs an
     * operator, not an auto-amputation. */
-  private def manifestStrict(storeDir: String): Map[String, Path] = {
+  private def manifestStrict(storeDir: String): Map[String, Seq[Path]] = {
     val root = new Path(storeDir)
     val fs = root.getFileSystem(hconf())
     currentGen(storeDir) match {
@@ -328,7 +361,7 @@ object EventStreams {
         val n = gen.getName match { case GenName(x) => x.toInt }
         val snap = readManifestFile(fs,
           new Path(new Path(root, s"v$n"), Manifest))
-        val missing = snap.values.filterNot(fs.exists)
+        val missing = snap.values.flatten.filterNot(fs.exists)
         if (missing.nonEmpty) throw new java.io.IOException(
           s"edge store $storeDir: live manifest v$n references missing " +
             s"data dirs ${missing.mkString(", ")} — refusing to publish " +
@@ -337,16 +370,29 @@ object EventStreams {
     }
   }
 
+  /** Resolve one partition's delta chain to its exact edge set. A
+    * single-dir chain (fresh fold or OPTIMIZE output) is exact as
+    * written — no dedup, no shuffle; a longer chain dedups the union
+    * (deltas may repeat edges already in the chain — by replay or by
+    * re-interaction — and the MERGE contract is set semantics). The
+    * dedup shuffle is bounded by the partition, and the cap bounds the
+    * union fan-in. */
+  private def readChain(spark: SparkSession, chain: Seq[Path]): DataFrame = {
+    val u = chain.map(p => spark.read.parquet(p.toString)
+        .select(col("user_id").cast("long"), col("product_id").cast("long")))
+      .reduce(_.unionByName(_))
+    if (chain.lengthCompare(1) > 0) u.dropDuplicates("user_id", "product_id")
+    else u
+  }
+
   private def readSnapshot(spark: SparkSession,
-                           snap: Map[String, Path]): DataFrame =
+                           snap: Map[String, Seq[Path]]): DataFrame =
     if (snap.isEmpty) {
       import spark.implicits._
       Seq.empty[(Long, Long, String)]
         .toDF("user_id", "product_id", "rel_type")
-    } else snap.toSeq.sortBy(_._1).map { case (t, p) =>
-      spark.read.parquet(p.toString)
-        .select(col("user_id").cast("long"), col("product_id").cast("long"),
-          lit(t).as("rel_type"))
+    } else snap.toSeq.sortBy(_._1).map { case (t, chain) =>
+      readChain(spark, chain).withColumn("rel_type", lit(t))
     }.reduce(_.unionByName(_))
 
   /** Read the live edge store (empty-but-typed frame before first publish —
@@ -509,7 +555,7 @@ object EventStreams {
     * claim identity publishGeneration re-verifies before the manifest
     * rename. */
   private case class CommitClaim(cur: Option[Path],
-                                 curMan: Map[String, Path], next: Path,
+                                 curMan: Map[String, Seq[Path]], next: Path,
                                  claim: Path, token: String)
 
   /** CONCURRENT-COMMITTER CONTRACT: writers to one store serialize via
@@ -572,7 +618,9 @@ object EventStreams {
   }
 
   /** Merge one batch of edges into the versioned store (the foreachBatch
-    * body; also directly callable for batch backfill). Safe under
+    * body; also directly callable for batch backfill): a delta-dir
+    * append on each touched partition's chain — O(batch) commit I/O —
+    * folding a chain that reaches [[DeltaChainCap]]. Safe under
     * concurrent committers — see [[withCommitClaim]] for the contract. */
   def mergeEdgeBatch(incoming: DataFrame, storeDir: String): Unit = {
     val spark = incoming.sparkSession
@@ -594,23 +642,31 @@ object EventStreams {
         // rebuild it. Exclusive under the claim: no racing builder's
         // half-written dir can be deleted here.
         if (fs.exists(cc.next)) fs.delete(cc.next, true)
-        // Touched partitions: existing ∪ incoming → dedup, one partition
-        // at a time, written into the new generation. Untouched
-        // partitions: manifest entries carried forward verbatim — zero
-        // I/O.
-        val entries = scala.collection.mutable.Map.empty[String, Path] ++
-          cc.curMan.view.filterKeys(!touched.contains(_)).toMap
+        // Touched partitions: append the batch's rows as a DELTA dir on
+        // the partition's chain — commit I/O is O(batch) — unless the
+        // chain would exceed the cap, in which case fold chain ∪ batch
+        // into one exact dir (per-partition minor compaction, the
+        // amortized |partition|/cap cost that keeps read fan-in
+        // bounded). Untouched partitions: chains carried forward
+        // verbatim — zero I/O.
+        val entries =
+          scala.collection.mutable.Map.empty[String, Seq[Path]] ++
+            cc.curMan.view.filterKeys(!touched.contains(_)).toMap
         for (t <- touched) {
           val mine = inc.filter(col("rel_type") === t)
             .select("user_id", "product_id")
-          val existing = cc.curMan.get(t)
-            .map(p => spark.read.parquet(p.toString)
-              .select("user_id", "product_id"))
-          val merged = existing.fold(mine)(mine.unionByName(_))
             .dropDuplicates("user_id", "product_id")
+          val chain = cc.curMan.getOrElse(t, Seq.empty)
           val dst = new Path(cc.next, s"rel_type=$t")
-          merged.write.mode("overwrite").parquet(dst.toString)
-          entries(t) = dst
+          if (chain.lengthCompare(DeltaChainCap) >= 0) {
+            val folded = (readChain(spark, chain).unionByName(mine))
+              .dropDuplicates("user_id", "product_id")
+            folded.write.mode("overwrite").parquet(dst.toString)
+            entries(t) = Seq(dst)
+          } else {
+            mine.write.mode("overwrite").parquet(dst.toString)
+            entries(t) = chain :+ dst
+          }
         }
         publishGeneration(fs, root, cc.next, entries.toMap, cc.cur,
           cc.curMan, Some(cc))
@@ -628,12 +684,13 @@ object EventStreams {
     * possible reader. */
   private def publishGeneration(fs: org.apache.hadoop.fs.FileSystem,
                                 root: Path, next: Path,
-                                entries: Map[String, Path],
+                                entries: Map[String, Seq[Path]],
                                 prevGen: Option[Path],
-                                prevMan: Map[String, Path],
+                                prevMan: Map[String, Seq[Path]],
                                 claim: Option[CommitClaim] = None): Unit = {
     val body = entries.toSeq.sortBy(_._1)
-      .map { case (t, p) => s"$t\t$p" }.mkString("\n")
+      .flatMap { case (t, chain) => chain.map(p => s"$t\t$p") }
+      .mkString("\n")
     val tmp = new Path(next, Manifest + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -649,8 +706,8 @@ object EventStreams {
     if (!fs.rename(tmp, new Path(next, Manifest)))
       throw new java.io.IOException(s"manifest publish failed for $next")
     val retained = (Set(next.getName) ++ prevGen.map(_.getName) ++
-      entries.values.map(_.getParent.getName) ++
-      prevMan.values.map(_.getParent.getName))
+      entries.values.flatten.map(_.getParent.getName) ++
+      prevMan.values.flatten.map(_.getParent.getName))
     for (st <- fs.listStatus(root)
          if st.isDirectory && !retained.contains(st.getPath.getName)
            && GenName.pattern.matcher(st.getPath.getName).matches())
@@ -669,7 +726,8 @@ object EventStreams {
       val mp = new Path(st.getPath, Manifest)
       val snap = readManifestFile(fs, mp)
       if (snap.nonEmpty &&
-          !snap.values.forall(p => retained.contains(p.getParent.getName)))
+          !snap.values.flatten
+            .forall(p => retained.contains(p.getParent.getName)))
         fs.delete(mp, false)
     }
   }
@@ -692,15 +750,16 @@ object EventStreams {
     withCommitClaim(storeDir) { cc =>
       if (cc.curMan.nonEmpty) {
         if (fs.exists(cc.next)) fs.delete(cc.next, true)
-        val entries = cc.curMan.map { case (t, p) =>
+        val entries = cc.curMan.map { case (t, chain) =>
           val dst = new Path(cc.next, s"rel_type=$t")
-          // In production filesPerPartition derives from target file
-          // size (bytes/128 MB); the mechanism — coalesce, not
-          // repartition: a rewrite must not shuffle — is the same at
-          // any size.
-          spark.read.parquet(p.toString).coalesce(filesPerPartition)
+          // Fold the whole delta chain to one exact dir. In production
+          // filesPerPartition derives from target file size
+          // (bytes/128 MB); the mechanism — coalesce, not repartition:
+          // a single-dir rewrite must not shuffle (a multi-dir fold
+          // already shuffles for its dedup) — is the same at any size.
+          readChain(spark, chain).coalesce(filesPerPartition)
             .write.mode("overwrite").parquet(dst.toString)
-          t -> dst
+          t -> Seq(dst)
         }
         publishGeneration(fs, root, cc.next, entries, cc.cur, cc.curMan,
           Some(cc))
@@ -832,8 +891,9 @@ object EventStreams {
     compactEdgeStore(spark, store, filesPerPartition = 1)
     val man = manifestAt(store, committedGenerations(store).last)
     val fs = new Path(store).getFileSystem(hconf())
-    val files = man.toSeq.map { case (t, p) =>
-      (t, fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")))
+    val files = man.toSeq.map { case (t, chain) =>
+      (t, chain.map(p =>
+        fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))).sum)
     }.toDF("rel_type", "n_files")
     edgeStore(spark, store)
       .groupBy("rel_type").agg(count(lit(1)).as("n"))

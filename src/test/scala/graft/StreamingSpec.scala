@@ -335,7 +335,7 @@ class StreamingSpec extends SparkTestBase {
         new java.io.File(p.toUri.getPath).listFiles().filter(_.isFile)
           .map(f => f.getName ->
             java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
-      val viewedBefore = fileBytes(man1("VIEWED"))
+      val viewedBefore = man1("VIEWED").map(fileBytes)
       // batch 2 touches only ADDED_TO_CART
       mem.addData(SeedFixture.events(4))
       q.processAllAvailable()
@@ -343,12 +343,12 @@ class StreamingSpec extends SparkTestBase {
       assert(gen2.getName != gen1.getName)
       val man2 = EventStreams.manifest(store)
       // Untouched partition: neither copied nor rewritten — the new
-      // snapshot references the SAME data directory (zero-I/O carry-over)
+      // snapshot references the SAME delta chain (zero-I/O carry-over)
       // and its bytes are untouched.
       assert(man2("VIEWED") == man1("VIEWED"))
-      assert(fileBytes(man2("VIEWED")) == viewedBefore)
-      // Touched partition: its data lives in the new generation.
-      assert(man2("ADDED_TO_CART").getParent.getName == gen2.getName)
+      assert(man2("VIEWED").map(fileBytes) == viewedBefore)
+      // Touched partition: its newest delta lives in the new generation.
+      assert(man2("ADDED_TO_CART").last.getParent.getName == gen2.getName)
     } finally q.stop()
   }
 
@@ -367,7 +367,7 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     // Damage the store: delete a data dir the live manifest carries.
     val viewedDir = new java.io.File(
-      EventStreams.manifest(store)("VIEWED").toUri.getPath)
+      EventStreams.manifest(store)("VIEWED").head.toUri.getPath)
     viewedDir.listFiles().foreach(_.delete()); viewedDir.delete()
     // READ path: expired/degraded snapshot → empty typed frame.
     assert(EventStreams.edgeStore(spark, store).isEmpty)
@@ -448,10 +448,13 @@ class StreamingSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(after == before && before.size == 5)
       val man = EventStreams.manifest(store)
-      man.values.foreach { p =>
-        val files = new java.io.File(p.toUri.getPath).listFiles()
+      man.values.foreach { chain =>
+        assert(chain.length == 1,
+          s"chain not folded by OPTIMIZE: ${chain.length} dirs")
+        val files = new java.io.File(chain.head.toUri.getPath).listFiles()
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        assert(files.length == 1, s"$p not compacted: ${files.length} files")
+        assert(files.length == 1,
+          s"${chain.head} not compacted: ${files.length} files")
       }
       // An empty compaction on an empty store is a no-op, not a crash.
       EventStreams.compactEdgeStore(spark,
@@ -666,14 +669,20 @@ class StreamingSpec extends SparkTestBase {
       .resolve("store").toString
     def batch(rel: String, uid: Long) =
       Seq((uid, 100L, rel)).toDF("user_id", "product_id", "rel_type")
+    // deltaChainCap=1 forces fold-per-merge (the pre-delta behavior) so
+    // the rewrite-then-GC scenario under test is reachable: with chains,
+    // v3 would APPEND to A and keep v1's dir referenced forever.
     // v1 writes A; v2 touches B (carries A:v1 forward); v3 rewrites A;
     // v4 touches C → GC deletes v1. v2's DIR survives (the live manifest
     // still references B:v2) but v2's own snapshot references A:v1 —
     // unreadable, so it must drop out of the committed window.
-    EventStreams.mergeEdgeBatch(batch("VIEWED", 1L), store)
-    EventStreams.mergeEdgeBatch(batch("CLICKED", 2L), store)
-    EventStreams.mergeEdgeBatch(batch("VIEWED", 3L), store)
-    EventStreams.mergeEdgeBatch(batch("ADDED_TO_CART", 4L), store)
+    sys.props("spark.graft.store.deltaChainCap") = "1"
+    try {
+      EventStreams.mergeEdgeBatch(batch("VIEWED", 1L), store)
+      EventStreams.mergeEdgeBatch(batch("CLICKED", 2L), store)
+      EventStreams.mergeEdgeBatch(batch("VIEWED", 3L), store)
+      EventStreams.mergeEdgeBatch(batch("ADDED_TO_CART", 4L), store)
+    } finally sys.props.remove("spark.graft.store.deltaChainCap")
     assert(!new java.io.File(store, "v1").exists(), "v1 should be GC'd")
     assert(new java.io.File(store, "v2").exists(), "v2 dir is still referenced")
     val gens = EventStreams.committedGenerations(store)
@@ -688,6 +697,45 @@ class StreamingSpec extends SparkTestBase {
       Seq("user_id", "product_id", "rel_type") && expired.isEmpty)
     // The live snapshot still carries all four edges.
     assert(EventStreams.edgeStore(spark, store).count() == 4)
+  }
+
+  test("edge store merges append O(batch) deltas; the chain folds at the cap") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-edges-delta")
+      .resolve("store").toString
+    def batch(edges: (Long, Long)*) =
+      edges.toSeq.map { case (u, p) => (u, p, "VIEWED") }
+        .toDF("user_id", "product_id", "rel_type")
+    def rawRows(p: org.apache.hadoop.fs.Path): Long =
+      spark.read.parquet(p.toString).count()
+    sys.props("spark.graft.store.deltaChainCap") = "3"
+    try {
+      // b1 seeds the partition; b2 and b3 append DELTAS: each new dir
+      // holds ONLY its batch's rows (commit I/O is O(batch), the
+      // write-amplification contract), even when the batch replays an
+      // edge the chain already holds.
+      EventStreams.mergeEdgeBatch(batch((1L, 100L)), store)
+      EventStreams.mergeEdgeBatch(batch((1L, 100L), (2L, 100L)), store)
+      val man2 = EventStreams.manifest(store)("VIEWED")
+      assert(man2.length == 2, s"expected a 2-dir chain: $man2")
+      assert(rawRows(man2.last) == 2,
+        "delta dir must hold only the batch's rows, not the merged set")
+      // Read-side dedup: the replayed (1,100) counts once.
+      assert(EventStreams.edgeStore(spark, store).count() == 2)
+      EventStreams.mergeEdgeBatch(batch((3L, 100L)), store)
+      assert(EventStreams.manifest(store)("VIEWED").length == 3)
+      // Time travel across delta generations stays exact.
+      val gens = EventStreams.committedGenerations(store)
+      assert(EventStreams.edgeStoreAt(spark, store, gens.head).count() == 1)
+      // b4 hits the cap → the merge FOLDS chain ∪ batch into one exact
+      // dir (per-partition minor compaction).
+      EventStreams.mergeEdgeBatch(batch((4L, 100L)), store)
+      val man4 = EventStreams.manifest(store)("VIEWED")
+      assert(man4.length == 1, s"chain should fold at the cap: $man4")
+      assert(rawRows(man4.head) == 4)
+      assert(EventStreams.edgeStore(spark, store)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    } finally sys.props.remove("spark.graft.store.deltaChainCap")
   }
 
   test("concurrent committers serialize: every committed batch survives, no lost partitions") {
