@@ -42,12 +42,26 @@ object StoreScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // hdfs (default) = HDFSBackedStateStoreProvider: whole state map in
+    // executor memory, copied per version — per-batch cost grows with
+    // TOTAL state. rocksdb = RocksDBStateStoreProvider: incremental
+    // on-disk state, per-batch cost tracks the CHANGED keys — the
+    // provider a long-lived 100 TB dedup stream runs.
+    val stateProvider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    // OPTIMIZE target file size, scaled down for probe-sized stores the
+    // same way shuffle partitions are sized by data (128 MiB in
+    // production; a probe store is smaller than one production file).
+    sys.env.get("SPARK_GRAFT_COMPACT_TARGET_BYTES")
+      .foreach(v => sys.props("spark.graft.store.compactTargetBytes") = v)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateProvider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def timed[A](f: => A): (A, Double) = {
@@ -78,27 +92,62 @@ object StoreScaleProbe {
     val store = s"$base/store"
     val ckpt = s"$base/ckpt"
 
-    // Spool the events into nBatches files (setup, untimed): the probe
-    // measures the store tier, not this rewrite. round_robin via
-    // repartition(n) without keys — even batch sizes.
+    // Spool the events into nBatches CONTIGUOUS TIME-RANGE files with
+    // increasing mtimes (setup, untimed): the file source delivers
+    // batches in event-time order, which is what a real stream's
+    // arrival looks like and what the ingest's late-data contract
+    // expects. A round-robin spool (repartition(n) without keys) is NOT
+    // a stream: file 1 spans the whole time range, the watermark jumps
+    // to global-max − 10 min after one batch, and every later file is
+    // mostly late — measured on sf0.1: an 8-file round-robin spool kept
+    // only 24,604 of 93,647 true edges (74% silently dropped; the
+    // defect this probe caught — see the maintainEdgeStore scaladoc).
     val ev = Tables.load(spark, sfDir, "events")
     val nEvents = ev.count()
-    ev.repartition(nBatches).write.mode("overwrite").parquet(spool)
+    ev.repartitionByRange(nBatches, col("ts"))
+      .write.mode("overwrite").parquet(spool)
+    locally {
+      val files = Option(new java.io.File(spool).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(files.length >= 2, s"expected multiple spool files in $spool")
+      var mtime = System.currentTimeMillis() - 3600000
+      files.foreach { f => require(f.setLastModified(mtime)); mtime += 2000 }
+    }
 
     // --- 1. streaming ingest through the real maintenance query ---
     val raw = spark.read.parquet(spool)
     val stream = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(spool)
-    val (_, tIngest) = timed {
+    val (perBatch, tIngest) = timed {
       val q = streaming.EventStreams.maintainEdgeStore(
         stream, store, checkpointDir = Some(ckpt), availableNow = true)
       q.awaitTermination()
+      // Per-batch wall + state rows: flat batch times = O(batch) commits;
+      // batch times growing with ACCUMULATED state = the state backend
+      // paying O(total state) per version (the HDFS-backed map copy).
+      q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+        val stateRows = Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsTotal).sum
+        (p.batchId, p.durationMs.get("triggerExecution").longValue(),
+          Option(p.durationMs.get("addBatch")).map(_.longValue())
+            .getOrElse(-1L),
+          p.numInputRows, stateRows)
+      }
     }
     val gens = streaming.EventStreams.committedGenerations(store)
     val ingestBytesWritten = bytesWritten.get()
     val edgesAfterIngest =
       streaming.EventStreams.edgeStore(spark, store).count()
+    // With in-order delivery nothing is late, so stream content must
+    // equal the batch dedup EXACTLY — the probe measures throughput of a
+    // correct ingest, not of one quietly shedding load.
+    val edgesBatchTruth =
+      streaming.EventStreams.dedupedBehavioralEdges(raw).count()
+    require(edgesAfterIngest == edgesBatchTruth,
+      s"stream lost edges vs batch dedup: $edgesAfterIngest of " +
+        s"$edgesBatchTruth (late-drop — is the spool time-ordered?)")
     val storeBytes0 = duBytes(store)
     val storeFiles0 = fileCount(store)
     val ckptBytes = duBytes(ckpt)
@@ -139,8 +188,13 @@ object StoreScaleProbe {
       s"edge count drifted across compaction: " +
         s"$edgesAfterIngest -> $edgesAfterCompact")
 
+    // [batchId, triggerMs, addBatchMs, inputRows, stateRows]
+    val perBatchJson = perBatch.map { case (id, ms, abMs, in, rows) =>
+      s"""[$id,$ms,$abMs,$in,$rows]"""
+    }.mkString("[", ",", "]")
     println(
       s"""{"probe":"store_scale","sf_dir":"$sfDir","n_events":$nEvents,""" +
+      s""""state_provider":"$stateProvider","per_batch_ms":$perBatchJson,""" +
       s""""n_batches":$nBatches,"ingest_sec":${f"$tIngest%.1f"},""" +
       s""""events_per_sec":${f"${nEvents / math.max(tIngest, 1e-9)}%.0f"},""" +
       s""""generations_committed":${gens.length},""" +

@@ -78,7 +78,26 @@ object EventStreams {
     * farther apart than the watermark re-emit; the downstream store merge
     * (maintainEdgeStore) absorbs them idempotently. */
   def dedupedBehavioralEdges(events: DataFrame): DataFrame = {
-    val typed = events.withWatermark("ts", "10 minutes")
+    // Optional unsplittable-batch spread — the streaming twin of
+    // Tables.spread: a file-source microbatch is typically ONE
+    // single-row-group parquet file, a one-task scan evaluating the
+    // per-event JSON parse below on a single core. Exchanging the raw
+    // rows round-robin before the extraction distributes the parse —
+    // but it ALSO serializes the whole batch through the one scan
+    // task's shuffle write, and the 100× probe measured the spread a
+    // net LOSS there (flat 12–18 s/batch without it vs 48–194 s with);
+    // the steady-state parse is cheap once the state backend is RocksDB
+    // (see builtStore). Kept behind a default-off knob for sources
+    // whose batches are wider or whose parse is heavier; replay-safe
+    // either way (the dedup keys are the only output columns, so
+    // round-robin placement cannot change emitted content).
+    val spread =
+      if (events.isStreaming &&
+          sys.props.get("spark.graft.stream.spread").contains("true"))
+        events.repartition(
+          events.sparkSession.sessionState.conf.numShufflePartitions)
+      else events
+    val typed = spread.withWatermark("ts", "10 minutes")
       .withColumn("rel_type", Relational.relTypeOf)
       .filter(col("rel_type").isNotNull)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -256,6 +275,14 @@ object EventStreams {
   private[graft] def DeltaChainCap: Int =
     sys.props.get("spark.graft.store.deltaChainCap").map(_.toInt)
       .getOrElse(8)
+
+  /** Target compacted file size for [[compactEdgeStore]]: a partition's
+    * chain folds to ceil(bytes/target) files. 128 MiB default (the
+    * warehouse-standard scan split); scale probes shrink it the same
+    * way they size shuffle partitions by data. */
+  private[graft] def CompactTargetBytes: Long =
+    sys.props.get("spark.graft.store.compactTargetBytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
 
   private def hconf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -742,7 +769,7 @@ object EventStreams {
     * of the stream (a maintenance job), row-set identity asserted in
     * StreamingSpec. */
   def compactEdgeStore(spark: SparkSession, storeDir: String,
-                       filesPerPartition: Int = 1): Unit = {
+                       filesPerPartition: Int = 0): Unit = {
     val root = new Path(storeDir)
     requireClaimCapableFs(root)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -752,12 +779,31 @@ object EventStreams {
         if (fs.exists(cc.next)) fs.delete(cc.next, true)
         val entries = cc.curMan.map { case (t, chain) =>
           val dst = new Path(cc.next, s"rel_type=$t")
-          // Fold the whole delta chain to one exact dir. In production
-          // filesPerPartition derives from target file size
-          // (bytes/128 MB); the mechanism — coalesce, not repartition:
-          // a single-dir rewrite must not shuffle (a multi-dir fold
-          // already shuffles for its dedup) — is the same at any size.
-          readChain(spark, chain).coalesce(filesPerPartition)
+          // Fold the whole delta chain to one exact dir, sized to the
+          // target file size: nFiles = ceil(chain bytes / target), so a
+          // big partition compacts to many target-sized files, never to
+          // ONE unsplittable row group. (Parquet files split at row-
+          // group granularity and the writer's block size matches the
+          // file target, so a single compacted file is read by a single
+          // task no matter how many input splits the scan planner cuts —
+          // the 100× probe measured the components query 1.6× SLOWER
+          // over a 1-file-per-partition compaction than over the delta
+          // chains it replaced. Small stores still fold to one file,
+          // which is the open-cost win compaction exists for.)
+          // Mechanism — coalesce, not repartition: a single-dir rewrite
+          // must not shuffle (a multi-dir fold already shuffles for its
+          // dedup).
+          val nFiles =
+            if (filesPerPartition > 0) filesPerPartition
+            else {
+              val bytes = chain.map { dir =>
+                if (fs.exists(dir)) fs.getContentSummary(dir).getLength
+                else 0L
+              }.sum
+              math.max(1L, (bytes + CompactTargetBytes - 1) /
+                CompactTargetBytes).toInt
+            }
+          readChain(spark, chain).coalesce(nFiles)
             .write.mode("overwrite").parquet(dst.toString)
           t -> Seq(dst)
         }
@@ -778,7 +824,24 @@ object EventStreams {
     * committed batch survives, untouched partitions carry forward.
     * `availableNow` drains all
     * currently-available input and stops — the batch-ingest trigger the
-    * registry's store-sourced queries use. */
+    * registry's store-sourced queries use.
+    *
+    * LATE-DATA CONTRACT: the ingest expects approximately EVENT-TIME
+    * ORDERED arrival; the watermark delay (10 min) is the tolerated
+    * disorder bound. Rows older than `max(ts seen) − delay` are dropped
+    * by the watermarked dedup BEFORE the store merge — standard
+    * Structured Streaming semantics, but for this store it means a late
+    * NEW edge is lost relative to the batch twin, not merely deduped.
+    * Feeding time-scrambled files (e.g. a round-robin spool of a sorted
+    * table, where file 1 spans the full time range and advances the
+    * watermark past everything) silently discards most of the input:
+    * measured on the sf0.1 slice, a round-robin 8-file spool kept only
+    * 24,604 of 93,647 true edges (74% dropped). Backfills
+    * of unordered history must either slice input by time range
+    * ([[graft.StoreScaleProbe]] shows the repartitionByRange spool) or
+    * use the batch path (`mergeEdgeBatch` directly), which has no
+    * watermark. With in-order delivery, store content equals the batch
+    * dedup exactly (asserted in StreamingSpec and by the probe). */
   def maintainEdgeStore(events: DataFrame, storeDir: String,
                         checkpointDir: Option[String] = None,
                         availableNow: Boolean = false)
@@ -819,9 +882,26 @@ object EventStreams {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         .take(12)
       val base = graft.Scratch.dir("graft-estore", tag)
-      val q = maintainEdgeStore(eventStream(spark, dir), s"$base/store",
-        checkpointDir = Some(s"$base/ckpt"), availableNow = true)
-      q.awaitTermination()
+      // Pin the RocksDB state store for the ingest: the 100× store probe
+      // measured the default HDFS-backed provider hitting a one-time
+      // multi-hundred-second single-core stall at >1M-row dedup state
+      // (531 s on one batch; 4.9× total ingest) that RocksDB — whose
+      // per-version cost tracks CHANGED keys, not total state — does not
+      // exhibit (flat 12–18 s/batch). Provider choice cannot change
+      // results, only the state backend; set per-query at start time and
+      // restored after, so other streams keep the session default.
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val q = maintainEdgeStore(eventStream(spark, dir), s"$base/store",
+          checkpointDir = Some(s"$base/ckpt"), availableNow = true)
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
       s"$base/store"
     }
 
