@@ -721,8 +721,12 @@ object Similarity {
   val KnnJoinK: Int = 3
   val KnnJoinNProbe: Int = 2
 
-  def knnJoin(spark: SparkSession, dir: String, k: Int = KnnJoinK,
-              nProbe: Int = KnnJoinNProbe): DataFrame = {
+  /** The N^1.5 bulk of the batch kNN join — every vector × every member
+    * of its nProbe nearest cells, scored — factored out so cost probes
+    * can measure candidate generation + cosine in isolation from the
+    * downstream top-k machinery. */
+  private[graft] def knnScored(spark: SparkSession, dir: String,
+                               nProbe: Int): DataFrame = {
     val (model, assigned, _) = ivfIndex(spark, dir, 0)
     val centers = model.clusterCenters.map(_.toArray)
     val e = transform(col("embedding"), x => x.cast("double"))
@@ -737,13 +741,18 @@ object Similarity {
     val queries = assigned
       .select(col("vec_id").as("q"), col("embedding").as("qe"),
         explode(probes).as("cluster"))
-    val scored = queries.join(
+    queries.join(
         assigned.select(col("cluster"), col("vec_id").as("nn"),
           col("embedding").as("ne")),
         Seq("cluster"))
       .filter(col("q") =!= col("nn"))
       .select(col("cluster"), col("q"), col("nn"),
         cosine(col("qe"), col("ne")).as("cos"))
+  }
+
+  def knnJoin(spark: SparkSession, dir: String, k: Int = KnnJoinK,
+              nProbe: Int = KnnJoinNProbe): DataFrame = {
+    val scored = knnScored(spark, dir, nProbe)
     // PER-CELL top-k FIRST, before anything q-keyed: the scored relation
     // is |V|·nProbe·cellsize rows (the N^1.5 bulk of this operator), and
     // the old plan shuffled ALL of it twice — once by (q, nn) for the
