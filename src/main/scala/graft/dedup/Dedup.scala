@@ -150,71 +150,112 @@ object Dedup {
     sys.props.get("spark.graft.dedup.verify.arrayCap").map(_.toInt)
       .getOrElse(1 << 16)
 
+  /** Corpus-wide max distinct-shingle count per doc — the ONE scalar the
+    * huge-doc split below is gated on. Memoized per dir (cap-independent,
+    * compared at plan-build time) and computed as a single count-max
+    * aggregation over the already-persisted shingle relation, so the
+    * whole MinHash family pays it once per JVM instead of every verify
+    * call paying the split's plumbing. Conservative by construction: the
+    * corpus max bounds every participant subset's max, so "corpus max ≤
+    * cap" proves no verify call can ever meet a huge doc. */
+  private[graft] def maxDocShingles(spark: SparkSession, dir: String): Long =
+    graft.Memo.get(spark, "dedup-max-shingles", dir) {
+      shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+    }
+
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, anyHuge: Boolean): DataFrame = {
     val participants = candidates.select(col("d1").as("doc_id"))
       .unionAll(candidates.select(col("d2").as("doc_id"))).distinct()
     val shp = sh.join(participants, Seq("doc_id"), "left_semi")
-    // Exact per-doc set sizes first (a count agg builds no arrays) —
-    // they gate the huge-doc split and serve as n1/n2 on the row path.
-    val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val hugeIds = sizes.filter(col("n") > verifyShingleArrayCap)
-      .select("doc_id")
-    // One ARRAY row per NON-huge participant doc, intersected per pair —
-    // never the (pair × shingle) expansion: candidates are dup-mass-
-    // linear but each carries ~|shingle set| rows through two joins, and
-    // the second join re-shuffles that product by (d2, s). Measured at
-    // the 30× slice: 236M- and 116M-row intermediates for 4.6M
-    // candidates (SweepProbe); at 100× the sort spill of that product
-    // filled the disk. As doc-keyed array joins the flowing relation
-    // stays |candidates| rows; the doc-set side is participants-bounded,
-    // so AQE broadcasts it at bench scales and degrades to a doc-keyed
+    // One ARRAY row per participant doc, intersected per pair — never
+    // the (pair × shingle) expansion: candidates are dup-mass-linear
+    // but each carries ~|shingle set| rows through two joins, and the
+    // second join re-shuffles that product by (d2, s). Measured at the
+    // 30× slice: 236M- and 116M-row intermediates for 4.6M candidates
+    // (SweepProbe); at 100× the sort spill of that product filled the
+    // disk. As doc-keyed array joins the flowing relation stays
+    // |candidates| rows; the doc-set side is participants-bounded, so
+    // AQE broadcasts it at bench scales and degrades to a doc-keyed
     // (never shingle-keyed) shuffle when the dup mass itself is huge.
     // array_intersect is exact here — shingle rows are distinct per doc.
-    val docSets = shp.join(hugeIds, Seq("doc_id"), "left_anti")
-      .groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
-    val arrayPairs = candidates
-      .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
-      .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
-    val arrayCounted = arrayPairs
-      .join(docSets.select(col("doc_id").as("d1"), col("ss").as("ss1")),
-        "d1")
-      .join(docSets.select(col("doc_id").as("d2"), col("ss").as("ss2")),
-        "d2")
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("ss1"), col("ss2")))
-          .cast("long").as("c"),
-        size(col("ss1")).cast("long").as("n1"),
-        size(col("ss2")).cast("long").as("n2"))
-    // Row-based fallback for pairs touching a huge doc: the (pair ×
-    // shingle) expansion is restricted to THOSE pairs only, and it flows
-    // as ordinary splittable/spillable rows (a shuffled semi-join on
-    // (d2, s)) rather than one giant in-memory array. Empty at every
-    // real scale; exact whenever it runs.
-    // Explicit selects on both arms: a usingColumns join puts the join
-    // key FIRST in its output, so the d2 arm would emit (d2, d1) and the
-    // positional unionAll would mirror every pair.
-    val hugePairs = candidates
-      .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
-      .select("d1", "d2")
-      .unionAll(candidates
-        .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
-        .select("d1", "d2"))
-      .distinct()
-    val rowCounted = shp.select(col("doc_id").as("d1"), col("s"))
-      .join(hugePairs.select("d1", "d2"), Seq("d1"))
-      .join(shp.select(col("doc_id").as("d2"), col("s")),
-        Seq("d2", "s"), "left_semi")
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      // right join keeps zero-intersection huge pairs (c = 0) so a
-      // threshold of 0.0 still sees them, matching the array path.
-      .join(hugePairs.select("d1", "d2"), Seq("d1", "d2"), "right")
-      .na.fill(0L, Seq("c"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .select(col("d1"), col("d2"), col("c").cast("long").as("c"),
-        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
-    arrayCounted.unionByName(rowCounted)
+    //
+    // The adversarial huge-doc split (the `anyHuge` branch) exists
+    // because a doc above the array cap folds into ONE unsplittable
+    // multi-MB collect_list row — but its plumbing (a sizes aggregation,
+    // two anti-joins, a double semi-join + distinct over candidates and
+    // a row-path join chain) is NOT free even when the huge set is
+    // empty: Spark plans and partially executes all of it, and at sf0.1
+    // that cost the whole MinHash family 3-6× (round-11 A/B). So the
+    // split is built ONLY when the corpus max (one memoized scalar,
+    // [[maxDocShingles]]) actually exceeds the cap; every real corpus
+    // (max ~10² vs cap 2¹⁶) takes the pure array plan below.
+    val counted = if (!anyHuge) {
+      val docSets = shp.groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+      candidates
+        .join(docSets.select(col("doc_id").as("d1"), col("ss").as("ss1")),
+          "d1")
+        .join(docSets.select(col("doc_id").as("d2"), col("ss").as("ss2")),
+          "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("ss1"), col("ss2")))
+            .cast("long").as("c"),
+          size(col("ss1")).cast("long").as("n1"),
+          size(col("ss2")).cast("long").as("n2"))
+    } else {
+      // Exact per-doc set sizes first (a count agg builds no arrays) —
+      // they gate the huge-doc split and serve as n1/n2 on the row path.
+      val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val hugeIds = sizes.filter(col("n") > verifyShingleArrayCap)
+        .select("doc_id")
+      val docSets = shp.join(hugeIds, Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+      val arrayPairs = candidates
+        .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
+        .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
+      val arrayCounted = arrayPairs
+        .join(docSets.select(col("doc_id").as("d1"), col("ss").as("ss1")),
+          "d1")
+        .join(docSets.select(col("doc_id").as("d2"), col("ss").as("ss2")),
+          "d2")
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("ss1"), col("ss2")))
+            .cast("long").as("c"),
+          size(col("ss1")).cast("long").as("n1"),
+          size(col("ss2")).cast("long").as("n2"))
+      // Row-based fallback for pairs touching a huge doc: the (pair ×
+      // shingle) expansion is restricted to THOSE pairs only, and it
+      // flows as ordinary splittable/spillable rows (a shuffled
+      // semi-join on (d2, s)) rather than one giant in-memory array.
+      // Exact whenever it runs.
+      // Explicit selects on both arms: a usingColumns join puts the join
+      // key FIRST in its output, so the d2 arm would emit (d2, d1) and
+      // the positional unionAll would mirror every pair.
+      val hugePairs = candidates
+        .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+        .select("d1", "d2")
+        .unionAll(candidates
+          .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"),
+            "left_semi")
+          .select("d1", "d2"))
+        .distinct()
+      val rowCounted = shp.select(col("doc_id").as("d1"), col("s"))
+        .join(hugePairs.select("d1", "d2"), Seq("d1"))
+        .join(shp.select(col("doc_id").as("d2"), col("s")),
+          Seq("d2", "s"), "left_semi")
+        .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+        // right join keeps zero-intersection huge pairs (c = 0) so a
+        // threshold of 0.0 still sees them, matching the array path.
+        .join(hugePairs.select("d1", "d2"), Seq("d1", "d2"), "right")
+        .na.fill(0L, Seq("c"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .select(col("d1"), col("d2"), col("c").cast("long").as("c"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+      arrayCounted.unionByName(rowCounted)
+    }
+    counted
       // Raw IEEE-754 division of exact longs — bit-identical in Spark and
       // DuckDB, unlike round() whose half-rule differs between engines.
       .withColumn("jacc", col("c").cast("double") /
@@ -390,7 +431,8 @@ object Dedup {
         Seq("band", "key"))
       .filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    verifyJaccard(sh, candidates, threshold)
+    verifyJaccard(sh, candidates, threshold,
+      anyHuge = maxDocShingles(spark, dir) > verifyShingleArrayCap)
   }
 
   /** Cross-source near-duplicate matrix: where duplication comes FROM —
@@ -478,7 +520,8 @@ object Dedup {
         .select(col("doc_id").as("d1"), col("band"), col("key")),
         Seq("band", "key"))
       .select("d1", "d2").distinct()
-    val nearIds = verifyJaccard(shingles(spark, dir), cand, threshold)
+    val nearIds = verifyJaccard(shingles(spark, dir), cand, threshold,
+        anyHuge = maxDocShingles(spark, dir) > verifyShingleArrayCap)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("nr", lit(1))
     newFp.select("doc_id")

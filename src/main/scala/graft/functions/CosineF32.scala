@@ -64,20 +64,33 @@ case class CosineF32(left: Expression, right: Expression)
     }
   }
 
+  // Every emitted local goes through ctx.freshName: two cosine-bearing
+  // expressions can land in ONE generated function (a projection scoring
+  // two vector columns — or the parity spec itself), where fixed names
+  // make Janino fail ("Redefinition of local variable") and Spark
+  // silently interpret the whole projection. CODEGEN_ONLY specs in
+  // FunctionsSpec pin this.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double x = (double) $a.getFloat(i);
-         |    double y = (double) $b.getFloat(i);
-         |    dot += x * y; na += x * x; nb += y * y;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
          |}
        """.stripMargin
     })

@@ -62,23 +62,29 @@ case class SrpSig(left: Expression, right: Expression)
     sig
   }
 
+  // ALL emitted locals (including loop variables) via ctx.freshName —
+  // same Janino redefinition hazard as CosineF32 when two signature
+  // expressions share one generated function.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, _) => {
       val masksRef = ctx.addReferenceObj("srpMasks", masks, "long[]")
       val sig = ctx.freshName("sig")
       val acc = ctx.freshName("acc")
       val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
       s"""
          |long $sig = 0L;
          |if ($a.numElements() == ${SrpSig.Dim}) {
-         |  for (int j = 0; j < $masksRef.length; j++) {
+         |  for (int $j = 0; $j < $masksRef.length; $j++) {
          |    double $acc = 0.0;
-         |    long $m = $masksRef[j];
-         |    for (int i = 0; i < ${SrpSig.Dim}; i++) {
-         |      double x = (double) $a.getFloat(i);
-         |      $acc += ((($m >>> i) & 1L) == 0L) ? x : -x;
+         |    long $m = $masksRef[$j];
+         |    for (int $i = 0; $i < ${SrpSig.Dim}; $i++) {
+         |      double $x = (double) $a.getFloat($i);
+         |      $acc += ((($m >>> $i) & 1L) == 0L) ? $x : -$x;
          |    }
-         |    if ($acc >= 0.0) $sig |= (1L << j);
+         |    if ($acc >= 0.0) $sig |= (1L << $j);
          |  }
          |}
          |${ev.value} = $sig;

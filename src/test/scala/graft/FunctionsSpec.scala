@@ -9,9 +9,26 @@ import graft.similarity.Similarity
 class FunctionsSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
-  test("native cosine is bit-identical to the fold formulation") {
-    GraftFunctions.register(spark)
-    val e = graft.Tables.load(spark, dir, "embeddings")
+  /** A session where expression-codegen failure is a TEST FAILURE, not a
+    * silent interpreter fallback: factoryMode=CODEGEN_ONLY forces the
+    * generated projection path and codegen.fallback=false turns a Janino
+    * compile error (e.g. two expressions emitting the same fixed local
+    * name into one generated function) into a thrown exception instead
+    * of a de-vectorized plan. Cloned via newSession() so the shared test
+    * session's conf is untouched (suites run in parallel). Round-11
+    * lesson: without this, the cosine parity test itself tripped a
+    * redefinition error and quietly validated the INTERPRETED path. */
+  private def codegenOnlySession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s
+  }
+
+  test("native cosine is bit-identical to the fold formulation (CODEGEN_ONLY)") {
+    val s = codegenOnlySession()
+    GraftFunctions.register(s)
+    val e = graft.Tables.load(s, dir, "embeddings")
     val seed = e.filter(col("vec_id") === 0L).select(col("embedding").as("se"))
     val both = e.crossJoin(broadcast(seed))
       .select(col("vec_id"),
@@ -75,9 +92,10 @@ class FunctionsSpec extends SparkTestBase {
       s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
   }
 
-  test("native srp_sig is bit-identical to the 32-fold formulation") {
-    GraftFunctions.register(spark)
-    val e = graft.Tables.load(spark, dir, "embeddings")
+  test("native srp_sig is bit-identical to the 32-fold formulation (CODEGEN_ONLY)") {
+    val s = codegenOnlySession()
+    GraftFunctions.register(s)
+    val e = graft.Tables.load(s, dir, "embeddings")
     val both = e.select(col("vec_id"),
         Similarity.srpSignature(col("embedding")).as("native"),
         Similarity.srpSignatureFold(col("embedding")).as("fold"))
@@ -87,6 +105,35 @@ class FunctionsSpec extends SparkTestBase {
       s"vec ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}"))
     // signatures actually vary (a constant signature would be vacuous)
     assert(both.map(_.getLong(1)).distinct.length > 10)
+  }
+
+  test("two cosines + two srp_sigs in ONE projection compile (CODEGEN_ONLY)") {
+    // The round-11 defect: fixed local names in doGenCode made any
+    // projection bearing TWO native expressions fail Janino compilation
+    // ("Redefinition of local variable") and silently interpret. This
+    // composes both expression kinds twice in one select — under
+    // CODEGEN_ONLY + fallback=false a regression throws instead of
+    // passing on the interpreted path.
+    val s = codegenOnlySession()
+    GraftFunctions.register(s)
+    val e = graft.Tables.load(s, dir, "embeddings")
+    val seed = e.filter(col("vec_id") === 0L).select(col("embedding").as("se"))
+    val rows = e.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        GraftFunctions.cosineF32(col("embedding"), col("se")).as("c1"),
+        GraftFunctions.cosineF32(col("se"), col("embedding")).as("c2"),
+        Similarity.srpSignature(col("embedding")).as("g1"),
+        Similarity.srpSignature(col("se")).as("g2"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      // cosine is symmetric — the two emissions must agree bit-for-bit
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+    val seedSig = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == seedSig)) // g2 is constant per row
   }
 
   test("null inputs propagate null (BinaryExpression null-safety)") {
