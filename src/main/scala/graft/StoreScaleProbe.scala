@@ -63,6 +63,12 @@ object StoreScaleProbe {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // recentProgress retains only the last numRecentProgressUpdates
+    // (default ~100) entries — a run with nBatches above that would
+    // silently truncate the per-batch series this probe's O(batch)
+    // argument is read from. Size the buffer to the run.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nBatches + 16).toString)
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -120,22 +126,31 @@ object StoreScaleProbe {
     val stream = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(spool)
-    val (perBatch, tIngest) = timed {
+    val ((perBatch, wmDropped), tIngest) = timed {
       val q = streaming.EventStreams.maintainEdgeStore(
         stream, store, checkpointDir = Some(ckpt), availableNow = true)
       q.awaitTermination()
       // Per-batch wall + state rows: flat batch times = O(batch) commits;
       // batch times growing with ACCUMULATED state = the state backend
       // paying O(total state) per version (the HDFS-backed map copy).
-      q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+      val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
         val stateRows = Option(p.stateOperators).toSeq.flatten
           .map(_.numRowsTotal).sum
-        (p.batchId, p.durationMs.get("triggerExecution").longValue(),
+        (p.batchId,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue())
+            .getOrElse(-1L),
           Option(p.durationMs.get("addBatch")).map(_.longValue())
             .getOrElse(-1L),
           p.numInputRows, stateRows)
       }
+      (batches, streaming.EventStreams.watermarkDropped(q))
     }
+    // The time-range spool is event-time ordered, so the watermark must
+    // drop NOTHING — assert on the engine's own drop counter (not just
+    // the count identity below), so unordered input fails loudly here.
+    require(wmDropped == 0L,
+      s"watermark dropped $wmDropped input rows during the ingest — " +
+        "the spool is not event-time ordered")
     val gens = streaming.EventStreams.committedGenerations(store)
     val ingestBytesWritten = bytesWritten.get()
     val edgesAfterIngest =
@@ -198,6 +213,7 @@ object StoreScaleProbe {
       s""""n_batches":$nBatches,"ingest_sec":${f"$tIngest%.1f"},""" +
       s""""events_per_sec":${f"${nEvents / math.max(tIngest, 1e-9)}%.0f"},""" +
       s""""generations_committed":${gens.length},""" +
+      s""""watermark_dropped":$wmDropped,""" +
       s""""n_edges":$edgesAfterIngest,""" +
       s""""ingest_bytes_written":$ingestBytesWritten,""" +
       s""""store_bytes_pre":$storeBytes0,"store_files_pre":$storeFiles0,""" +

@@ -25,6 +25,78 @@ import graft.operators.Relational
   */
 object EventStreams {
 
+  /** Watermark-drop monitor: the late-data contract on
+    * [[maintainEdgeStore]] is only as good as its enforcement — the
+    * round-11 probe found a time-scrambled spool silently losing 74% of
+    * its edges, and scaladoc alone does not stop the next caller from
+    * repeating that. This listener surfaces every stateOperator's
+    * `numRowsDroppedByWatermark` from query progress: a nonzero batch
+    * logs a WARN naming the query and the running total, and
+    * [[watermarkDropped]] exposes the counter so ingest paths (builtStore,
+    * StoreScaleProbe) can assert zero instead of trusting input order.
+    * Per-query totals are kept after termination (bounded by queries
+    * started per JVM — a handful); the terminated-id set is what lets
+    * readers wait out the async listener bus. */
+  private object WatermarkDropMonitor {
+    val drops = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
+    val terminated: java.util.Set[java.util.UUID] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    private val log = org.slf4j.LoggerFactory.getLogger(
+      "graft.streaming.WatermarkDropMonitor")
+    final class Listener
+        extends org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryProgressEvent): Unit = {
+        val d = Option(e.progress.stateOperators).toSeq.flatten
+          .map(_.numRowsDroppedByWatermark).sum
+        if (d > 0) {
+          val total = drops
+            .computeIfAbsent(e.progress.id,
+              _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(d)
+          log.warn(s"query ${e.progress.id} batch ${e.progress.batchId}: " +
+            s"$d input rows silently dropped by the watermark ($total " +
+            "total) — input is out of event-time order; late NEW edges " +
+            "are LOST relative to the batch twin. Slice backfills by " +
+            "time range or use mergeEdgeBatch (no watermark).")
+        }
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryTerminatedEvent): Unit = { terminated.add(e.id); () }
+    }
+  }
+
+  /** Listener registration is per SESSION (each session owns its
+    * StreamingQueryManager); weak keys so stopped sessions unpin. */
+  private val monitoredSessions: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private def ensureDropMonitor(spark: SparkSession): Unit =
+    if (monitoredSessions.add(spark))
+      spark.streams.addListener(new WatermarkDropMonitor.Listener)
+
+  /** Total input rows the watermark silently discarded over `q`'s
+    * lifetime (0 for a query the monitor never saw drop). If the query
+    * has stopped, waits (bounded) for its terminated event so the async
+    * listener bus is known drained before the counter is read; an
+    * active query returns the running total. */
+  def watermarkDropped(q: org.apache.spark.sql.streaming.StreamingQuery,
+                       waitMs: Long = 30000L): Long = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (!q.isActive && !WatermarkDropMonitor.terminated.contains(q.id)
+           && System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    Option(WatermarkDropMonitor.drops.get(q.id)).map(_.get()).getOrElse(0L)
+  }
+
   /** File-replay streaming source over a testdata dir — how the driver
     * parquet becomes a stream (one file per microbatch). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
@@ -777,8 +849,8 @@ object EventStreams {
     withCommitClaim(storeDir) { cc =>
       if (cc.curMan.nonEmpty) {
         if (fs.exists(cc.next)) fs.delete(cc.next, true)
+        var anyRewrite = false
         val entries = cc.curMan.map { case (t, chain) =>
-          val dst = new Path(cc.next, s"rel_type=$t")
           // Fold the whole delta chain to one exact dir, sized to the
           // target file size: nFiles = ceil(chain bytes / target), so a
           // big partition compacts to many target-sized files, never to
@@ -790,9 +862,6 @@ object EventStreams {
           // over a 1-file-per-partition compaction than over the delta
           // chains it replaced. Small stores still fold to one file,
           // which is the open-cost win compaction exists for.)
-          // Mechanism — coalesce, not repartition: a single-dir rewrite
-          // must not shuffle (a multi-dir fold already shuffles for its
-          // dedup).
           val nFiles =
             if (filesPerPartition > 0) filesPerPartition
             else {
@@ -803,12 +872,43 @@ object EventStreams {
               math.max(1L, (bytes + CompactTargetBytes - 1) /
                 CompactTargetBytes).toInt
             }
-          readChain(spark, chain).coalesce(nFiles)
-            .write.mode("overwrite").parquet(dst.toString)
-          t -> Seq(dst)
+          val singleDirFiles =
+            if (chain.lengthCompare(1) == 0 && fs.exists(chain.head))
+              fs.listStatus(chain.head).count(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet"))
+            else -1
+          if (singleDirFiles == nFiles) {
+            // Already one exact dir at the target layout: carry the
+            // chain forward IN PLACE (manifest reference, zero I/O) —
+            // re-reading a compacted partition through a 1-task scan
+            // just to write the same bytes is the pointless arm of the
+            // old unconditional rewrite.
+            t -> chain
+          } else {
+            anyRewrite = true
+            val dst = new Path(cc.next, s"rel_type=$t")
+            // Mechanism: coalesce can only SHRINK the task count — fine
+            // for a multi-dir fold (its dedup shuffle emits ≥ nFiles
+            // partitions) and for a single dir with too many files, but
+            // a single dir BELOW target (e.g. an old 1-file fold after
+            // the target grew) reads as one task and coalesce(nFiles)
+            // silently stays one file — the one-way ratchet. That grow
+            // case must repartition (a real shuffle, paid only when the
+            // layout is actually wrong).
+            val resized =
+              if (singleDirFiles >= 0 && singleDirFiles < nFiles)
+                readChain(spark, chain).repartition(nFiles)
+              else readChain(spark, chain).coalesce(nFiles)
+            resized.write.mode("overwrite").parquet(dst.toString)
+            t -> Seq(dst)
+          }
         }
-        publishGeneration(fs, root, cc.next, entries, cc.cur, cc.curMan,
-          Some(cc))
+        // Every partition already at target: publishing a generation
+        // that is a pure alias of the head would burn a snapshot-expiry
+        // window for nothing — OPTIMIZE is idempotent as a no-op.
+        if (anyRewrite)
+          publishGeneration(fs, root, cc.next, entries, cc.cur, cc.curMan,
+            Some(cc))
       }
     }
   }
@@ -850,6 +950,10 @@ object EventStreams {
     // foreachBatch (where it would surface as a wrapped streaming error
     // after ingest work was already done).
     requireClaimCapableFs(new Path(storeDir))
+    // Out-of-order input must fail LOUDLY, not by scaladoc: the monitor
+    // WARNs on any watermark-dropped batch and backs [[watermarkDropped]]
+    // for callers that assert zero (builtStore, StoreScaleProbe).
+    ensureDropMonitor(events.sparkSession)
     var w = dedupedBehavioralEdges(events).writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -888,20 +992,29 @@ object EventStreams {
       // (531 s on one batch; 4.9× total ingest) that RocksDB — whose
       // per-version cost tracks CHANGED keys, not total state — does not
       // exhibit (flat 12–18 s/batch). Provider choice cannot change
-      // results, only the state backend; set per-query at start time and
-      // restored after, so other streams keep the session default.
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
-        val q = maintainEdgeStore(eventStream(spark, dir), s"$base/store",
-          checkpointDir = Some(s"$base/ckpt"), availableNow = true)
-        q.awaitTermination()
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+      // results, only the state backend. The pin lives on a CLONED
+      // session (newSession(): shared SparkContext — same executors,
+      // same Memo scope — own SQLConf and StreamingQueryManager), so a
+      // stream started concurrently on the caller's session can never
+      // inherit RocksDB mid-window, and two concurrent Memo misses
+      // cannot interleave a set/restore on the shared conf (the old
+      // mutate-and-restore hazard).
+      val ingest = spark.newSession()
+      ingest.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      val q = maintainEdgeStore(eventStream(ingest, dir), s"$base/store",
+        checkpointDir = Some(s"$base/ckpt"), availableNow = true)
+      q.awaitTermination()
+      // The real file stream is event-time-ordered, so the watermark
+      // must drop nothing; a nonzero count here means the store silently
+      // diverged from the batch twin (the round-11 probe failure mode) —
+      // surface it beyond the monitor's WARN.
+      val dropped = watermarkDropped(q)
+      if (dropped > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"builtStore($dir): watermark dropped $dropped input rows — " +
+            "store content is NOT the exact batch dedup")
       s"$base/store"
     }
 
