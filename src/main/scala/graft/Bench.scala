@@ -263,8 +263,42 @@ object Bench {
     // its bracket was quiet must not self-certify as clean.
     val clean = failed == 0 && loadStart < 1.0 &&
       stealTicks >= 0 && stealTicks < stealBudget
+    // Perf-drift audit (the bench-side twin of the registry's
+    // correctness-drift audits): name every measured query over 2× its
+    // wall in the BLESSED clean artifact (BENCH_BLESSED.json — updated
+    // only when tools/bench_clean.sh blesses a clean:true full run), so
+    // a silent regression is as loud in BENCH_r{N}.json as a hash
+    // mismatch is in CORRECTNESS. Round-11's 3-6× MinHash slowdown
+    // shipped precisely because nothing compared per-query walls across
+    // rounds. Full runs only — a targeted SPARK_GRAFT_ONLY run
+    // re-distributes memoized first-pay costs and its ratios mislead.
+    // Sub-second rows are skipped (scheduler noise dominates there), as
+    // is everything when the run itself is not clean (ambient steal
+    // would name innocent queries).
+    val perfDrift: String =
+      if (only.nonEmpty || !clean) "[]"
+      else try {
+        val p = java.nio.file.Paths.get("BENCH_BLESSED.json")
+        if (!java.nio.file.Files.exists(p)) "[]"
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val qn = om.readTree(new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8")).get("queries")
+          val drifted = timings.filter { case (n, t) =>
+            val b = Option(qn).flatMap(q => Option(q.get(n)))
+              .map(_.asDouble(-1.0)).getOrElse(-1.0)
+            b > 0 && t > 1.0 && t > 2.0 * b
+          }
+          drifted.map { case (n, t) =>
+            val b = qn.get(n).asDouble()
+            s"""{"q":"$n","sec":${fmt(t, 2)},"blessed":${fmt(b, 2)}}"""
+          }.mkString("[", ",", "]")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] perf-drift audit failed: $e"); "[]"
+      }
     val cleanGate =
-      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0}"""
+      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0},"perf_drift":$perfDrift"""
     def line(qs: Seq[(String, Double)], decimals: Int, extra: String) = {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)

@@ -73,4 +73,9 @@ if [ ! -f /tmp/bench_clean_best.json ]; then
   exit 1
 fi
 cp /tmp/bench_clean_best.json BENCH_FULL_LATEST.json
-echo "kept best (clean): ${best}s"
+# Blessing also refreshes the perf-drift reference: Bench compares every
+# future run's per-query walls against BENCH_BLESSED.json (>2x → named
+# in the artifact's perf_drift field), so the reference must be the
+# latest clean full run, committed alongside it.
+cp /tmp/bench_clean_best.json BENCH_BLESSED.json
+echo "kept best (clean): ${best}s (blessed -> BENCH_BLESSED.json)"
