@@ -195,6 +195,16 @@ object RecsRegistry {
           .createOrReplaceTempView("lineitem")
         s.sql(CoOccurrenceSweepOracle)
       }),
+      // Customer-cascade twin of the row above (r11 verdict item 7):
+      // the 3-hop purchase cascade swept over ~100 customer seeds,
+      // submitted as the same literal text both engines execute. With
+      // this row every rec surface — both cascades, single-seed and
+      // swept — has a SQL-text arm.
+      "sql_api_customer_sweep" -> ((s, d) => {
+        Seq("customer", "orders", "lineitem", "part").foreach(t =>
+          graft.Tables.load(s, d, t).createOrReplaceTempView(t))
+        s.sql(CustomerRecsSweepOracle)
+      }),
       "rec_session_covisit" -> ((s, d) => Recs.sessionCovisitation(s, d)),
       "rec_negative_samples" -> ((s, d) => Recs.negativeSamples(s, d)),
       // ALS training has no SQL twin, but SERVING does: the fitted
@@ -211,6 +221,7 @@ object RecsRegistry {
       "rec_cooccurrence_sweep" -> CoOccurrenceSweepOracle,
       "rec_customer_sweep" -> CustomerRecsSweepOracle,
       "sql_api_rec_sweep" -> CoOccurrenceSweepOracle,
+      "sql_api_customer_sweep" -> CustomerRecsSweepOracle,
       "sql_api_rec_cooccurrence" -> CoOccurrenceOracle,
       "sql_api_rec_customer" -> CustomerRecsOracle,
       "rec_same_category" -> SameCategoryOracle,
