@@ -275,30 +275,45 @@ object Bench {
     // Sub-second rows are skipped (scheduler noise dominates there), as
     // is everything when the run itself is not clean (ambient steal
     // would name innocent queries).
-    val perfDrift: String =
-      if (only.nonEmpty || !clean) "[]"
+    // host_factor rides along: the median of THIS run's per-query wall
+    // over its blessed wall, across every shared query over 0.3 s
+    // blessed. A global host slowdown (hypervisor throttling this box
+    // exhibits in day-scale windows — round 12 measured untouched
+    // queries at a uniform median 1.34×) moves the median; an engine
+    // regression moves its own queries against it. Judge drift rows
+    // relative to this number.
+    val (perfDrift, hostFactor): (String, Double) =
+      if (only.nonEmpty || !clean) ("[]", -1.0)
       else try {
         val p = java.nio.file.Paths.get("BENCH_BLESSED.json")
-        if (!java.nio.file.Files.exists(p)) "[]"
+        if (!java.nio.file.Files.exists(p)) ("[]", -1.0)
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val qn = om.readTree(new String(
             java.nio.file.Files.readAllBytes(p), "UTF-8")).get("queries")
-          val drifted = timings.filter { case (n, t) =>
-            val b = Option(qn).flatMap(q => Option(q.get(n)))
+          def blessedOf(n: String): Double =
+            Option(qn).flatMap(q => Option(q.get(n)))
               .map(_.asDouble(-1.0)).getOrElse(-1.0)
+          val drifted = timings.filter { case (n, t) =>
+            val b = blessedOf(n)
             b > 0 && t > 1.0 && t > 2.0 * b
           }
-          drifted.map { case (n, t) =>
+          val ratios = timings.collect {
+            case (n, t) if t > 0 && blessedOf(n) > 0.3 => t / blessedOf(n)
+          }.sorted
+          val median =
+            if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
+          (drifted.map { case (n, t) =>
             val b = qn.get(n).asDouble()
             s"""{"q":"$n","sec":${fmt(t, 2)},"blessed":${fmt(b, 2)}}"""
-          }.mkString("[", ",", "]")
+          }.mkString("[", ",", "]"), median)
         }
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] perf-drift audit failed: $e"); "[]"
+        System.err.println(s"[bench] perf-drift audit failed: $e")
+        ("[]", -1.0)
       }
     val cleanGate =
-      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0},"perf_drift":$perfDrift"""
+      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0},"perf_drift":$perfDrift,"host_factor":${fmt(hostFactor, 2)}"""
     def line(qs: Seq[(String, Double)], decimals: Int, extra: String) = {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)
