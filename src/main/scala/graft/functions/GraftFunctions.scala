@@ -17,6 +17,8 @@ object GraftFunctions {
   val cosineF32Id: FunctionIdentifier = FunctionIdentifier("cosine_f32")
   val simHash64Id: FunctionIdentifier = FunctionIdentifier("simhash64")
   val srpSigId: FunctionIdentifier = FunctionIdentifier("srp_sig")
+  val bloomMightContainId: FunctionIdentifier =
+    FunctionIdentifier("bloom_might_contain")
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -32,6 +34,10 @@ object GraftFunctions {
       reg.registerFunction(srpSigId, SrpSig.info,
         exprs => SrpSig(exprs(0), exprs(1)))
     }
+    if (!reg.functionExists(bloomMightContainId)) {
+      reg.registerFunction(bloomMightContainId, BloomMightContain.info,
+        exprs => BloomMightContain(exprs(0), exprs(1)))
+    }
   }
 
   /** Column-level helpers; require `register` (or the extension) first. */
@@ -41,6 +47,9 @@ object GraftFunctions {
     call_function("simhash64", toks)
   def srpSig(e: Column, masks: Array[Long]): Column =
     call_function("srp_sig", e, org.apache.spark.sql.functions.lit(masks))
+  def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
+    call_function("bloom_might_contain",
+      org.apache.spark.sql.functions.lit(bloomBytes), key)
 }
 
 /** `spark.sql.extensions`-injectable variant. */
@@ -52,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHash64(exprs(0))))
     ext.injectFunction((GraftFunctions.srpSigId, SrpSig.info,
       exprs => SrpSig(exprs(0), exprs(1))))
+    ext.injectFunction((GraftFunctions.bloomMightContainId,
+      BloomMightContain.info,
+      exprs => BloomMightContain(exprs(0), exprs(1))))
   }
 }

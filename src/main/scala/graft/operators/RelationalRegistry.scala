@@ -65,6 +65,9 @@ object RelationalRegistry {
       // unsalted formulations.
       "skew_salted_counts" -> ((s, d) => Skew.saltedEventCounts(s, d)),
       "skew_salted_join_counts" -> ((s, d) => Skew.saltedBrandCounts(s, d)),
+      // Bloom pruning must never change an answer: the oracle is the
+      // PLAIN join (false positives die in the exact join).
+      "join_bloom_pruned" -> ((s, d) => Pruning.bloomPrunedBrandVolume(s, d)),
       "outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
       "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
@@ -322,6 +325,13 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      "join_bloom_pruned" ->
+        s"""SELECT p_brand, count(*) AS n,
+           |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |    AS BIGINT) AS revenue_c
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_size <= ${Pruning.SizeCap}
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
       // Decorrelated "above own group average": integer cross-multiply,
       // no division. DuckDB sum(BIGINT)=HUGEINT compares exactly.
       "orders_above_cust_avg" ->

@@ -12,7 +12,13 @@ object SourcesRegistry {
       "source_jdbc_counts" -> ((s, d) => Jdbc.ordersJdbcCounts(s, d)),
       "source_jdbc_lookup" -> ((s, d) => Jdbc.ordersJdbcLookup(s, d)),
       "source_jsonl_tolerant" -> ((s, d) => Formats.tolerantJsonlCounts(s, d)),
-      "source_schema_drift" -> ((s, d) => Formats.schemaDriftReport(s, d))
+      "source_schema_drift" -> ((s, d) => Formats.schemaDriftReport(s, d)),
+      // Z-order layout tier: the box query THROUGH the pruned layout
+      // (answer ≡ plain scan — the layout must be invisible), and the
+      // pruning accounting itself hash-pinned against an oracle that
+      // recomputes bin → interleave → clamp from the raw table.
+      "layout_zorder_scan" -> ((s, d) => ZOrderLayout.zScan(s, d)),
+      "layout_zorder_report" -> ((s, d) => ZOrderLayout.zReport(s, d))
     ),
     oracles = Map(
       "source_roundtrip_counts" ->
@@ -67,7 +73,9 @@ object SourcesRegistry {
           |  sum(CASE WHEN o_orderkey % 3 <> 1
           |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
           |    / CAST(100 AS DOUBLE) AS sum_price_present
-          |FROM orders""".stripMargin
+          |FROM orders""".stripMargin,
+      "layout_zorder_scan" -> ZOrderLayout.scanOracleSql,
+      "layout_zorder_report" -> ZOrderLayout.reportOracleSql
     )
   )
 }

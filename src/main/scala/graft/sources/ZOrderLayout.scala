@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Z-order (Morton-interleaved) clustering for MULTI-dimensional scan
+  * pruning — the layout move hive-style partitioning cannot make.
+  *
+  * A 1-D layout (partition or sort by one column) prunes one predicate
+  * dimension; a second predicate reads everything. Z-ordering interleaves
+  * the bits of two dimensions so that a 2-D box predicate touches only the
+  * grid cells it overlaps: orders is laid out once by
+  * `zbin = morton(bin(o_custkey), bin(day(o_orderdate)))` (G bits per
+  * dimension → a 2^G × 2^G grid), written `partitionBy("zbin")`, and a box
+  * query enumerates its candidate cells CLOSED-FORM on the driver (pure
+  * integer math over the grid — no data touched) and hands Spark an
+  * `IN (...)` partition predicate; native partition pruning then skips
+  * every non-candidate file. This is the same contract Delta/Iceberg
+  * Z-order + data-skipping stats provide, expressed on plain parquet.
+  *
+  * Everything is DETERMINISTIC and oracle-reproducible by construction —
+  * the deliberate contrast with `repartitionByRange`, whose sampled
+  * boundaries are nondeterministic per run (the r7 Ranks lesson):
+  *  - bins come from global min/max bounds (one agg job) by exact integer
+  *    math `((v - lo) * 2^G) div (hi - lo + 1)`, identical in Spark (`div`)
+  *    and DuckDB (`//`) for the non-negative operands here;
+  *  - the Morton interleave is the same bit-arithmetic sum on both engines
+  *    (generated from one G in [[ZOrderLayout.mortonSqlTerms]]);
+  *  - rows with a NULL dimension land in a reserved `zbin = -1` that every
+  *    candidate set includes — a null row must degrade pruning, never
+  *    correctness.
+  *
+  * The layout answers queries EXACTLY (candidate cells are a superset of
+  * matching cells; the exact box predicate re-applies after the prune), so
+  * the scan oracle is the plain filtered table. The report row pins the
+  * pruning ACCOUNTING itself — bins_total / bins_candidate / bins_hit /
+  * rows_match — with a DuckDB twin that recomputes all four from the raw
+  * table plus the same arithmetic, so a binning drift between engines is a
+  * hash mismatch, not a silent layout skew.
+  *
+  * At 100 TB: G grows to 8–16 bits/dim and the candidate set is enumerated
+  * as MERGED MORTON RANGES (BIGMIN/LITMAX splitting — standard z-range
+  * decomposition) instead of per-cell values, keeping the driver-side work
+  * O(ranges), and `zbin` becomes a file-manifest column rather than a
+  * directory per bin (2^32 dirs is a metadata explosion; a manifest of
+  * per-file zbin min/max is the same pruning decision from one small
+  * table). The G=3 grid here keeps the bench layout at 64 one-file
+  * partitions while exercising the full bin → enumerate → prune → re-apply
+  * pipeline.
+  */
+object ZOrderLayout {
+
+  /** Bits per dimension: 2^G × 2^G grid. */
+  val G = 3
+
+  val DayUs: Long = 86400000000L
+
+  /** Pinned 2-D box: a mid-range customer band × calendar-year 1996
+    * (orders span 1995-01-01..2001-08-01 at every SF). */
+  val CustLo = 100L
+  val CustHi = 399L
+  val DayLo: Long = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+  val DayHi: Long = java.time.LocalDate.of(1996, 12, 31).toEpochDay
+
+  /** Global per-dimension bounds the binning is anchored to. */
+  case class ZBounds(xmin: Long, xmax: Long, ymin: Long, ymax: Long)
+
+  /** `((v - lo) * 2^G) div span` — exact integer math, 0..2^G-1 for v in
+    * [lo, hi]. Driver-side twin of [[binSqlExpr]]. */
+  def bin(v: Long, lo: Long, hi: Long): Long =
+    ((v - lo) * (1L << G)) / (hi - lo + 1)
+
+  /** Morton code: bit i of bx → position 2i+1, bit i of by → 2i. */
+  def morton(bx: Long, by: Long): Long =
+    (0 until G).map { i =>
+      (((bx >> i) & 1L) << (2 * i + 1)) | (((by >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+
+  /** Column twin of [[morton]] (builtins only — stays in codegen). */
+  private def mortonCol(bx: Column, by: Column): Column =
+    (0 until G).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** SQL-text twin of [[bin]]: `v`, `lo`, `hi` are SQL expressions.
+    * `//` is DuckDB floor division ≡ Spark `div` for the non-negative
+    * operands binning produces. */
+  private def binSqlExpr(v: String, lo: String, hi: String): String =
+    s"((($v) - ($lo)) * ${1L << G}) // (($hi) - ($lo) + 1)"
+
+  /** SQL-text twin of [[morton]] over bin expressions. */
+  private def mortonSqlTerms(bx: String, by: String): String =
+    (0 until G).map { i =>
+      s"((($bx) // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + ((($by) // ${1L << i}) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast to
+  // instant is value-preserving (the Relational.scala:494 precedent).
+  private def zdayExpr =
+    s"unix_micros(cast(o_orderdate as timestamp)) div $DayUs"
+
+  /** The z-clustered layout + its bounds, built once per (JVM, dir):
+    * one bounds agg (a bounded 1-row collect), one clustered write
+    * (`repartition(zbin)` puts each bin in exactly one task →
+    * `partitionBy` emits ONE file per bin), read back through the
+    * partition-column layout Spark prunes natively. Scratch-housed like
+    * the IVF index layouts (per-JVM nonce, shutdown-hook + stale GC). */
+  def layout(spark: SparkSession, dir: String): (DataFrame, ZBounds) =
+    graft.Memo.get(spark, "zorder-layout", dir) {
+      val o = Tables.load(spark, dir, "orders")
+        .withColumn("zday", expr(zdayExpr))
+      val r = o.agg(
+        min("o_custkey"), max("o_custkey"), min("zday"), max("zday")).head()
+      val b = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val bx = expr(binSqlExpr("o_custkey", b.xmin.toString, b.xmax.toString)
+        .replace("//", "div"))
+      val by = expr(binSqlExpr("zday", b.ymin.toString, b.ymax.toString)
+        .replace("//", "div"))
+      val binned = o.withColumn("zbin",
+          when(col("o_custkey").isNull || col("zday").isNull, lit(-1L))
+            .otherwise(mortonCol(bx, by)))
+        .drop("zday")
+      val out = graft.Scratch.dir("graft-zorder",
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(12))
+      binned.repartition(col("zbin"))
+        .write.mode("overwrite").partitionBy("zbin").parquet(out)
+      (spark.read.parquet(out), b)
+    }
+
+  /** Candidate bins for the pinned box: the grid cells of the clamped
+    * rectangle, closed-form from bounds alone (no data scan), plus the
+    * reserved null bin. Empty intersection → only the null bin. */
+  def candidateBins(b: ZBounds): Seq[Long] = {
+    val disjoint = CustLo > b.xmax || CustHi < b.xmin ||
+      DayLo > b.ymax || DayHi < b.ymin
+    if (disjoint) Seq(-1L)
+    else {
+      val bxLo = bin(math.max(CustLo, b.xmin), b.xmin, b.xmax)
+      val bxHi = bin(math.min(CustHi, b.xmax), b.xmin, b.xmax)
+      val byLo = bin(math.max(DayLo, b.ymin), b.ymin, b.ymax)
+      val byHi = bin(math.min(DayHi, b.ymax), b.ymin, b.ymax)
+      (for { x <- bxLo to bxHi; y <- byLo to byHi } yield morton(x, y)) :+ -1L
+    }
+  }
+
+  private def boxFilter(df: DataFrame): DataFrame =
+    df.filter(col("o_custkey").between(CustLo, CustHi) &&
+      expr(zdayExpr).between(DayLo, DayHi))
+
+  /** The box query THROUGH the pruned layout: candidate `IN` predicate on
+    * the partition column (native partition pruning skips every other
+    * file), exact box re-applied on the survivors. Result ≡ plain scan. */
+  def zScan(spark: SparkSession, dir: String): DataFrame = {
+    val (lay, b) = layout(spark, dir)
+    boxFilter(lay.filter(col("zbin").isin(candidateBins(b): _*)))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Pruning accounting as one hash-checked row: total occupied bins,
+    * closed-form candidate cells, bins actually containing matches, and
+    * matching rows. bins_hit ≤ bins_candidate ≤ 2^(2G) by construction;
+    * the oracle recomputes all four from the raw table + the same
+    * arithmetic, so engine drift in ANY step of bin → interleave → clamp
+    * is a hash mismatch. */
+  def zReport(spark: SparkSession, dir: String): DataFrame = {
+    val (lay, b) = layout(spark, dir)
+    val cells: Long = {
+      val disjoint = CustLo > b.xmax || CustHi < b.xmin ||
+        DayLo > b.ymax || DayHi < b.ymin
+      if (disjoint) 0L
+      else {
+        val bxLo = bin(math.max(CustLo, b.xmin), b.xmin, b.xmax)
+        val bxHi = bin(math.min(CustHi, b.xmax), b.xmin, b.xmax)
+        val byLo = bin(math.max(DayLo, b.ymin), b.ymin, b.ymax)
+        val byHi = bin(math.min(DayHi, b.ymax), b.ymin, b.ymax)
+        (bxHi - bxLo + 1) * (byHi - byLo + 1)
+      }
+    }
+    val tot = lay.filter(col("zbin") =!= -1)
+      .agg(count_distinct(col("zbin")).as("bins_total"))
+    val hit = boxFilter(lay)
+      .agg(count_distinct(col("zbin")).as("bins_hit"),
+        count(lit(1)).as("rows_match"))
+    // Single-row aggregates crossed (the repo's 1-row broadcast pattern).
+    tot.crossJoin(hit)
+      .select(col("bins_total"), lit(cells).as("bins_candidate"),
+        col("bins_hit"), col("rows_match"))
+  }
+
+  /** DuckDB twin of [[zReport]] — generated from the same G/box constants
+    * so the two engines cannot drift independently. */
+  def reportOracleSql: String = {
+    val binX = binSqlExpr("x", "xmin", "xmax")
+    val binY = binSqlExpr("y", "ymin", "ymax")
+    val bxClampLo = binSqlExpr(s"GREATEST(xmin, $CustLo)", "xmin", "xmax")
+    val bxClampHi = binSqlExpr(s"LEAST(xmax, $CustHi)", "xmin", "xmax")
+    val byClampLo = binSqlExpr(s"GREATEST(ymin, $DayLo)", "ymin", "ymax")
+    val byClampHi = binSqlExpr(s"LEAST(ymax, $DayHi)", "ymin", "ymax")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT o_custkey AS x,
+       |    epoch_ns(o_orderdate) // 1000 // $DayUs AS y FROM orders),
+       |b AS MATERIALIZED (
+       |  SELECT min(x) AS xmin, max(x) AS xmax,
+       |         min(y) AS ymin, max(y) AS ymax FROM d),
+       |z AS MATERIALIZED (
+       |  SELECT x, y, ${mortonSqlTerms(binX, binY)} AS zbin FROM d, b),
+       |tot AS (SELECT count(DISTINCT zbin) AS bins_total FROM z),
+       |hit AS (SELECT count(DISTINCT zbin) AS bins_hit,
+       |               count(*) AS rows_match FROM z
+       |        WHERE x BETWEEN $CustLo AND $CustHi
+       |          AND y BETWEEN $DayLo AND $DayHi),
+       |cand AS (SELECT CAST(CASE
+       |    WHEN $CustLo > xmax OR $CustHi < xmin
+       |      OR $DayLo > ymax OR $DayHi < ymin THEN 0
+       |    ELSE ($bxClampHi - $bxClampLo + 1) * ($byClampHi - $byClampLo + 1)
+       |  END AS BIGINT) AS bins_candidate FROM b)
+       |SELECT bins_total, bins_candidate, bins_hit, rows_match
+       |FROM tot, cand, hit""".stripMargin
+  }
+
+  /** DuckDB twin of [[zScan]] — the PLAIN box query (the layout must be
+    * invisible in the answer). */
+  def scanOracleSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |    AS total_c
+       |FROM orders
+       |WHERE o_custkey BETWEEN $CustLo AND $CustHi
+       |  AND epoch_ns(o_orderdate) // 1000 // $DayUs
+       |    BETWEEN $DayLo AND $DayHi
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+}

@@ -116,6 +116,10 @@ class FunctionsSpec extends SparkTestBase {
     // passing on the interpreted path.
     val s = codegenOnlySession()
     GraftFunctions.register(s)
+    // Two blooms in the same projection too — BloomMightContain's
+    // generated code must coexist with itself (addReferenceObj slots,
+    // no fixed locals).
+    val bloomBytes = graft.operators.Pruning.dimBloomBytes(s, dir)
     val e = graft.Tables.load(s, dir, "embeddings")
     val seed = e.filter(col("vec_id") === 0L).select(col("embedding").as("se"))
     val rows = e.crossJoin(broadcast(seed))
@@ -123,7 +127,10 @@ class FunctionsSpec extends SparkTestBase {
         GraftFunctions.cosineF32(col("embedding"), col("se")).as("c1"),
         GraftFunctions.cosineF32(col("se"), col("embedding")).as("c2"),
         Similarity.srpSignature(col("embedding")).as("g1"),
-        Similarity.srpSignature(col("se")).as("g2"))
+        Similarity.srpSignature(col("se")).as("g2"),
+        GraftFunctions.bloomMightContain(bloomBytes, col("vec_id")).as("b1"),
+        GraftFunctions.bloomMightContain(bloomBytes,
+          col("vec_id") + lit(1L)).as("b2"))
       .collect()
     assert(rows.length == 500)
     rows.foreach { r =>
