@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale probe for the scan-reduction tier: how much does bloom pruning
+  * cut the fact exchange, and how many files does the Z-order candidate
+  * predicate skip, at a given SF dir — walls plus the noise-immune PLAN
+  * properties (exchange bytes, post-pruning file counts).
+  *
+  * Usage: tools/run.sh graft.PruneScaleProbe <sfDir>
+  */
+object PruneScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def shuffleBytes(df: DataFrame): Long = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L) +
+            e.children.map(walk).sum
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    def filesRead(df: DataFrame): Long = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+        case other => other.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+
+    // Bloom: build outside both measurements (the sketch is ingest-tier
+    // state per the accounting convention), then A/B the same join shape.
+    operators.Pruning.dimBloomBytes(spark, sfDir)
+    val pruned = operators.Pruning.bloomPrunedBrandVolume(spark, sfDir)
+    val plain = operators.Pruning.plainBrandVolume(spark, sfDir)
+    val (_, tPruned) = timed(pruned.collect())
+    val (_, tPlain) = timed(plain.collect())
+    val (bPruned, bPlain) = (shuffleBytes(pruned), shuffleBytes(plain))
+
+    // Z-order: layout build outside (ingest-tier write), then the pruned
+    // box scan vs the full-layout scan of the same aggregate.
+    val (lay, bounds) = sources.ZOrderLayout.layout(spark, sfDir)
+    val zPruned = sources.ZOrderLayout.zScan(spark, sfDir)
+    val zFull = lay.groupBy().count()
+    val (_, tZPruned) = timed(zPruned.collect())
+    val (_, tZFull) = timed(zFull.collect())
+    val (fPruned, fFull) = (filesRead(zPruned), filesRead(zFull))
+    val nRanges = sources.ZOrderLayout.candidateRanges(bounds).size
+
+    println(
+      s"""{"probe":"prune_scale","sf_dir":"$sfDir",""" +
+      s""""bloom_pruned_sec":${f"$tPruned%.2f"},""" +
+      s""""bloom_plain_sec":${f"$tPlain%.2f"},""" +
+      s""""bloom_pruned_shuffle_b":$bPruned,""" +
+      s""""bloom_plain_shuffle_b":$bPlain,""" +
+      s""""zscan_pruned_sec":${f"$tZPruned%.2f"},""" +
+      s""""zscan_full_sec":${f"$tZFull%.2f"},""" +
+      s""""z_files_pruned":$fPruned,"z_files_full":$fFull,""" +
+      s""""z_ranges":$nRanges}""")
+    spark.stop()
+  }
+}

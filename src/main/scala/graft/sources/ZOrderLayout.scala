@@ -148,16 +148,36 @@ object ZOrderLayout {
     }
   }
 
+  /** Candidate CELLS merged into consecutive morton RANGES — the form
+    * that scales: a 2^16 × 2^16 grid's box can cover millions of cells
+    * but only O(box-perimeter) consecutive runs, and the partition
+    * predicate becomes OR-of-BETWEEN instead of a million-element IN.
+    * (The standard refinement — BIGMIN/LITMAX splitting of runs that
+    * wander outside the box — matters when runs are merged ACROSS
+    * non-candidate gaps; runs built from the exact cell set, as here,
+    * never include a non-candidate, so range pruning stays exact.) */
+  def candidateRanges(b: ZBounds): Seq[(Long, Long)] =
+    candidateBins(b).sorted.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, v) => acc.lastOption match {
+        case Some((lo, hi)) if v == hi + 1 => acc.init :+ (lo -> v)
+        case _ => acc :+ (v -> v)
+      }
+    }
+
   private def boxFilter(df: DataFrame): DataFrame =
     df.filter(col("o_custkey").between(CustLo, CustHi) &&
       expr(zdayExpr).between(DayLo, DayHi))
 
-  /** The box query THROUGH the pruned layout: candidate `IN` predicate on
-    * the partition column (native partition pruning skips every other
-    * file), exact box re-applied on the survivors. Result ≡ plain scan. */
+  /** The box query THROUGH the pruned layout: candidate RANGES as an
+    * OR-of-BETWEEN predicate on the partition column (native partition
+    * pruning skips every other file), exact box re-applied on the
+    * survivors. Result ≡ plain scan. */
   def zScan(spark: SparkSession, dir: String): DataFrame = {
     val (lay, b) = layout(spark, dir)
-    boxFilter(lay.filter(col("zbin").isin(candidateBins(b): _*)))
+    val prune = candidateRanges(b)
+      .map { case (lo, hi) => col("zbin").between(lo, hi) }
+      .reduce(_ || _)
+    boxFilter(lay.filter(prune))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))

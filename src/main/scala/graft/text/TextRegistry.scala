@@ -108,9 +108,13 @@ object TextRegistry {
       // Rows-only (sketch tier, like approx_distinct/approx_quantiles):
       // CMS has no SQL twin; estimate ≥ exact is asserted in TextSpec.
       "text_heavy_hitters_cms" -> ((s, d) =>
-        TextAnalysis.heavyHittersCms(s, d))
+        TextAnalysis.heavyHittersCms(s, d)),
+      // Tokenizer TRAINING: K learned BPE merges, exact oracle (the same
+      // K rounds unrolled in SQL, generated from the same constants).
+      "text_bpe_train" -> ((s, d) => BpeTrainer.trainMerges(s, d))
     ),
     oracles = Map(
+      "text_bpe_train" -> BpeTrainer.mergeOracleSql,
       "text_token_counts" ->
         s"""SELECT doc_id, len($Toks) AS n_tokens,
            |  len(regexp_extract_all(text,

@@ -1,0 +1,81 @@
+package graft
+
+import graft.text.{BpeTrainer, TextAnalysis}
+
+/** The distributed BPE trainer vs an independent SEQUENTIAL reference:
+  * the window-arithmetic greedy apply (run grouping + odd-index take)
+  * must reproduce the textbook left-to-right merge loop exactly —
+  * including the only genuinely order-sensitive case, runs of identical
+  * symbols (a == b chains), which the synthetic fixture forces. */
+class BpeSpec extends SparkTestBase {
+
+  /** Textbook BPE on a word-frequency table: sequential greedy apply,
+    * argmax by (count desc, lhs, rhs). Deliberately shares NO code with
+    * BpeTrainer. */
+  private def refMerges(wf: Map[String, Long],
+                        k: Int): Seq[(Int, String, String, Long)] = {
+    var corpus: Map[String, Vector[String]] =
+      wf.map { case (w, _) => w -> w.map(_.toString).toVector }
+    (1 to k).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { case (w, syms) =>
+        syms.sliding(2).foreach {
+          case Vector(x, y) =>
+            counts((x, y)) = counts.getOrElse((x, y), 0L) + wf(w)
+          case _ =>
+        }
+      }
+      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      corpus = corpus.map { case (w, syms) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.result()
+      }
+      (step, a, b, cnt)
+    }
+  }
+
+  /** Word-frequency table exactly as the trainer derives it. */
+  private def wordFreq(dir: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("distributed merges equal the sequential reference on real docs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = BpeTrainer.trainMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.length == BpeTrainer.K)
+    assert(got == refMerges(wordFreq(dir), BpeTrainer.K))
+    assert(got.forall(_._4 > 0))
+  }
+
+  test("identical-symbol chains merge with greedy left-to-right parity") {
+    // 'aaaa'/'aaaaa' force (a,a) chains where a naive "merge every
+    // candidate" would differ from greedy (aaaaa → [aa][aa][a], never
+    // [aa][aaa] or an overlapped merge), and repeated merges promote to
+    // multi-char symbols ('aa','aa').
+    import spark.implicits._
+    val tmp = Scratch.dir("graft-bpespec", "chain")
+    Seq(
+      (1L, "aaaa aaaaa ab ab ab"),
+      (2L, "aaaa aaaa baa baa"),
+      (3L, "ab aab aaab aaaab")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = BpeTrainer.trainMerges(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == refMerges(wordFreq(tmp), BpeTrainer.K))
+  }
+}

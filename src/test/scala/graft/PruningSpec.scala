@@ -120,6 +120,22 @@ class PruningSpec extends SparkTestBase {
     val b = ZOrderLayout.ZBounds(
       ZOrderLayout.CustHi + 1000, ZOrderLayout.CustHi + 2000, 0, 10)
     assert(ZOrderLayout.candidateBins(b) == Seq(-1L))
+    assert(ZOrderLayout.candidateRanges(b) == Seq(-1L -> -1L))
+  }
+
+  test("candidate ranges cover exactly the candidate cell set") {
+    val b = ZOrderLayout.ZBounds(0, 1499, 9000, 11000)
+    val cells = ZOrderLayout.candidateBins(b).toSet
+    val ranges = ZOrderLayout.candidateRanges(b)
+    val covered = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(covered == cells)
+    // merged: strictly fewer predicates than cells (the scale argument)
+    assert(ranges.size < cells.size)
+    // ranges are disjoint and sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 + 1 < l2 || h1 < l2)
+      case _ =>
+    }
   }
 
   test("z-scan is row-identical to the plain box query") {
