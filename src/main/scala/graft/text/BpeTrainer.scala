@@ -45,6 +45,27 @@ object BpeTrainer {
 
   /** The learned merge table: (step, lhs, rhs, pair_count). */
   def trainMerges(spark: SparkSession, dir: String): DataFrame =
+    trained(spark, dir)._1.orderBy("step")
+
+  /** Per-document re-tokenization under the LEARNED vocab: word count
+    * and post-merge piece count per doc. The vocab-piece relation is
+    * vocabulary-sized (broadcast-class at any corpus scale); the one
+    * corpus-sized pass is the word explode feeding the join. */
+  def encodeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val wc = trained(spark, dir)._2
+      .groupBy("word").agg(count(lit(1)).as("np"))
+    val dw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+    dw.join(broadcast(wc), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** (merge table, final symbol corpus), built once per (JVM, dir). */
+  private def trained(spark: SparkSession,
+                      dir: String): (DataFrame, DataFrame) =
     graft.Memo.get(spark, "bpe-merges", (dir, K)) {
       val docs = Tables.load(spark, dir, "documents")
       val wf = docs
@@ -86,13 +107,35 @@ object BpeTrainer {
         (step, a, b, cnt)
       }
       import spark.implicits._
-      merges.toDF("step", "lhs", "rhs", "pair_count")
-    }.orderBy("step")
+      (merges.toDF("step", "lhs", "rhs", "pair_count"), corpus)
+    }
 
   /** DuckDB twin: the same K rounds unrolled, generated from the same
     * pattern/K constants. Window semantics (run grouping, odd-index take,
     * lag-drop) mirror [[trainMerges]] clause for clause. */
   def mergeOracleSql: String = {
+    val union = (1 to K).map(i =>
+      s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    "WITH " + oracleCtes + s"\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** DuckDB twin of [[encodeCounts]]: the final unrolled corpus joined
+    * back to each document's word stream. */
+  def encodeOracleSql: String = {
+    val p = TextAnalysis.BpePattern.replace("'", "''")
+    "WITH " + oracleCtes +
+      s"""
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces
+         |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$p')) AS word
+         |      FROM documents) dw
+         |JOIN (SELECT word, count(*) AS np FROM corpus$K GROUP BY word) wc
+         |  USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def oracleCtes: String = {
     val p = TextAnalysis.BpePattern.replace("'", "''")
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""wf AS MATERIALIZED (
@@ -132,9 +175,6 @@ object BpeTrainer {
         |    FROM ct$i)
         |  WHERE NOT prev_take)""".stripMargin
     }
-    val union = (1 to K).map(i =>
-      s"SELECT $i AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM m$i")
-      .mkString(" UNION ALL ")
-    "WITH " + ctes.mkString(",\n") + s"\nSELECT * FROM ($union) ORDER BY step"
+    ctes.mkString(",\n")
   }
 }

@@ -110,11 +110,14 @@ object TextRegistry {
       "text_heavy_hitters_cms" -> ((s, d) =>
         TextAnalysis.heavyHittersCms(s, d)),
       // Tokenizer TRAINING: K learned BPE merges, exact oracle (the same
-      // K rounds unrolled in SQL, generated from the same constants).
-      "text_bpe_train" -> ((s, d) => BpeTrainer.trainMerges(s, d))
+      // K rounds unrolled in SQL, generated from the same constants) —
+      // and the corpus re-tokenized under the learned vocab.
+      "text_bpe_train" -> ((s, d) => BpeTrainer.trainMerges(s, d)),
+      "text_bpe_encode" -> ((s, d) => BpeTrainer.encodeCounts(s, d))
     ),
     oracles = Map(
       "text_bpe_train" -> BpeTrainer.mergeOracleSql,
+      "text_bpe_encode" -> BpeTrainer.encodeOracleSql,
       "text_token_counts" ->
         s"""SELECT doc_id, len($Toks) AS n_tokens,
            |  len(regexp_extract_all(text,

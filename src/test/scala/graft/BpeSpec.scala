@@ -60,6 +60,30 @@ class BpeSpec extends SparkTestBase {
     assert(got.forall(_._4 > 0))
   }
 
+  test("encode under the learned vocab compresses and conserves words") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val enc = BpeTrainer.encodeCounts(spark, dir)
+    val agg = enc.agg(sum("n_words"), sum("n_pieces")).head()
+    val (words, pieces) = (agg.getLong(0), agg.getLong(1))
+    // Every merge strictly shrinks some words: chars > pieces >= words.
+    val chars = Tables.load(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(graft.text.TextAnalysis.BpePattern), lit(0))).as("w"))
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(words > 0 && pieces >= words && chars > pieces,
+      s"words=$words pieces=$pieces chars=$chars")
+    // Per-doc word counts must equal the raw pre-tokenizer's counts
+    // (encoding re-segments within words, never drops one).
+    val direct = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(graft.text.TextAnalysis.BpePattern), lit(0))).as("w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joined = enc.join(direct, "doc_id")
+      .filter(col("n_words") =!= col("n"))
+    assert(joined.isEmpty)
+  }
+
   test("identical-symbol chains merge with greedy left-to-right parity") {
     // 'aaaa'/'aaaaa' force (a,a) chains where a naive "merge every
     // candidate" would differ from greedy (aaaaa → [aa][aa][a], never
