@@ -68,6 +68,10 @@ object RelationalRegistry {
       // Bloom pruning must never change an answer: the oracle is the
       // PLAIN join (false positives die in the exact join).
       "join_bloom_pruned" -> ((s, d) => Pruning.bloomPrunedBrandVolume(s, d)),
+      // A/B report: one shared SQL text on both engines (sql_api_*
+      // discipline) — per-factor double casts keep chi2 overflow-free
+      // and bit-identical.
+      "ab_conversion_report" -> ((s, d) => Experiment.abConversionReport(s, d)),
       "outer_nation_counts" -> ((s, d) => Relational.nationCustomerCounts(s, d)),
       "window_top_per_brand" -> ((s, d) => Relational.topProductsPerBrand(s, d)),
       "fuzzy_part_names" -> ((s, d) => Relational.fuzzyPartNames(s, d)),
@@ -325,6 +329,7 @@ object RelationalRegistry {
           |SELECT p_brand, count(*) AS n
           |FROM e JOIN part ON k = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+      "ab_conversion_report" -> Experiment.AbSql("events"),
       "join_bloom_pruned" ->
         s"""SELECT p_brand, count(*) AS n,
            |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
