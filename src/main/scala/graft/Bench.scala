@@ -79,6 +79,8 @@ object Bench {
         sources.ZOrderLayout.layout(spark, sfDir)
       if (selectedNames("text_bpe_train") || selectedNames("text_bpe_encode"))
         text.BpeTrainer.trainMerges(spark, sfDir).count()
+      if (selectedNames.exists(_.startsWith("quality_model_")))
+        text.QualityModel.model(spark, sfDir)
     } catch {
       // Swallow (a broken prewarm must not fail the bench — queries
       // rebuild their own state) but NEVER silently: a failed prewarm

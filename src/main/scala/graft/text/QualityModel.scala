@@ -1,0 +1,331 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Learned quality model — the model-based filtering step of a real
+  * training-data pipeline (the fastText-classifier stage of CCNet /
+  * RedPajama-style curation): DISTILL the tokenizer-level quality judge
+  * ([[TextAnalysis.qualityScore]], which needs whitespace tokenization
+  * and a stopword scan) into a linear model over two SCAN-TIME byte
+  * counters (`length(text)` and the BPE pre-tokenizer piece count), so
+  * the cheap gate can run where tokenization is too expensive — e.g. a
+  * first-pass filter over 100 TB of raw crawl.
+  *
+  * Training is one distributed pass + closed-form algebra, NOT SGD:
+  *  1. one codegen'd scan computes the per-doc features and the judge's
+  *     micro-unit label, then a partial+final hash aggregation folds the
+  *     ten normal-equation sums (n, Σx, Σx², Σxy, Σy, Σy²) — all EXACT
+  *     BIGINT arithmetic, so the reduction is order-free and the sums
+  *     are bit-identical on any cluster size;
+  *  2. the 3×3 system (XᵀX)w = Xᵀy is solved by Cramer's rule as a FIXED
+  *     double expression tree over those integer sums — the same IEEE
+  *     operations in the same order on both engines, so the weights are
+  *     bit-reproducible (the repo's ln-avoidance / sorted-fold exactness
+  *     convention applied to a matrix solve).
+  *
+  * Scale shape: training state is TEN LONGS regardless of corpus size —
+  * the map-side-combinable aggregation is the whole shuffle (one row per
+  * partition), and scoring is a broadcast of three double literals into
+  * a codegen'd projection. Nothing here is corpus-bounded but the scan.
+  * Exactness envelope: the integer sums stay inside Int64 up to ~10⁶×
+  * this corpus shape (Σy6² ≈ 5·10¹⁷ at 500 k docs); past that, re-center
+  * features (subtract per-partition means into a second moment pass) —
+  * documented rather than silently saturating.
+  *
+  * Beyond the reference surface (it has no learned models; BASELINE.json
+  * names quality scoring as north-star work); the judge distilled here
+  * is the same one `quality_floor_calibration` and the mixture tier gate
+  * on, so a model-gate/judge-gate disagreement is directly actionable.
+  */
+object QualityModel {
+
+  /** Keep gate in micro-quality units: both the judge gate (y6 ≥ T) and
+    * the model gate (pred ≥ T) use the same threshold, so the eval row's
+    * confusion matrix reads as "what the cheap gate would have done". */
+  val KeepThresholdMicro = 500000L
+
+  /** Per-doc features + label, the shared scan of all three rows:
+    * x1 = chars, x2 = BPE pre-tokenizer pieces (byte-level, no
+    * whitespace tokenization), y6 = the heuristic judge's quality in
+    * exact micro-units (the qualityReliability convention). */
+  private[graft] def featFrameOf(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens
+    docs
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits",
+        TextAnalysis.hitCount(col("toks"), TextAnalysis.Stopwords))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("x1"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("x2"),
+        round(round(
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) *
+            (lit(1.0) -
+              col("stop_hits").cast("double") / col("n_tokens")), 6) *
+          lit(1000000.0)).cast("long").as("y6"))
+  }
+
+  private def featFrame(spark: SparkSession, dir: String): DataFrame =
+    featFrameOf(Tables.load(spark, dir, "documents"))
+
+  /** The ten exact normal-equation sums. Longs throughout: x ≤ ~10³,
+    * y6 ≤ 10⁶, so Σx·y6 ≤ 10⁹/doc and Σy6² ≤ 10¹²/doc — Int64 holds
+    * the corpus totals to ~10⁶ documents per the envelope note above. */
+  private[graft] final case class ModelSums(
+      n: Long, s1: Long, s2: Long, s11: Long, s12: Long, s22: Long,
+      sy: Long, s1y: Long, s2y: Long, syy: Long)
+
+  /** Closed-form model: Cramer determinants + weights as doubles from
+    * the exact integer sums. detA = 0 (a degenerate corpus where the
+    * two features are affinely dependent) yields NaN weights — loud in
+    * every downstream row, never a silent fallback. */
+  private[graft] final case class Model(
+      sums: ModelSums, det: Double, w0: Double, w1: Double, w2: Double)
+
+  private[graft] def sumsOf(feats: DataFrame): ModelSums = {
+    // Bounded driver collect: the aggregation output is ONE row.
+    val r = feats.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y6")).as("sy"),
+      sum(col("x1") * col("y6")).as("s1y"),
+      sum(col("x2") * col("y6")).as("s2y"),
+      sum(col("y6") * col("y6")).as("syy")).head()
+    ModelSums(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8), r.getLong(9))
+  }
+
+  /** Cramer solve — DO NOT reorder these expressions: the DuckDB oracle
+    * ([[trainOracleSql]] `w` CTE) evaluates the IDENTICAL trees, and the
+    * bit-parity of det/w0/w1/w2 rests on both engines running the same
+    * IEEE ops in the same order. A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    * b = (sy, s1y, s2y). */
+  private[graft] def modelOf(s: ModelSums): Model = {
+    val n = s.n.toDouble
+    val s1 = s.s1.toDouble; val s2 = s.s2.toDouble
+    val s11 = s.s11.toDouble; val s12 = s.s12.toDouble
+    val s22 = s.s22.toDouble
+    val sy = s.sy.toDouble; val s1y = s.s1y.toDouble
+    val s2y = s.s2y.toDouble
+    val det =
+      n * (s11 * s22 - s12 * s12) -
+        s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+    val det0 =
+      sy * (s11 * s22 - s12 * s12) -
+        s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)
+    val det1 =
+      n * (s1y * s22 - s12 * s2y) -
+        sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)
+    val det2 =
+      n * (s11 * s2y - s1y * s12) -
+        s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)
+    Model(s, det, det0 / det, det1 / det, det2 / det)
+  }
+
+  /** Index-class state (the ALS/IVF/BPE bench convention): a trained
+    * model is ingest-side work a long-lived service pays once; the
+    * registry rows measure serving. Memoized per dir. */
+  private[graft] def model(spark: SparkSession, dir: String): Model =
+    graft.Memo.get(spark, "quality-model", dir) {
+      modelOf(sumsOf(featFrame(spark, dir)))
+    }
+
+  /** `quality_model_train` — one row: the exact integer sums (the full
+    * training state), the Cramer determinant, and the three weights. */
+  def trainReport(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    val s = m.sums
+    spark.range(1).select(
+      lit(s.n).as("n_docs"),
+      lit(s.s1).as("s1"), lit(s.s2).as("s2"),
+      lit(s.s11).as("s11"), lit(s.s12).as("s12"), lit(s.s22).as("s22"),
+      lit(s.sy).as("sy6"), lit(s.s1y).as("s1y6"), lit(s.s2y).as("s2y6"),
+      lit(s.syy).as("syy6"),
+      lit(m.det).as("det"),
+      lit(m.w0).as("w_intercept"),
+      lit(m.w1).as("w_chars"),
+      lit(m.w2).as("w_pieces"))
+  }
+
+  /** Prediction expression — ((w0 + w1·x1) + w2·x2), the same tree the
+    * oracle writes, over the bit-identical weight literals. */
+  private def predExpr(m: Model): Column =
+    lit(m.w0) + lit(m.w1) * col("x1").cast("double") +
+      lit(m.w2) * col("x2").cast("double")
+
+  /** `quality_model_score` — per document: features, the judge's label,
+    * the model's prediction (micro-quality units) and residual. One
+    * codegen'd scan + three broadcast double literals; this is the shape
+    * the 100 TB first-pass gate runs. */
+  def scores(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    featFrame(spark, dir)
+      .withColumn("pred_micro", predExpr(m))
+      .select(col("doc_id"), col("x1"), col("x2"), col("y6"),
+        col("pred_micro"),
+        (col("y6").cast("double") - col("pred_micro")).as("resid_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** `quality_model_eval` — per source: the keep-gate confusion matrix
+    * (model gate vs judge gate at [[KeepThresholdMicro]] — exact integer
+    * counts) and the residual sum of squares through the two-level
+    * chunked sorted fold (the qualityReliability posture: no source's
+    * doc list ever sinks into one task). The table a curation owner
+    * reads before trusting the cheap gate on a new source. */
+  def evalReport(spark: SparkSession, dir: String): DataFrame = {
+    val m = model(spark, dir)
+    def foldSum(c: Column): Column =
+      aggregate(sort_array(collect_list(c)), lit(0.0), (s, x) => s + x)
+    val t = lit(KeepThresholdMicro.toDouble)
+    val scored = featFrame(spark, dir)
+      .withColumn("pred_micro", predExpr(m))
+      .withColumn("resid_micro",
+        col("y6").cast("double") - col("pred_micro"))
+      .withColumn("model_keep", col("pred_micro") >= t)
+      .withColumn("judge_keep", col("y6") >= lit(KeepThresholdMicro))
+    val leaves = scored
+      .groupBy(col("source"), shiftright(col("doc_id"), 10).as("chunk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("model_keep") && col("judge_keep"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("model_keep") && !col("judge_keep"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(!col("model_keep") && col("judge_keep"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!col("model_keep") && !col("judge_keep"), 1L)
+          .otherwise(0L)).as("tn"),
+        foldSum(col("resid_micro") * col("resid_micro")).as("sse_part"))
+    leaves.groupBy("source")
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("tp")).as("tp"), sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"), sum(col("tn")).as("tn"),
+        foldSum(col("sse_part")).as("sse"))
+      .select(col("source"), col("n_docs"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") /
+          col("n_docs").cast("double")).as("gate_agreement"),
+        (col("sse") / col("n_docs").cast("double")).as("mse"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle twins. The CTE prefix mirrors featFrameOf
+  // expression-for-expression (text_quality's proven fragments), the
+  // sums CTE the exact BIGINT aggregation, and the `w` CTE the Cramer
+  // trees of modelOf — op-identical doubles.
+  // ---------------------------------------------------------------------
+
+  private def toksSql = raw"string_split_regex(trim(text), '\s+')"
+
+  private def stopsSql =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def bpeSql = TextAnalysis.BpePattern.replace("'", "''")
+
+  private def d(x: String) = s"CAST($x AS DOUBLE)"
+
+  /** CTEs: feat(doc_id, source, x1, x2, y6) → s(ten sums) → w(det + weights). */
+  private[graft] def modelCtes: String = {
+    val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (d("n"), d("s1"), d("s2"), d("s11"), d("s12"), d("s22"),
+        d("sy6"), d("s1y6"), d("s2y6"))
+    s"""WITH f0 AS (SELECT doc_id, source, $toksSql AS toks,
+       |  CAST(length(text) AS BIGINT) AS x1,
+       |  CAST(len(regexp_extract_all(text, '$bpeSql')) AS BIGINT) AS x2
+       |FROM documents),
+       |feat AS (SELECT doc_id, source, x1, x2,
+       |  CAST(round(round(least(len(toks) / 100.0, 1.0) *
+       |    (1.0 - len(list_filter(toks, t -> t IN $stopsSql)) * 1.0
+       |      / len(toks)), 6) * 1000000.0) AS BIGINT) AS y6
+       |FROM f0),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |  CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |  CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |  CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |  CAST(sum(y6) AS BIGINT) AS sy6,
+       |  CAST(sum(x1 * y6) AS BIGINT) AS s1y6,
+       |  CAST(sum(x2 * y6) AS BIGINT) AS s2y6,
+       |  CAST(sum(y6 * y6) AS BIGINT) AS syy6
+       |FROM feat),
+       |w AS (SELECT *,
+       |  $n * ($s11 * $s22 - $s12 * $s12) -
+       |    $s1 * ($s1 * $s22 - $s12 * $s2) +
+       |    $s2 * ($s1 * $s12 - $s11 * $s2) AS det,
+       |  ($sy * ($s11 * $s22 - $s12 * $s12) -
+       |    $s1 * ($s1y * $s22 - $s12 * $s2y) +
+       |    $s2 * ($s1y * $s12 - $s11 * $s2y)) / (
+       |   $n * ($s11 * $s22 - $s12 * $s12) -
+       |    $s1 * ($s1 * $s22 - $s12 * $s2) +
+       |    $s2 * ($s1 * $s12 - $s11 * $s2)) AS w_intercept,
+       |  ($n * ($s1y * $s22 - $s12 * $s2y) -
+       |    $sy * ($s1 * $s22 - $s12 * $s2) +
+       |    $s2 * ($s1 * $s2y - $s1y * $s2)) / (
+       |   $n * ($s11 * $s22 - $s12 * $s12) -
+       |    $s1 * ($s1 * $s22 - $s12 * $s2) +
+       |    $s2 * ($s1 * $s12 - $s11 * $s2)) AS w_chars,
+       |  ($n * ($s11 * $s2y - $s1y * $s12) -
+       |    $s1 * ($s1 * $s2y - $s1y * $s2) +
+       |    $sy * ($s1 * $s12 - $s11 * $s2)) / (
+       |   $n * ($s11 * $s22 - $s12 * $s12) -
+       |    $s1 * ($s1 * $s22 - $s12 * $s2) +
+       |    $s2 * ($s1 * $s12 - $s11 * $s2)) AS w_pieces
+       |FROM s)""".stripMargin
+  }
+
+  def trainOracleSql: String =
+    s"""$modelCtes
+       |SELECT n AS n_docs, s1, s2, s11, s12, s22, sy6, s1y6, s2y6, syy6,
+       |  det, w_intercept, w_chars, w_pieces
+       |FROM w""".stripMargin
+
+  def scoreOracleSql: String =
+    s"""$modelCtes
+       |SELECT doc_id, x1, x2, y6,
+       |  w_intercept + w_chars * ${d("x1")} + w_pieces * ${d("x2")}
+       |    AS pred_micro,
+       |  ${d("y6")} - (w_intercept + w_chars * ${d("x1")} +
+       |    w_pieces * ${d("x2")}) AS resid_micro
+       |FROM feat, w ORDER BY doc_id""".stripMargin
+
+  def evalOracleSql: String =
+    s"""$modelCtes,
+       |sc AS (SELECT source, doc_id // 1024 AS chunk,
+       |  y6 >= $KeepThresholdMicro AS judge_keep,
+       |  (w_intercept + w_chars * ${d("x1")} + w_pieces * ${d("x2")})
+       |    >= ${d(KeepThresholdMicro.toString)} AS model_keep,
+       |  ${d("y6")} - (w_intercept + w_chars * ${d("x1")} +
+       |    w_pieces * ${d("x2")}) AS resid
+       |FROM feat, w),
+       |leaves AS (SELECT source, chunk, count(*) AS n,
+       |  CAST(sum(CASE WHEN model_keep AND judge_keep THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN model_keep AND NOT judge_keep THEN 1 ELSE 0
+       |    END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN NOT model_keep AND judge_keep THEN 1 ELSE 0
+       |    END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN NOT model_keep AND NOT judge_keep THEN 1
+       |    ELSE 0 END) AS BIGINT) AS tn,
+       |  list_sum(list_sort(list(resid * resid))) AS sse_part
+       |FROM sc GROUP BY source, chunk)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+       |  CAST(sum(fn) AS BIGINT) AS fn, CAST(sum(tn) AS BIGINT) AS tn,
+       |  CAST(sum(tp) + sum(tn) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+       |    AS gate_agreement,
+       |  list_sum(list_sort(list(sse_part))) / CAST(sum(n) AS DOUBLE)
+       |    AS mse
+       |FROM leaves GROUP BY source ORDER BY source""".stripMargin
+}

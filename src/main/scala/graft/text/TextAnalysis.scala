@@ -18,9 +18,9 @@ object TextAnalysis {
   /** Whitespace tokenizer shared by all text ops. */
   val tokens: Column = split(trim(col("text")), "\\s+")
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[text] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  private def hitCount(toks: Column, words: Seq[String]): Column =
+  private[text] def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
 
   /** GPT-2-style pre-tokenization regex, restricted to constructs with

@@ -113,11 +113,21 @@ object TextRegistry {
       // K rounds unrolled in SQL, generated from the same constants) —
       // and the corpus re-tokenized under the learned vocab.
       "text_bpe_train" -> ((s, d) => BpeTrainer.trainMerges(s, d)),
-      "text_bpe_encode" -> ((s, d) => BpeTrainer.encodeCounts(s, d))
+      "text_bpe_encode" -> ((s, d) => BpeTrainer.encodeCounts(s, d)),
+      // Learned quality model: closed-form ridge-free OLS distillation of
+      // the heuristic judge into scan-time byte counters — train (exact
+      // integer normal equations + bit-parity Cramer solve), per-doc
+      // scoring, and the per-source gate-agreement eval.
+      "quality_model_train" -> ((s, d) => QualityModel.trainReport(s, d)),
+      "quality_model_score" -> ((s, d) => QualityModel.scores(s, d)),
+      "quality_model_eval" -> ((s, d) => QualityModel.evalReport(s, d))
     ),
     oracles = Map(
       "text_bpe_train" -> BpeTrainer.mergeOracleSql,
       "text_bpe_encode" -> BpeTrainer.encodeOracleSql,
+      "quality_model_train" -> QualityModel.trainOracleSql,
+      "quality_model_score" -> QualityModel.scoreOracleSql,
+      "quality_model_eval" -> QualityModel.evalOracleSql,
       "text_token_counts" ->
         s"""SELECT doc_id, len($Toks) AS n_tokens,
            |  len(regexp_extract_all(text,
