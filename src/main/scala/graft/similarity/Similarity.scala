@@ -201,17 +201,34 @@ object Similarity {
             .bitwiseAND(lit((1L << BandBits) - 1)).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = buckets
+    // Verify INSIDE the bucket join's codegen stream, dedup AFTER the
+    // threshold filter — never materialize the candidate relation.
+    // The candidate stream is quadratic in bucket size (a corpus whose
+    // duplication factor grows 100× grows its buckets 100× and its
+    // candidates 10⁴×), and the old shape — dropDuplicates(d1,d2) over
+    // wide rows carrying BOTH embedding arrays BEFORE the verify —
+    // funneled that stream into a ~1.1 KB/row SortAggregate: ~40 GB of
+    // sort spill and ENOSPC at the 100× slice (curate_epoch_order /
+    // curate_full / curate_release_manifest / split_contamination all
+    // died; curate_safe_splits survived at 452 s). Computing the cosine
+    // in the join projection lets sub-threshold candidates die inside
+    // whole-stage codegen (zero bytes moved), and the dedup runs over
+    // the skinny verified (d1, d2, cos) survivors as a hash aggregate.
+    // Semantics are IDENTICAL: cos is a pure function of the pair, so
+    // filter-then-dedup emits exactly the rows dedup-then-filter did —
+    // the per-pair cost is ≤ Bands (=4) redundant cosine evaluations,
+    // flops inside codegen traded for the sort spill that filled a disk.
+    buckets
       .select(col("vec_id").as("d1"), col("embedding").as("e1"),
         col("band"), col("key"))
       .join(buckets.select(col("vec_id").as("d2"),
         col("embedding").as("e2"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "e1", "e2").dropDuplicates("d1", "d2")
-    cand.withColumn("cos", cosine(col("e1"), col("e2")))
+      .withColumn("cos", cosine(col("e1"), col("e2")))
       .filter(col("cos") >= threshold)
       .select("d1", "d2", "cos")
+      .dropDuplicates("d1", "d2")
   }
 
   /** Per-member cluster assignment (vec_id → min-label representative)
