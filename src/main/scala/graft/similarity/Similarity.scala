@@ -173,6 +173,57 @@ object Similarity {
   def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
     srpLshPairsCore(spark, dir, 0.4)
 
+  /** Seeds of the truncation-recall audit — a deterministic spread of
+    * vec_ids (stride over the corpus prefix every SF carries), shared
+    * verbatim with the SQL twin. */
+  val TruncationSeeds: Seq[Long] = Seq(0L, 3L, 7L, 11L, 23L, 42L, 77L, 99L)
+
+  /** Matryoshka-style dimension-truncation recall audit: overlap@k
+    * between the exact cosine top-k under the FULL embedding and under
+    * its first `dims` coordinates — the table that says whether a
+    * serving tier can run its candidate stage on truncated vectors
+    * (4× less memory bandwidth and index footprint) without losing the
+    * neighbors the full-dim rerank would keep. Per seed: both top-k
+    * sets (WindowGroupLimit turns the rank filter into a per-group
+    * top-k — never a global sort), joined on (seed, vec_id), exact
+    * integer overlap count, one final division. Scale shape: |emb| ×
+    * |seeds| rows through two group-limited windows partitioned by
+    * seed — the same per-seed-bounded plan as the rec sweeps; nothing
+    * corpus-sized crosses an exchange except the k-row survivor sets. */
+  def truncationRecall(spark: SparkSession, dir: String,
+                       seeds: Seq[Long] = TruncationSeeds,
+                       k: Int = 20, dims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val seedRel = broadcast(e.filter(col("vec_id").isin(seeds: _*))
+      .select(col("vec_id").as("seed_id"), col("embedding").as("se")))
+    val scored = e.crossJoin(seedRel)
+      .filter(col("vec_id") =!= col("seed_id"))
+      .select(col("seed_id"), col("vec_id"),
+        cosine(col("embedding"), col("se")).as("cos_full"),
+        cosine(slice(col("embedding"), 1, dims),
+          slice(col("se"), 1, dims)).as("cos_trunc"))
+    def topkBy(c: String): DataFrame = {
+      val w = Window.partitionBy("seed_id")
+        .orderBy(desc(c), asc("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("seed_id", "vec_id")
+    }
+    val overlap = topkBy("cos_full")
+      .join(topkBy("cos_trunc"), Seq("seed_id", "vec_id"))
+      .groupBy("seed_id").agg(count(lit(1)).as("n_overlap"))
+    // Unhinted seed relation for the outer join (a broadcast hint on the
+    // LEFT of a left-outer is unsupported and would only log noise).
+    e.filter(col("vec_id").isin(seeds: _*))
+      .select(col("vec_id").as("seed_id"))
+      .join(overlap, Seq("seed_id"), "left")
+      .select(col("seed_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(k))
+          .as("recall_at_k"))
+      .orderBy("seed_id")
+  }
+
   /** Unsorted verified pair relation, memoized + persisted: the pairs
     * row and the cluster row both read it (sort only at the boundary). */
   private def srpLshPairsCore(spark: SparkSession, dir: String,

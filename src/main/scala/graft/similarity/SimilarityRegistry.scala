@@ -86,9 +86,38 @@ object SimilarityRegistry {
       "sim_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
       "sim_ivf_rerank" -> ((s, d) =>
         Similarity.ivfRerankTopK(s, d, SeedVec)),
-      "sim_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d))
+      "sim_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d)),
+      // Matryoshka-style audit: exact top-k overlap between full-dim
+      // and first-16-dim cosine, per seed.
+      "sim_truncation_recall" -> ((s, d) =>
+        Similarity.truncationRecall(s, d))
     ),
     oracles = Map(
+      "sim_truncation_recall" -> {
+        val seeds = Similarity.TruncationSeeds.mkString(", ")
+        val (k, dims) = (20, 16)
+        s"""WITH sd AS (SELECT vec_id AS seed_id, embedding AS se
+           |  FROM embeddings WHERE vec_id IN ($seeds)),
+           |sc AS (SELECT seed_id, vec_id,
+           |  ${cosSql("embedding", "se")} AS cos_full,
+           |  ${cosSql(s"embedding[1:$dims]", s"se[1:$dims]")} AS cos_trunc
+           |FROM embeddings, sd WHERE vec_id <> seed_id),
+           |f AS (SELECT seed_id, vec_id FROM (
+           |  SELECT seed_id, vec_id, row_number() OVER (
+           |    PARTITION BY seed_id ORDER BY cos_full DESC, vec_id) AS rk
+           |  FROM sc) WHERE rk <= $k),
+           |t AS (SELECT seed_id, vec_id FROM (
+           |  SELECT seed_id, vec_id, row_number() OVER (
+           |    PARTITION BY seed_id ORDER BY cos_trunc DESC, vec_id) AS rk
+           |  FROM sc) WHERE rk <= $k),
+           |o AS (SELECT seed_id, count(*) AS n_overlap
+           |  FROM f JOIN t USING (seed_id, vec_id) GROUP BY seed_id)
+           |SELECT sd.seed_id,
+           |  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+           |  CAST(coalesce(n_overlap, 0) AS DOUBLE) / $k AS recall_at_k
+           |FROM sd LEFT JOIN o USING (seed_id)
+           |ORDER BY seed_id""".stripMargin
+      },
       "sim_norms" ->
         s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
            |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -397,4 +397,25 @@ class SimilaritySpec extends SparkTestBase {
       assert(cov == withV.toDouble / n && cov >= 0.0 && cov <= 1.0)
     }
   }
+
+  test("truncation recall: full-dim truncation is the identity (recall 1), " +
+    "narrow truncation stays a valid overlap fraction") {
+    val k = 20
+    // Truncating to ALL 64 dims must reproduce the full top-k exactly.
+    val identity = Similarity.truncationRecall(spark, dir, k = k, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(identity.nonEmpty)
+    identity.foreach { case (seed, n, rec) =>
+      assert(n == k && rec == 1.0, s"seed $seed: $n/$k under identity truncation")
+    }
+    // First-16-dims: every row a well-formed fraction over the same seeds.
+    val narrow = Similarity.truncationRecall(spark, dir, k = k, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(narrow.map(_._1).toSeq ==
+      Similarity.TruncationSeeds.sorted)
+    narrow.foreach { case (seed, n, rec) =>
+      assert(n >= 0 && n <= k, s"seed $seed overlap $n outside [0,$k]")
+      assert(rec == n.toDouble / k)
+    }
+  }
 }
