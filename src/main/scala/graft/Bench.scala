@@ -2,6 +2,72 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Spark-free host calibration (VERDICT r12 item 1): a fixed
+    * single-thread CPU loop and a fixed-size file scan, measured before
+    * the SparkSession exists. The pair is stamped into every artifact so
+    * cross-ROUND drift is attributable after the fact: two blessed
+    * artifacts N and M give engine drift as
+    * (total_N/total_M) / (calib_N/calib_M) — a uniform host slowdown
+    * (hypervisor throttling) moves calib and total together and divides
+    * out; an engine regression moves only total. Without this, the
+    * 147.7→199.4 s r10→r12 creep was host-vs-engine ambiguous forever.
+    *
+    * CPU: 10^9 xorshift64 steps after a 10^7-step JIT warm-up — pure
+    * register arithmetic, no allocation, immune to data or page cache.
+    * IO: 256 MiB streamed from a pinned parquet file (cycling if the file
+    * is smaller), XOR-folded to defeat dead-code elimination — measures
+    * the memory/page-cache read path the scans ride on.
+    */
+  private def hostCalibration(sfDir: String): (Long, Long, Long) = {
+    def xorshift(n: Long, seed: Long): Long = {
+      var x = seed; var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    var sink = xorshift(10000000L, 0x9E3779B97F4A7C15L) // JIT warm-up
+    val c0 = System.nanoTime()
+    sink ^= xorshift(1000000000L, sink | 1L)
+    val cpuMs = (System.nanoTime() - c0) / 1000000L
+    val (ioMs, ioBytes) =
+      try {
+        val dirP = java.nio.file.Paths.get(sfDir)
+        val pinned = {
+          val li = dirP.resolve("lineitem.parquet")
+          if (java.nio.file.Files.exists(li)) li
+          else {
+            val s = java.nio.file.Files.list(dirP)
+            try s.filter(_.toString.endsWith(".parquet"))
+              .sorted().findFirst().orElse(null)
+            finally s.close()
+          }
+        }
+        if (pinned == null) (-1L, -1L)
+        else {
+          val budget = 256L * 1024 * 1024
+          val buf = java.nio.ByteBuffer.allocate(8 * 1024 * 1024)
+          var read = 0L
+          val t0 = System.nanoTime()
+          while (read < budget) {
+            val ch = java.nio.channels.FileChannel.open(
+              pinned, java.nio.file.StandardOpenOption.READ)
+            try {
+              var n = 0
+              while (read < budget && { buf.clear(); n = ch.read(buf); n } > 0) {
+                read += n
+                buf.flip()
+                while (buf.remaining() >= 8) sink ^= buf.getLong()
+              }
+              if (n <= 0 && read == 0L) read = budget // empty file: bail
+            } finally ch.close()
+          }
+          ((System.nanoTime() - t0) / 1000000L, read)
+        }
+      } catch { case _: Throwable => (-1L, -1L) }
+    if (sink == 42L) System.err.println("") // defeat DCE; never taken
+    (cpuMs, ioMs, ioBytes)
+  }
+
   def main(args: Array[String]): Unit = {
     // Ambient host load BEFORE this JVM does any work: the end-of-run
     // reading includes the bench's own threads, so the pair brackets how
@@ -19,6 +85,9 @@ object Bench {
         if (t.length >= 8) Some((t(7), t.sum)) else None
       } catch { case _: Throwable => None }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Host calibration BEFORE the SparkSession exists (~2 s, untimed):
+    // the Spark-free anchor every cross-round drift computation divides by.
+    val (calibCpuMs, calibIoMs, calibIoBytes) = hostCalibration(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle parallelism scales with DATA, cores with the machine: at
     // the bench SF they coincide (32), but a 100× slice needs partitions
@@ -77,8 +146,12 @@ object Bench {
       if (selectedNames("layout_zorder_scan") ||
           selectedNames("layout_zorder_report"))
         sources.ZOrderLayout.layout(spark, sfDir)
+      if (selectedNames("layout_zorder_manifest"))
+        sources.ZOrderLayout.manifestLayout(spark, sfDir)
       if (selectedNames("text_bpe_train") || selectedNames("text_bpe_encode"))
         text.BpeTrainer.trainMerges(spark, sfDir).count()
+      if (selectedNames("text_bpe_train_k256"))
+        text.BpeTrainer.trainMergesDeep(spark, sfDir).count()
       if (selectedNames.exists(_.startsWith("quality_model_")))
         text.QualityModel.model(spark, sfDir)
     } catch {
@@ -296,15 +369,32 @@ object Bench {
     // queries at a uniform median 1.34×) moves the median; an engine
     // regression moves its own queries against it. Judge drift rows
     // relative to this number.
-    val (perfDrift, hostFactor): (String, Double) =
-      if (only.nonEmpty || !clean) ("[]", -1.0)
+    // calib_ratio rides along with host_factor: this run's Spark-free CPU
+    // calibration over the blessed artifact's. host_factor_norm =
+    // host_factor / calib_ratio is the CALIBRATION-NORMALIZED drift — the
+    // number that separates "the host is slower" (calib moved too, norm
+    // ≈ 1) from "the engine is slower" (calib flat, norm ≈ host_factor).
+    // -1 when either side lacks a calibration stamp.
+    // Per-family sub-timings of convergence_audit (VERDICT r12 item 7):
+    // the row is the bench's largest and first-pays four propagation
+    // families — the artifact carries each family's wall so the drift
+    // gate can name the family, not just the lump.
+    val convFams: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      graph.GraphRegistry.convergenceFamilyMs.asScala.toMap
+    }
+    val convJson = convFams.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val (perfDrift, hostFactor, calibRatio): (String, Double, Double) =
+      if (only.nonEmpty || !clean) ("[]", -1.0, -1.0)
       else try {
         val p = java.nio.file.Paths.get("BENCH_BLESSED.json")
-        if (!java.nio.file.Files.exists(p)) ("[]", -1.0)
+        if (!java.nio.file.Files.exists(p)) ("[]", -1.0, -1.0)
         else {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val qn = om.readTree(new String(
-            java.nio.file.Files.readAllBytes(p), "UTF-8")).get("queries")
+          val root = om.readTree(new String(
+            java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          val qn = root.get("queries")
           def blessedOf(n: String): Double =
             Option(qn).flatMap(q => Option(q.get(n)))
               .map(_.asDouble(-1.0)).getOrElse(-1.0)
@@ -317,17 +407,35 @@ object Bench {
           }.sorted
           val median =
             if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
-          (drifted.map { case (n, t) =>
+          val blessedCalib = Option(root.get("calib"))
+            .flatMap(c => Option(c.get("cpu_ms")))
+            .map(_.asDouble(-1.0)).getOrElse(-1.0)
+          val cr =
+            if (blessedCalib > 0 && calibCpuMs > 0) calibCpuMs / blessedCalib
+            else -1.0
+          // Family-level drift inside convergence_audit: >2× its blessed
+          // wall AND over 1 s (the query-level thresholds, per family).
+          val bfam = Option(root.get("convergence_families"))
+          val famDrift = convFams.toSeq.sorted.flatMap { case (fam, ms) =>
+            val b = bfam.flatMap(n => Option(n.get(fam)))
+              .map(_.asLong(-1L)).getOrElse(-1L)
+            if (b > 0 && ms > 1000 && ms > 2 * b)
+              Some(s"""{"q":"convergence_audit:$fam","sec":${fmt(ms / 1000.0, 2)},"blessed":${fmt(b / 1000.0, 2)}}""")
+            else None
+          }
+          ((drifted.map { case (n, t) =>
             val b = qn.get(n).asDouble()
             s"""{"q":"$n","sec":${fmt(t, 2)},"blessed":${fmt(b, 2)}}"""
-          }.mkString("[", ",", "]"), median)
+          } ++ famDrift).mkString("[", ",", "]"), median, cr)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] perf-drift audit failed: $e")
-        ("[]", -1.0)
+        ("[]", -1.0, -1.0)
       }
+    val hostFactorNorm =
+      if (hostFactor > 0 && calibRatio > 0) hostFactor / calibRatio else -1.0
     val cleanGate =
-      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0},"perf_drift":$perfDrift,"host_factor":${fmt(hostFactor, 2)}"""
+      s""""clean":$clean,"clean_gate":{"steal_ticks":$stealTicks,"wall_s":$wallS,"steal_budget_ticks":$stealBudget,"host_cores":$hostCores,"load_avg_start_max":1.0},"calib":{"cpu_ms":$calibCpuMs,"io_ms":$calibIoMs,"io_bytes":$calibIoBytes},"convergence_families":$convJson,"perf_drift":$perfDrift,"host_factor":${fmt(hostFactor, 2)},"calib_ratio":${fmt(calibRatio, 3)},"host_factor_norm":${fmt(hostFactorNorm, 2)}"""
     def line(qs: Seq[(String, Double)], decimals: Int, extra: String) = {
       val body = qs.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v, decimals)

@@ -55,13 +55,33 @@ object GraphRegistry {
         () => graft.similarity.Similarity.dupConvergedWithin(s, d)))
     try {
       val fs = probes.map { case (fam, horizon, probe) =>
-        Future((fam, horizon, probe()))
+        Future {
+          // Per-family wall (VERDICT r12 item 7): at ~17 s this row is
+          // the bench's largest and aggregates four families' first-pay —
+          // a regression in one family hides inside the lump (r11's
+          // MinHash cost did exactly that). The timings are measurements,
+          // not semantics, so they ride the BENCH artifact
+          // (convergence_families in BENCH_FULL_LATEST.json, compared
+          // against the blessed run by the perf-drift gate), never this
+          // hash-checked row. Families run concurrently; each wall is
+          // its own end-to-end chain under that concurrency — the same
+          // conditions every run, so cross-run ratios are meaningful.
+          val t0 = System.nanoTime()
+          val r = probe()
+          convergenceFamilyMs.put(fam, (System.nanoTime() - t0) / 1000000L)
+          (fam, horizon, r)
+        }
       }
       Await.result(Future.sequence(fs),
           scala.concurrent.duration.Duration(30, "min"))
         .toDF("family", "horizon", "converged").orderBy("family")
     } finally pool.shutdown()
   }
+
+  /** Last convergence_audit run's per-family wall (ms), for the bench
+    * artifact's convergence_families field. */
+  val convergenceFamilyMs =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** The canonical edge list, as DuckDB SQL — the oracle twin of
     * GraphBuilder.edges. Column names come from the first UNION branch. */

