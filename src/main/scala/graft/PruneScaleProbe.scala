@@ -94,6 +94,16 @@ object PruneScaleProbe {
     val (fPruned, fFull) = (filesRead(zPruned), filesRead(zFull))
     val nRanges = sources.ZOrderLayout.candidateRanges(bounds).size
 
+    // Manifest form (G=8): layout + manifest build outside (ingest-tier),
+    // then the manifest-pruned box scan — file subsets come from driver
+    // interval math over the manifest, not directory pruning.
+    sources.ZOrderLayout.manifestLayout(spark, sfDir)
+    sources.ZOrderLayout.zScanManifest(spark, sfDir).collect()
+    val zm = sources.ZOrderLayout.zScanManifest(spark, sfDir)
+    val (_, tZm) = timed(zm.collect())
+    val (mTotal, mKept, mRanges) =
+      sources.ZOrderLayout.manifestPruneStats(spark, sfDir)
+
     println(
       s"""{"probe":"prune_scale","sf_dir":"$sfDir",""" +
       s""""bloom_pruned_sec":${f"$tPruned%.2f"},""" +
@@ -103,7 +113,9 @@ object PruneScaleProbe {
       s""""zscan_pruned_sec":${f"$tZPruned%.2f"},""" +
       s""""zscan_full_sec":${f"$tZFull%.2f"},""" +
       s""""z_files_pruned":$fPruned,"z_files_full":$fFull,""" +
-      s""""z_ranges":$nRanges}""")
+      s""""z_ranges":$nRanges,""" +
+      s""""zm_sec":${f"$tZm%.2f"},"zm_files_read":$mKept,""" +
+      s""""zm_files_total":$mTotal,"zm_ranges":$mRanges}""")
     spark.stop()
   }
 }

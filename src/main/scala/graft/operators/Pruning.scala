@@ -52,34 +52,64 @@ object Pruning {
       .filter(col("p_size") <= SizeCap)
       .select(col("p_partkey"), col("p_brand"))
 
+  /** Key-count budget past which the sketch stops being broadcast-cheap
+    * (the scaladoc's own sizing: ~50 M keys at 1% fpp is ~60 MB — no
+    * longer a literal you want in every task's closure) and the right
+    * tool becomes the plain shuffle semi-join again. The gate is checked
+    * against the exact `keys.count()` the sizing pass already pays, so
+    * degradation is a code path, not a doc footnote. */
+  val BloomKeyBudget = 50000000L
+
   /** Serialized bloom over the dim slice's keys, built once per
     * (JVM, dir): two jobs over the small dim (an exact count to size the
-    * sketch, then the tree-aggregated build). */
-  def dimBloomBytes(spark: SparkSession, dir: String): Array[Byte] =
-    graft.Memo.get(spark, "bloom-dim-keys", (dir, SizeCap, Fpp)) {
+    * sketch, then the tree-aggregated build). None when the slice exceeds
+    * `budget` — the caller must fall back to the un-pruned plan. */
+  private[graft] def dimBloomBytesIfCheap(
+      spark: SparkSession, dir: String,
+      budget: Long = BloomKeyBudget): Option[Array[Byte]] =
+    graft.Memo.get(spark, "bloom-dim-keys", (dir, SizeCap, Fpp, budget)) {
       val keys = dimSlice(spark, dir).select("p_partkey")
       val n = math.max(64L, keys.count())
-      val bf = keys.stat.bloomFilter("p_partkey", n, Fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
+      if (n > budget) None
+      else {
+        val bf = keys.stat.bloomFilter("p_partkey", n, Fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Some(bos.toByteArray)
+      }
     }
 
+  /** Bench-prewarm entry (ingest-side build; throws if over budget —
+    * at bench SF the slice is always under it). */
+  def dimBloomBytes(spark: SparkSession, dir: String): Array[Byte] =
+    dimBloomBytesIfCheap(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"dim slice exceeds BloomKeyBudget=$BloomKeyBudget; " +
+          "bloom pruning is disabled at this scale"))
+
   /** Brand volume through the bloom-pruned join. Result is identical to
-    * the plain join (the oracle); only the exchanged bytes differ. */
-  def bloomPrunedBrandVolume(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val bytes = dimBloomBytes(spark, dir)
-    val fact = Tables.load(spark, dir, "lineitem")
-      .select(col("l_partkey"), col("l_extendedprice"))
-      .filter(GraftFunctions.bloomMightContain(bytes, col("l_partkey")))
-    val dim = dimSlice(spark, dir).hint("merge")
-    fact.join(dim, fact("l_partkey") === dim("p_partkey"))
-      .groupBy("p_brand")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_c"))
-      .orderBy("p_brand")
-  }
+    * the plain join (the oracle); only the exchanged bytes differ. When
+    * the dim slice exceeds the key budget the bloom is NOT built and the
+    * plan IS the plain join — the documented degradation, as code. */
+  def bloomPrunedBrandVolume(spark: SparkSession, dir: String): DataFrame =
+    bloomPrunedBrandVolumeWithBudget(spark, dir, BloomKeyBudget)
+
+  private[graft] def bloomPrunedBrandVolumeWithBudget(
+      spark: SparkSession, dir: String, budget: Long): DataFrame =
+    dimBloomBytesIfCheap(spark, dir, budget) match {
+      case None => plainBrandVolume(spark, dir)
+      case Some(bytes) =>
+        GraftFunctions.register(spark)
+        val fact = Tables.load(spark, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"))
+          .filter(GraftFunctions.bloomMightContain(bytes, col("l_partkey")))
+        val dim = dimSlice(spark, dir).hint("merge")
+        fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_c"))
+          .orderBy("p_brand")
+    }
 
   /** The same plan WITHOUT the bloom probe — PruningSpec's parity +
     * exchanged-bytes A/B baseline (not a registry row). */

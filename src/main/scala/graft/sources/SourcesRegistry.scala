@@ -18,7 +18,11 @@ object SourcesRegistry {
       // pruning accounting itself hash-pinned against an oracle that
       // recomputes bin → interleave → clamp from the raw table.
       "layout_zorder_scan" -> ((s, d) => ZOrderLayout.zScan(s, d)),
-      "layout_zorder_report" -> ((s, d) => ZOrderLayout.zReport(s, d))
+      "layout_zorder_report" -> ((s, d) => ZOrderLayout.zReport(s, d)),
+      // Manifest form (G=8, zbin as a data column, per-file min/max
+      // manifest, closed-form z-range decomposition): same plain-scan
+      // oracle — manifest pruning must be answer-invisible.
+      "layout_zorder_manifest" -> ((s, d) => ZOrderLayout.zScanManifest(s, d))
     ),
     oracles = Map(
       "source_roundtrip_counts" ->
@@ -75,7 +79,8 @@ object SourcesRegistry {
           |    / CAST(100 AS DOUBLE) AS sum_price_present
           |FROM orders""".stripMargin,
       "layout_zorder_scan" -> ZOrderLayout.scanOracleSql,
-      "layout_zorder_report" -> ZOrderLayout.reportOracleSql
+      "layout_zorder_report" -> ZOrderLayout.reportOracleSql,
+      "layout_zorder_manifest" -> ZOrderLayout.scanOracleSql
     )
   )
 }

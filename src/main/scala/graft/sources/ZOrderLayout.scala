@@ -257,4 +257,182 @@ object ZOrderLayout {
        |  AND epoch_ns(o_orderdate) // 1000 // $DayUs
        |    BETWEEN $DayLo AND $DayHi
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -----------------------------------------------------------------------
+  // MANIFEST form (VERDICT r12 item 3): G=8 (a 256×256 grid, 65 536 cells
+  // — far past what a directory per bin survives), zbin as a DATA column,
+  // files grouped by exact integer math fid = zbin div cellsPerFid, and a
+  // per-file (zbin_min, zbin_max) MANIFEST collected at write. A box query
+  // decomposes into closed-form morton ranges (quadtree z-decomposition —
+  // the BIGMIN/LITMAX contract: O(G·perimeter) ranges, never a cell
+  // enumeration), intersects them against the manifest on the driver, and
+  // hands Spark the surviving FILE LIST — the Delta/Iceberg data-skipping
+  // move on plain parquet. The exact box predicate re-applies on the
+  // survivors, so the answer is layout-invisible and the oracle stays the
+  // plain scan.
+  // -----------------------------------------------------------------------
+
+  /** Manifest-form bits per dimension (2^GM × 2^GM grid). */
+  val GM = 8
+
+  /** Target file groups: fid = zbin div CellsPerFid, one write task per
+    * fid. 64 groups of 1 024 consecutive morton cells each. */
+  val FilesM = 64
+
+  val CellsPerFid: Long = (1L << (2 * GM)) / FilesM
+
+  /** [[bin]] at g bits. */
+  def binG(g: Int, v: Long, lo: Long, hi: Long): Long =
+    ((v - lo) * (1L << g)) / (hi - lo + 1)
+
+  /** [[morton]] at g bits. */
+  def mortonG(g: Int, bx: Long, by: Long): Long =
+    (0 until g).map { i =>
+      (((bx >> i) & 1L) << (2 * i + 1)) | (((by >> i) & 1L) << (2 * i))
+    }.foldLeft(0L)(_ | _)
+
+  private def mortonColG(g: Int, bx: Column, by: Column): Column =
+    (0 until g).map { i =>
+      shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Closed-form z-range decomposition of the bin box [bxLo..bxHi] ×
+    * [byLo..byHi] at g bits: recursive quadrant split — a quadrant fully
+    * inside the box contributes its whole CONTIGUOUS morton run (an
+    * aligned 2^s × 2^s square spans exactly 4^s consecutive codes), a
+    * disjoint quadrant contributes nothing, a straddling one recurses.
+    * O(4g · perimeter) ranges before the final adjacent-merge; the cell
+    * set covered is EXACTLY the box (PruningSpec cross-checks against
+    * brute-force enumeration), so manifest pruning stays answer-exact. */
+  def zRangesG(g: Int, bxLo: Long, bxHi: Long,
+               byLo: Long, byHi: Long): Seq[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    def rec(x0: Long, y0: Long, s: Int, base: Long): Unit = {
+      val (x1, y1) = (x0 + (1L << s) - 1, y0 + (1L << s) - 1)
+      if (x0 > bxHi || x1 < bxLo || y0 > byHi || y1 < byLo) ()
+      else if (x0 >= bxLo && x1 <= bxHi && y0 >= byLo && y1 <= byHi)
+        out += (base -> (base + (1L << (2 * s)) - 1))
+      else {
+        val h = 1L << (s - 1); val q = 1L << (2 * (s - 1))
+        // z-order quadrant visit order: (y-low,x-low)=0, (y-high)=+q? —
+        // bit layout here is x at odd positions, y at even, so within a
+        // square the code orders (x-bit, y-bit) as (0,0),(0,1),(1,0),(1,1)
+        rec(x0, y0, s - 1, base)
+        rec(x0, y0 + h, s - 1, base + q)
+        rec(x0 + h, y0, s - 1, base + 2 * q)
+        rec(x0 + h, y0 + h, s - 1, base + 3 * q)
+      }
+    }
+    if (bxLo > bxHi || byLo > byHi) Seq.empty
+    else {
+      rec(0L, 0L, g, 0L)
+      // merge adjacent runs (quadrant recursion emits them in morton
+      // order, so one linear pass suffices)
+      out.result().foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (lo, hi)) => acc.lastOption match {
+          case Some((plo, phi)) if lo == phi + 1 => acc.init :+ (plo -> hi)
+          case _ => acc :+ (lo -> hi)
+        }
+      }
+    }
+  }
+
+  /** The manifest layout: write path + per-file (path, zbin_min, zbin_max)
+    * + bounds, built once per (JVM, dir). One bounds agg, one clustered
+    * write (repartition on the EXACT-math fid — deterministic, never a
+    * sampled range exchange), one manifest scan (`_metadata.file_path`
+    * min/max — the stats collection a table format does in its commit
+    * protocol). At 100 TB the manifest is one small table (files × 3
+    * columns) and everything else is per-file-group parallel. */
+  final case class ZManifest(path: String,
+                             files: Seq[(String, Long, Long)],
+                             bounds: ZBounds)
+
+  def manifestLayout(spark: SparkSession, dir: String): ZManifest =
+    graft.Memo.get(spark, "zorder-manifest", dir) {
+      val o = Tables.load(spark, dir, "orders")
+        .withColumn("zday", expr(zdayExpr))
+      val r = o.agg(
+        min("o_custkey"), max("o_custkey"), min("zday"), max("zday")).head()
+      val b = ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // Integer `div` has no Column-API operator — expr() like the G=3
+      // form (operands non-negative here, so div ≡ DuckDB //).
+      def binCol(vSql: String, lo: Long, hi: Long): Column =
+        expr(s"((($vSql) - ($lo)) * ${1L << GM}) div ${hi - lo + 1}")
+      val binned = o.withColumn("zbin",
+          when(col("o_custkey").isNull || col("zday").isNull, lit(-1L))
+            .otherwise(mortonColG(GM,
+              binCol("o_custkey", b.xmin, b.xmax),
+              binCol("zday", b.ymin, b.ymax))))
+        .withColumn("fid",
+          when(col("zbin") === -1L, lit(-1L))
+            .otherwise(expr(s"zbin div $CellsPerFid")))
+        .drop("zday")
+      val out = graft.Scratch.dir("graft-zmanifest",
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(12))
+      binned.repartition(FilesM + 1, col("fid"))
+        .sortWithinPartitions("zbin")
+        .drop("fid")
+        .write.mode("overwrite").parquet(out)
+      val manifest = spark.read.parquet(out)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min("zbin").as("zmin"), max("zbin").as("zmax"))
+        .collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+        .toSeq.sortBy(_._1)
+      ZManifest(out, manifest, b)
+    }
+
+  /** Candidate morton ranges of the pinned box at GM bits (clamped bin
+    * rectangle → z-decomposition), plus the reserved null-bin range. */
+  def manifestCandidateRanges(b: ZBounds): Seq[(Long, Long)] = {
+    val disjoint = CustLo > b.xmax || CustHi < b.xmin ||
+      DayLo > b.ymax || DayHi < b.ymin
+    val boxRanges =
+      if (disjoint) Seq.empty
+      else zRangesG(GM,
+        binG(GM, math.max(CustLo, b.xmin), b.xmin, b.xmax),
+        binG(GM, math.min(CustHi, b.xmax), b.xmin, b.xmax),
+        binG(GM, math.max(DayLo, b.ymin), b.ymin, b.ymax),
+        binG(GM, math.min(DayHi, b.ymax), b.ymin, b.ymax))
+    (-1L, -1L) +: boxRanges
+  }
+
+  /** The box query through MANIFEST pruning: intersect the candidate
+    * ranges with each file's (zmin, zmax) on the driver — pure interval
+    * math over the small manifest — and scan ONLY the surviving files;
+    * the exact box predicate re-applies on the survivors. Result ≡ plain
+    * scan (the same oracle as [[zScan]]). */
+  def zScanManifest(spark: SparkSession, dir: String): DataFrame = {
+    val m = manifestLayout(spark, dir)
+    val ranges = manifestCandidateRanges(m.bounds)
+    val kept = m.files.collect {
+      case (f, zmin, zmax)
+        if ranges.exists { case (lo, hi) => lo <= zmax && zmin <= hi } => f
+    }
+    val scan =
+      if (kept.isEmpty) spark.read.parquet(m.path).filter(lit(false))
+      else spark.read.parquet(kept: _*)
+    boxFilter(scan)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Manifest-pruning accounting (spec + probe surface, not an oracle
+    * row: file composition depends on hash partitioning, which no SQL
+    * twin can recompute): (files_total, files_read, ranges). */
+  private[graft] def manifestPruneStats(
+      spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val m = manifestLayout(spark, dir)
+    val ranges = manifestCandidateRanges(m.bounds)
+    val kept = m.files.count { case (_, zmin, zmax) =>
+      ranges.exists { case (lo, hi) => lo <= zmax && zmin <= hi }
+    }
+    (m.files.size, kept, ranges.size)
+  }
 }

@@ -94,6 +94,24 @@ class PruningSpec extends SparkTestBase {
       s"pruned exchange $bPruned bytes vs plain $bPlain")
   }
 
+  test("over-budget dim slice disables the bloom: plain plan, parity green") {
+    // Budget 0 forces every slice over budget — the 100 TB degradation
+    // path (a ~50M-key slice whose sketch is no longer broadcast-cheap),
+    // exercised at bench SF. The gated plan must contain NO bloom probe
+    // (it IS the plain join) and must stay row-identical.
+    val gated = Pruning.bloomPrunedBrandVolumeWithBudget(spark, dir, 0L)
+    assert(!gated.queryExecution.analyzed.toString
+      .toLowerCase(java.util.Locale.ROOT).contains("bloom"),
+      "over-budget plan must not carry a bloom probe")
+    val rows = gated.collect()
+    val plain = Pruning.plainBrandVolume(spark, dir).collect()
+    assert(rows.nonEmpty && rows.toSeq == plain.toSeq)
+    // and the under-budget path is still the pruned plan
+    val pruned = Pruning.bloomPrunedBrandVolume(spark, dir)
+    assert(pruned.queryExecution.analyzed.toString
+      .toLowerCase(java.util.Locale.ROOT).contains("bloom"))
+  }
+
   test("null join keys are dropped by the probe, matching join semantics") {
     GraftFunctions.register(spark)
     import spark.implicits._
@@ -121,6 +139,44 @@ class PruningSpec extends SparkTestBase {
       ZOrderLayout.CustHi + 1000, ZOrderLayout.CustHi + 2000, 0, 10)
     assert(ZOrderLayout.candidateBins(b) == Seq(-1L))
     assert(ZOrderLayout.candidateRanges(b) == Seq(-1L -> -1L))
+  }
+
+  test("z-range decomposition covers exactly the box's cell set (G=3 and G=8)") {
+    // The quadtree decomposition must equal brute-force enumeration —
+    // the closed-form claim the manifest form's scale story rests on.
+    for ((g, bxLo, bxHi, byLo, byHi) <- Seq(
+      (3, 1L, 5L, 2L, 6L), (3, 0L, 7L, 0L, 7L), (3, 4L, 4L, 0L, 0L),
+      (8, 17L, 130L, 63L, 200L), (8, 0L, 255L, 128L, 128L),
+      (8, 250L, 255L, 250L, 255L))) {
+      val ranges = ZOrderLayout.zRangesG(g, bxLo, bxHi, byLo, byHi)
+      val covered = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+      val expected = (for {
+        x <- bxLo to bxHi; y <- byLo to byHi
+      } yield ZOrderLayout.mortonG(g, x, y)).toSet
+      assert(covered == expected, s"g=$g box=($bxLo..$bxHi,$byLo..$byHi)")
+      // ranges sorted, disjoint, merged
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(h1 + 1 < l2)
+        case _ =>
+      }
+      // the scale property: never a per-cell enumeration
+      assert(ranges.size <= expected.size)
+    }
+    assert(ZOrderLayout.zRangesG(8, 5L, 4L, 0L, 1L).isEmpty)
+  }
+
+  test("manifest-pruned z-scan: row-identical, reads a file subset") {
+    val manifest = ZOrderLayout.zScanManifest(spark, dir)
+    val got = manifest.collect()
+    val plain = ZOrderLayout.zScan(spark, dir).collect()
+    assert(got.nonEmpty && got.toSeq == plain.toSeq)
+    manifest.collect() // materialize through its own QueryExecution
+    val read = filesRead(manifest)
+    val (total, kept, ranges) =
+      ZOrderLayout.manifestPruneStats(spark, dir)
+    assert(read == kept, s"scan read $read files, manifest kept $kept")
+    assert(kept < total / 2,
+      s"manifest must prune: kept $kept of $total files ($ranges ranges)")
   }
 
   test("candidate ranges cover exactly the candidate cell set") {
