@@ -26,10 +26,21 @@ object QualityModelScaleProbe {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    // Warm the JVM/codegen path untimed on a tiny dir so the measured
-    // train wall is the operator, not first-query startup.
-    text.QualityModel.model(spark, "/root/testdata/sf0.001")
-    val (m, tTrain) = timed(text.QualityModel.model(spark, sfDir))
+    // Warm the JVM/codegen path untimed on a tiny DERIVED sample of the
+    // target dir itself (ADVICE r12: a hardcoded warmup dir crashes on
+    // hosts without it, and warming on the target dir would memoize the
+    // model and make train_sec a ~0 cache hit). A 256-doc limit pays the
+    // codegen/scan startup without pre-aggregating the corpus; the timed
+    // build below bypasses Memo so it can never read a warm entry.
+    val warm = Tables.load(spark, sfDir, "documents").limit(256)
+    text.QualityModel.modelOf(
+      text.QualityModel.sumsOf(text.QualityModel.featFrameOf(warm)))
+    val (m, tTrain) = timed(text.QualityModel.modelOf(
+      text.QualityModel.sumsOf(text.QualityModel.featFrameOf(
+        Tables.load(spark, sfDir, "documents")))))
+    // Populate the memo UNTIMED so score/eval walls measure serving, not
+    // a second model build (they read model() internally).
+    text.QualityModel.model(spark, sfDir)
     val (nScored, tScore) =
       timed(text.QualityModel.scores(spark, sfDir).count())
     val (_, tEval) =

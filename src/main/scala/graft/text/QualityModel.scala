@@ -61,22 +61,26 @@ object QualityModel {
         length(col("text")).cast("long").as("x1"),
         size(regexp_extract_all(col("text"),
           lit(TextAnalysis.BpePattern), lit(0))).cast("long").as("x2"),
-        round(round(
-          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) *
-            (lit(1.0) -
-              col("stop_hits").cast("double") / col("n_tokens")), 6) *
+        // y6 is TextAnalysis.qualityExpr — the judge's own Column tree,
+        // not a re-implementation — scaled to exact micro-units, so the
+        // label can never drift from the judge the eval row gates on.
+        round(TextAnalysis.qualityExpr(col("n_tokens"), col("stop_hits")) *
           lit(1000000.0)).cast("long").as("y6"))
   }
 
   private def featFrame(spark: SparkSession, dir: String): DataFrame =
     featFrameOf(Tables.load(spark, dir, "documents"))
 
-  /** The ten exact normal-equation sums. Longs throughout: x ≤ ~10³,
-    * y6 ≤ 10⁶, so Σx·y6 ≤ 10⁹/doc and Σy6² ≤ 10¹²/doc — Int64 holds
-    * the corpus totals to ~10⁶ documents per the envelope note above. */
+  /** The ten exact normal-equation sums. First moments stay Int64 (x ≤
+    * ~10³, y6 ≤ 10⁶ — safe to ~10¹² docs); the six SECOND moments are
+    * BigInt, aggregated as DECIMAL(38,0) (exact to 10³⁸ — Σy6² at
+    * 10¹²/doc holds to ~10²⁶ documents, i.e. any corpus). This closes
+    * the r12 Int64 envelope: the old long-sum path saturated at ~10⁶
+    * docs and only ANSI (loudly) or the oracle (at gate SF) would have
+    * noticed — [[sumsOfInt64]] is kept as the must-fail proof. */
   private[graft] final case class ModelSums(
-      n: Long, s1: Long, s2: Long, s11: Long, s12: Long, s22: Long,
-      sy: Long, s1y: Long, s2y: Long, syy: Long)
+      n: Long, s1: Long, s2: Long, s11: BigInt, s12: BigInt, s22: BigInt,
+      sy: Long, s1y: BigInt, s2y: BigInt, syy: BigInt)
 
   /** Closed-form model: Cramer determinants + weights as doubles from
     * the exact integer sums. detA = 0 (a degenerate corpus where the
@@ -86,7 +90,32 @@ object QualityModel {
       sums: ModelSums, det: Double, w0: Double, w1: Double, w2: Double)
 
   private[graft] def sumsOf(feats: DataFrame): ModelSums = {
-    // Bounded driver collect: the aggregation output is ONE row.
+    // Second moments: cast each FACTOR to decimal(19,0) before the
+    // multiply (product → decimal(38,0)), so neither the per-row product
+    // nor the corpus sum can wrap — exact integer arithmetic end to end,
+    // still one partial+final hash aggregation with ten fixed-width
+    // aggregation buffers. Bounded driver collect: the output is ONE row.
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val r = feats.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(col("y6")).as("sy"),
+      sum(dec(col("x1")) * dec(col("y6"))).as("s1y"),
+      sum(dec(col("x2")) * dec(col("y6"))).as("s2y"),
+      sum(dec(col("y6")) * dec(col("y6"))).as("syy")).head()
+    def big(i: Int): BigInt = BigInt(r.getDecimal(i).toBigIntegerExact)
+    ModelSums(r.getLong(0), r.getLong(1), r.getLong(2), big(3),
+      big(4), big(5), r.getLong(6), big(7), big(8), big(9))
+  }
+
+  /** The round-12 Int64 path, kept ONLY as the envelope's must-fail
+    * proof (QualityModelSpec): under ANSI (this repo's default) the
+    * long products/sums throw past ~10⁶ docs where [[sumsOf]] is exact.
+    * Never called by production rows. */
+  private[graft] def sumsOfInt64(feats: DataFrame): ModelSums = {
     val r = feats.agg(
       count(lit(1)).as("n"),
       sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
@@ -97,9 +126,9 @@ object QualityModel {
       sum(col("x1") * col("y6")).as("s1y"),
       sum(col("x2") * col("y6")).as("s2y"),
       sum(col("y6") * col("y6")).as("syy")).head()
-    ModelSums(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
-      r.getLong(8), r.getLong(9))
+    ModelSums(r.getLong(0), r.getLong(1), r.getLong(2), BigInt(r.getLong(3)),
+      BigInt(r.getLong(4)), BigInt(r.getLong(5)), r.getLong(6),
+      BigInt(r.getLong(7)), BigInt(r.getLong(8)), BigInt(r.getLong(9)))
   }
 
   /** Cramer solve — DO NOT reorder these expressions: the DuckDB oracle
@@ -142,16 +171,24 @@ object QualityModel {
     }
 
   /** `quality_model_train` — one row: the exact integer sums (the full
-    * training state), the Cramer determinant, and the three weights. */
-  def trainReport(spark: SparkSession, dir: String): DataFrame = {
-    val m = model(spark, dir)
+    * training state — second moments as DECIMAL(38,0), matching the
+    * aggregation's exact width), the Cramer determinant, and the three
+    * weights. */
+  def trainReport(spark: SparkSession, dir: String): DataFrame =
+    trainReportOfModel(spark, model(spark, dir))
+
+  private[graft] def trainReportOfModel(
+      spark: SparkSession, m: Model): DataFrame = {
     val s = m.sums
+    def decLit(v: BigInt): Column =
+      lit(new java.math.BigDecimal(v.bigInteger)).cast("decimal(38,0)")
     spark.range(1).select(
       lit(s.n).as("n_docs"),
       lit(s.s1).as("s1"), lit(s.s2).as("s2"),
-      lit(s.s11).as("s11"), lit(s.s12).as("s12"), lit(s.s22).as("s22"),
-      lit(s.sy).as("sy6"), lit(s.s1y).as("s1y6"), lit(s.s2y).as("s2y6"),
-      lit(s.syy).as("syy6"),
+      decLit(s.s11).as("s11"), decLit(s.s12).as("s12"),
+      decLit(s.s22).as("s22"),
+      lit(s.sy).as("sy6"), decLit(s.s1y).as("s1y6"),
+      decLit(s.s2y).as("s2y6"), decLit(s.syy).as("syy6"),
       lit(m.det).as("det"),
       lit(m.w0).as("w_intercept"),
       lit(m.w1).as("w_chars"),
@@ -252,13 +289,13 @@ object QualityModel {
        |FROM f0),
        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
-       |  CAST(sum(x1 * x1) AS BIGINT) AS s11,
-       |  CAST(sum(x1 * x2) AS BIGINT) AS s12,
-       |  CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |  CAST(sum(x1 * x1) AS DECIMAL(38,0)) AS s11,
+       |  CAST(sum(x1 * x2) AS DECIMAL(38,0)) AS s12,
+       |  CAST(sum(x2 * x2) AS DECIMAL(38,0)) AS s22,
        |  CAST(sum(y6) AS BIGINT) AS sy6,
-       |  CAST(sum(x1 * y6) AS BIGINT) AS s1y6,
-       |  CAST(sum(x2 * y6) AS BIGINT) AS s2y6,
-       |  CAST(sum(y6 * y6) AS BIGINT) AS syy6
+       |  CAST(sum(x1 * y6) AS DECIMAL(38,0)) AS s1y6,
+       |  CAST(sum(x2 * y6) AS DECIMAL(38,0)) AS s2y6,
+       |  CAST(sum(y6 * y6) AS DECIMAL(38,0)) AS syy6
        |FROM feat),
        |w AS (SELECT *,
        |  $n * ($s11 * $s22 - $s12 * $s12) -

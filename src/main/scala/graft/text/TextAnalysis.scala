@@ -71,6 +71,17 @@ object TextAnalysis {
           .as("chars_per_piece"))
       .orderBy("lang", "source")
 
+  /** The judge's quality formula over (n_tokens, stop_hits): length prior
+    * × (1 − stopword density), rounded to 6 places for oracle parity.
+    * THE one definition — qualityScore emits it as the per-doc double and
+    * [[QualityModel.featFrameOf]] scales it to the micro-unit distillation
+    * label, so the distilled gate can never drift from the judge it claims
+    * to distill (ADVICE r12: two inlined copies would drift together and
+    * silently invalidate the gate-agreement eval). */
+  private[text] def qualityExpr(nTokens: Column, stopHits: Column): Column =
+    round(least(nTokens.cast("double") / lit(100.0), lit(1.0)) *
+      (lit(1.0) - stopHits.cast("double") / nTokens), 6)
+
   /** Quality scoring: length prior × (1 − stopword density), plus the raw
     * component signals. All arithmetic double, rounded for oracle parity. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -83,9 +94,7 @@ object TextAnalysis {
           .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
         round(col("stop_hits").cast("double") / col("n_tokens"), 6)
           .as("stopword_ratio"),
-        round(least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) *
-          (lit(1.0) - col("stop_hits").cast("double") / col("n_tokens")), 6)
-          .as("quality"))
+        qualityExpr(col("n_tokens"), col("stop_hits")).as("quality"))
       .orderBy("doc_id")
 
   /** Percentile normalization of the quality score — the rank feature a

@@ -32,13 +32,13 @@ class QualityModelSpec extends SparkTestBase {
     assert(BigInt(s.n) === BigInt(feats.length))
     assert(BigInt(s.s1) === feats.map(_._1).sum)
     assert(BigInt(s.s2) === feats.map(_._2).sum)
-    assert(BigInt(s.s11) === feats.map(f => f._1 * f._1).sum)
-    assert(BigInt(s.s12) === feats.map(f => f._1 * f._2).sum)
-    assert(BigInt(s.s22) === feats.map(f => f._2 * f._2).sum)
+    assert(s.s11 === feats.map(f => f._1 * f._1).sum)
+    assert(s.s12 === feats.map(f => f._1 * f._2).sum)
+    assert(s.s22 === feats.map(f => f._2 * f._2).sum)
     assert(BigInt(s.sy) === feats.map(_._3).sum)
-    assert(BigInt(s.s1y) === feats.map(f => f._1 * f._3).sum)
-    assert(BigInt(s.s2y) === feats.map(f => f._2 * f._3).sum)
-    assert(BigInt(s.syy) === feats.map(f => f._3 * f._3).sum)
+    assert(s.s1y === feats.map(f => f._1 * f._3).sum)
+    assert(s.s2y === feats.map(f => f._2 * f._3).sum)
+    assert(s.syy === feats.map(f => f._3 * f._3).sum)
   }
 
   test("Cramer weights solve the normal equations (A·w = b) and match " +
@@ -50,9 +50,9 @@ class QualityModelSpec extends SparkTestBase {
     // is a few ulps).
     def bd(x: Long) = BigInt(x)
     val exactDet =
-      bd(s.n) * (bd(s.s11) * bd(s.s22) - bd(s.s12) * bd(s.s12)) -
-        bd(s.s1) * (bd(s.s1) * bd(s.s22) - bd(s.s12) * bd(s.s2)) +
-        bd(s.s2) * (bd(s.s1) * bd(s.s12) - bd(s.s11) * bd(s.s2))
+      bd(s.n) * (s.s11 * s.s22 - s.s12 * s.s12) -
+        bd(s.s1) * (bd(s.s1) * s.s22 - s.s12 * bd(s.s2)) +
+        bd(s.s2) * (bd(s.s1) * s.s12 - s.s11 * bd(s.s2))
     assert(exactDet != 0, "degenerate corpus: features affinely dependent")
     assert(math.abs(m.det - exactDet.toDouble) <=
       1e-9 * math.abs(exactDet.toDouble))
@@ -112,5 +112,46 @@ class QualityModelSpec extends SparkTestBase {
     val a = QualityModel.model(spark, dir)
     val b = QualityModel.model(spark, dir)
     assert(a eq b)
+  }
+
+  test("y6 IS the judge: micro-units of TextAnalysis.qualityScore, row-for-row") {
+    // ADVICE r12: featFrameOf used to re-implement the judge's formula;
+    // a drift in one copy would have silently invalidated the
+    // gate-agreement eval. Now both read one shared Column tree — this
+    // pins the contract (y6 == round(quality·10⁶)) on the real corpus.
+    val y = QualityModel.featFrameOf(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"y6")
+    val q = graft.text.TextAnalysis.qualityScore(spark, dir)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.round(
+          $"quality" * 1000000.0).cast("long").as("q6"))
+    val joined = y.join(q, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter($"y6" =!= $"q6").count() === 0L)
+  }
+
+  test("past the Int64 envelope: decimal sums exact where the long path throws") {
+    // 10⁷ docs at y6 = 10⁶ → Σy6² = 10¹⁹ > Long.MaxValue (9.2·10¹⁸):
+    // the r12 envelope, crossed. The retired Int64 path must fail LOUD
+    // under ANSI (never wrap); the decimal(38,0) path must be exact.
+    val n = 10000000L
+    val feats = spark.range(n).select(
+      $"id".as("doc_id"), org.apache.spark.sql.functions.lit("syn").as("source"),
+      ($"id" % 1000L + 1L).as("x1"), ($"id" % 97L + 1L).as("x2"),
+      org.apache.spark.sql.functions.lit(1000000L).as("y6"))
+    val e = intercept[Throwable](QualityModel.sumsOfInt64(feats))
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.toUpperCase(java.util.Locale.ROOT).contains("OVERFLOW"))),
+      s"expected a loud ANSI overflow, got: $e")
+    val s = QualityModel.sumsOf(feats)
+    assert(s.syy === BigInt(n) * BigInt(1000000L) * BigInt(1000000L))
+    assert(s.syy > BigInt(Long.MaxValue))
+    val m = QualityModel.modelOf(s)
+    assert(!m.det.isNaN && !m.w1.isNaN && !m.w2.isNaN)
+    // the train report carries the exact wide state end-to-end
+    val rep = QualityModel.trainReportOfModel(spark, m).head()
+    assert(BigInt(rep.getDecimal(9).toBigIntegerExact) === s.syy)
   }
 }
