@@ -178,18 +178,30 @@ object Similarity {
     * verbatim with the SQL twin. */
   val TruncationSeeds: Seq[Long] = Seq(0L, 3L, 7L, 11L, 23L, 42L, 77L, 99L)
 
+  /** ~100-seed sweep of the truncation audit (the rec-sweep convention):
+    * 8 pinned seeds estimate the Matryoshka serving-tier recall with wide
+    * variance; the deterministic corpus prefix (vec_ids 0..99 exist at
+    * every SF — FIXTURES §1) firms up the number the dims decision
+    * rests on. Same plan shape: seed count only widens the broadcast. */
+  val TruncationSweepSeeds: Seq[Long] = 0L until 100L
+
   /** Matryoshka-style dimension-truncation recall audit: overlap@k
     * between the exact cosine top-k under the FULL embedding and under
     * its first `dims` coordinates — the table that says whether a
     * serving tier can run its candidate stage on truncated vectors
     * (4× less memory bandwidth and index footprint) without losing the
     * neighbors the full-dim rerank would keep. Per seed: both top-k
-    * sets (WindowGroupLimit turns the rank filter into a per-group
-    * top-k — never a global sort), joined on (seed, vec_id), exact
-    * integer overlap count, one final division. Scale shape: |emb| ×
-    * |seeds| rows through two group-limited windows partitioned by
-    * seed — the same per-seed-bounded plan as the rec sweeps; nothing
-    * corpus-sized crosses an exchange except the k-row survivor sets. */
+    * sets computed in ONE pass (ADVICE r12: the old shape built the
+    * scored relation once per top-k — the |emb|×|seeds| broadcast cross
+    * join with two cosine evaluations per row ran TWICE): both
+    * row_numbers ride the same partitionBy(seed_id) exchange of the
+    * single scored relation, and "in both top-k sets" is the conjunctive
+    * rank filter rk_full ≤ k ∧ rk_trunc ≤ k — exactly the rows the old
+    * (seed, vec_id) self-join kept, without the second scan or the join.
+    * Exact integer overlap count, one final division. Scale shape:
+    * |emb| × |seeds| rows through one exchange partitioned by seed —
+    * the same per-seed-bounded plan as the rec sweeps; nothing
+    * corpus-sized crosses an exchange except once, hash-partitioned. */
   def truncationRecall(spark: SparkSession, dir: String,
                        seeds: Seq[Long] = TruncationSeeds,
                        k: Int = 20, dims: Int = 16): DataFrame = {
@@ -203,14 +215,14 @@ object Similarity {
         cosine(col("embedding"), col("se")).as("cos_full"),
         cosine(slice(col("embedding"), 1, dims),
           slice(col("se"), 1, dims)).as("cos_trunc"))
-    def topkBy(c: String): DataFrame = {
-      val w = Window.partitionBy("seed_id")
-        .orderBy(desc(c), asc("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k).select("seed_id", "vec_id")
-    }
-    val overlap = topkBy("cos_full")
-      .join(topkBy("cos_trunc"), Seq("seed_id", "vec_id"))
+    val wFull = Window.partitionBy("seed_id")
+      .orderBy(desc("cos_full"), asc("vec_id"))
+    val wTrunc = Window.partitionBy("seed_id")
+      .orderBy(desc("cos_trunc"), asc("vec_id"))
+    val overlap = scored
+      .withColumn("rk_full", row_number().over(wFull))
+      .withColumn("rk_trunc", row_number().over(wTrunc))
+      .filter(col("rk_full") <= k && col("rk_trunc") <= k)
       .groupBy("seed_id").agg(count(lit(1)).as("n_overlap"))
     // Unhinted seed relation for the outer join (a broadcast hint on the
     // LEFT of a left-outer is unsupported and would only log noise).

@@ -25,6 +25,37 @@ object SimilarityRegistry {
   private[graft] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)}))"
 
+  /** Truncation-recall twin, parameterized by the seed list (shared by
+    * the pinned row and the ~100-seed sweep — one SQL text, two seed
+    * sets). Semantically the Spark side's conjunctive rank filter and
+    * this join-of-two-top-k-sets are identical: a row survives both
+    * iff both row_numbers are ≤ k. */
+  private def truncationOracleSql(seedList: Seq[Long]): String = {
+    val seeds = seedList.mkString(", ")
+    val (k, dims) = (20, 16)
+    s"""WITH sd AS (SELECT vec_id AS seed_id, embedding AS se
+       |  FROM embeddings WHERE vec_id IN ($seeds)),
+       |sc AS (SELECT seed_id, vec_id,
+       |  ${cosSql("embedding", "se")} AS cos_full,
+       |  ${cosSql(s"embedding[1:$dims]", s"se[1:$dims]")} AS cos_trunc
+       |FROM embeddings, sd WHERE vec_id <> seed_id),
+       |f AS (SELECT seed_id, vec_id FROM (
+       |  SELECT seed_id, vec_id, row_number() OVER (
+       |    PARTITION BY seed_id ORDER BY cos_full DESC, vec_id) AS rk
+       |  FROM sc) WHERE rk <= $k),
+       |t AS (SELECT seed_id, vec_id FROM (
+       |  SELECT seed_id, vec_id, row_number() OVER (
+       |    PARTITION BY seed_id ORDER BY cos_trunc DESC, vec_id) AS rk
+       |  FROM sc) WHERE rk <= $k),
+       |o AS (SELECT seed_id, count(*) AS n_overlap
+       |  FROM f JOIN t USING (seed_id, vec_id) GROUP BY seed_id)
+       |SELECT sd.seed_id,
+       |  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(n_overlap, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM sd LEFT JOIN o USING (seed_id)
+       |ORDER BY seed_id""".stripMargin
+  }
+
   /** Literal SQL array for hyperplane j. */
   private def planeSql(j: Int): String =
     Similarity.planes(j).map(w => if (w > 0) "1.0" else "-1.0")
@@ -88,36 +119,18 @@ object SimilarityRegistry {
         Similarity.ivfRerankTopK(s, d, SeedVec)),
       "sim_power_iteration" -> ((s, d) => Similarity.powerIteration(s, d)),
       // Matryoshka-style audit: exact top-k overlap between full-dim
-      // and first-16-dim cosine, per seed.
+      // and first-16-dim cosine, per seed — pinned 8 seeds and the
+      // ~100-seed sweep (VERDICT r12 item 8).
       "sim_truncation_recall" -> ((s, d) =>
-        Similarity.truncationRecall(s, d))
+        Similarity.truncationRecall(s, d)),
+      "sim_truncation_sweep" -> ((s, d) =>
+        Similarity.truncationRecall(s, d, Similarity.TruncationSweepSeeds))
     ),
     oracles = Map(
-      "sim_truncation_recall" -> {
-        val seeds = Similarity.TruncationSeeds.mkString(", ")
-        val (k, dims) = (20, 16)
-        s"""WITH sd AS (SELECT vec_id AS seed_id, embedding AS se
-           |  FROM embeddings WHERE vec_id IN ($seeds)),
-           |sc AS (SELECT seed_id, vec_id,
-           |  ${cosSql("embedding", "se")} AS cos_full,
-           |  ${cosSql(s"embedding[1:$dims]", s"se[1:$dims]")} AS cos_trunc
-           |FROM embeddings, sd WHERE vec_id <> seed_id),
-           |f AS (SELECT seed_id, vec_id FROM (
-           |  SELECT seed_id, vec_id, row_number() OVER (
-           |    PARTITION BY seed_id ORDER BY cos_full DESC, vec_id) AS rk
-           |  FROM sc) WHERE rk <= $k),
-           |t AS (SELECT seed_id, vec_id FROM (
-           |  SELECT seed_id, vec_id, row_number() OVER (
-           |    PARTITION BY seed_id ORDER BY cos_trunc DESC, vec_id) AS rk
-           |  FROM sc) WHERE rk <= $k),
-           |o AS (SELECT seed_id, count(*) AS n_overlap
-           |  FROM f JOIN t USING (seed_id, vec_id) GROUP BY seed_id)
-           |SELECT sd.seed_id,
-           |  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
-           |  CAST(coalesce(n_overlap, 0) AS DOUBLE) / $k AS recall_at_k
-           |FROM sd LEFT JOIN o USING (seed_id)
-           |ORDER BY seed_id""".stripMargin
-      },
+      "sim_truncation_recall" ->
+        truncationOracleSql(Similarity.TruncationSeeds),
+      "sim_truncation_sweep" ->
+        truncationOracleSql(Similarity.TruncationSweepSeeds),
       "sim_norms" ->
         s"""SELECT vec_id, label, sqrt(${norm2Sql("embedding")}) AS l2
            |FROM embeddings ORDER BY vec_id""".stripMargin,
