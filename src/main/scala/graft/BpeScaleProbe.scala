@@ -3,15 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scale probe for the BPE tier: training is claimed VOCABULARY-bounded
-  * (the only corpus-sized pass is the word-freq groupBy), encoding
-  * corpus-bounded. Prints both walls for a dir so the claim is a
-  * measured table, not scaladoc.
+  * (the only corpus-sized pass is the word-freq groupBy) AND — since the
+  * batched rounds of r13 — sub-linear in K (rounds ≈ K/BatchM when the
+  * corpus cooperates). Prints a K-SWEEP of train walls plus the encode
+  * wall so both claims are a measured table, not scaladoc.
   *
-  * Usage: tools/run.sh graft.BpeScaleProbe <sfDir>
+  * Usage: tools/run.sh graft.BpeScaleProbe <sfDir> [k1 k2 ...]
+  *        (default sweep: 8 64 256)
   */
 object BpeScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val ks: Seq[Int] =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(8, 64, 256)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,15 +29,21 @@ object BpeScaleProbe {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    // Warm the JVM/codegen path untimed on a tiny dir so the measured
-    // train wall is the operator, not first-query startup.
-    text.BpeTrainer.trainMerges(spark, "/root/testdata/sf0.001").count()
-    val (_, tTrain) = timed(text.BpeTrainer.trainMerges(spark, sfDir).count())
+    // Warm the JVM/codegen path untimed on a tiny DERIVED sample of the
+    // target (never a hardcoded dir — the r12 probe-warmup advice).
+    val warm = Tables.load(spark, sfDir, "documents").limit(256)
+    text.BpeTrainer.trainedK(spark, warm, ("bpe-probe-warm", sfDir), 4)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sweep = ks.map { k =>
+      val ((merges, _), t) = timed(
+        text.BpeTrainer.trainedK(spark, docs, ("bpe-probe", sfDir, k), k))
+      val n = merges.count()
+      s""""k$k":{"train_sec":${f"$t%.2f"},"merges":$n}"""
+    }
     val (nDocs, tEncode) =
       timed(text.BpeTrainer.encodeCounts(spark, sfDir).count())
     println(
-      s"""{"probe":"bpe_scale","sf_dir":"$sfDir",""" +
-      s""""train_sec":${f"$tTrain%.2f"},""" +
+      s"""{"probe":"bpe_scale","sf_dir":"$sfDir",${sweep.mkString(",")},""" +
       s""""encode_rows":$nDocs,"encode_sec":${f"$tEncode%.2f"}}""")
     spark.stop()
   }

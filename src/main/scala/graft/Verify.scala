@@ -68,6 +68,12 @@ object Verify {
        catch { case e: Throwable =>
          System.err.println(s"[verify] recs adaptive oracles failed: $e")
          Map.empty[String, String]
+       }) ++
+      // Pinned learned-state twin for the deep BPE merge table.
+      (try text.TextRegistry.adaptiveOracles(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[verify] text adaptive oracles failed: $e")
+         Map.empty[String, String]
        })
     val oracles =
       if (only.isEmpty) adaptive

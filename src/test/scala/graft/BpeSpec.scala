@@ -16,7 +16,10 @@ class BpeSpec extends SparkTestBase {
                         k: Int): Seq[(Int, String, String, Long)] = {
     var corpus: Map[String, Vector[String]] =
       wf.map { case (w, _) => w -> w.map(_.toString).toVector }
-    (1 to k).map { step =>
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       corpus.foreach { case (w, syms) =>
         syms.sliding(2).foreach {
@@ -25,19 +28,24 @@ class BpeSpec extends SparkTestBase {
           case _ =>
         }
       }
-      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
-      corpus = corpus.map { case (w, syms) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += (a + b); i += 2
-          } else { out += syms(i); i += 1 }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        corpus = corpus.map { case (w, syms) =>
+          val o = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              o += (a + b); i += 2
+            } else { o += syms(i); i += 1 }
+          }
+          w -> o.result()
         }
-        w -> out.result()
+        out += ((step, a, b, cnt))
+        step += 1
       }
-      (step, a, b, cnt)
     }
+    out.result()
   }
 
   /** Word-frequency table exactly as the trainer derives it. */
@@ -82,6 +90,52 @@ class BpeSpec extends SparkTestBase {
     val joined = enc.join(direct, "doc_id")
       .filter(col("n_words") =!= col("n"))
     assert(joined.isEmpty)
+  }
+
+  test("batched rounds equal sequential greedy where merges INTERACT") {
+    // Every batch guard has a forcing pattern here:
+    //  - 'ababab…' repeats make the merged symbol's self-pair (ab,ab)
+    //    outrank later original candidates → new-pair dominance stop;
+    //  - (t,h)/(h,e) and (e,s)/(s,t) share consumed symbols → the
+    //    interaction prefix-stop;
+    //  - re-merging through multi-char symbols ((ab,ab) etc.) exercises
+    //    output-collision bookkeeping across rounds.
+    // A batcher without the guards returns a DIFFERENT table on this
+    // corpus (the top-M original pairs are not sequential greedy's
+    // choices); equality against the independent reference is the proof.
+    import spark.implicits._
+    val tmp = Scratch.dir("graft-bpespec", "interact")
+    Seq(
+      (1L, "abababababab abababab ababab"),
+      (2L, "the these thesis esthete"),
+      (3L, "street tests attest tsetse"),
+      (4L, "bcbcbc bcb cbc"),
+      (5L, "aaaa aab ba ab")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val k = 24
+    val got = BpeTrainer
+      .trainedK(spark, Tables.load(spark, tmp, "documents"),
+        ("bpespec-interact", tmp), k)
+      ._1.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val ref = refMerges(wordFreq(tmp), k)
+    assert(got == ref, s"\nbatched: $got\nsequential: $ref")
+    assert(got.length == k, "fixture must not exhaust before k merges")
+  }
+
+  test("deep vocabulary (K=256) equals sequential greedy on real docs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = BpeTrainer.trainMergesDeep(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val ref = refMerges(wordFreq(dir), BpeTrainer.DeepK)
+    assert(got.length == ref.length)
+    // first divergence (if any) reported precisely
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g == r, s"first divergence at step ${i + 1}: batched $g vs sequential $r")
+    }
   }
 
   test("identical-symbol chains merge with greedy left-to-right parity") {
