@@ -738,6 +738,41 @@ class StreamingSpec extends SparkTestBase {
     } finally sys.props.remove("spark.graft.store.deltaChainCap")
   }
 
+  test("long backfill auto-compacts by policy: chains bounded, rows identical") {
+    // VERDICT r12 item 6: the chain tax is bounded by PIPELINE POLICY —
+    // maintainEdgeStore folds the store whenever a partition's chain
+    // passes the read budget. Cap raised to 99 so the policy (not the
+    // delta-chain cap) is provably what bounds the chain: without it an
+    // 8-slice backfill ends at chain 8.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-autocompact")
+    val in = base.resolve("in").toString
+    val store = base.resolve("store").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    writeTimeOrderedSlices(ev, "ts", in, slices = 8)
+    sys.props("spark.graft.store.deltaChainCap") = "99"
+    try {
+      val schema = spark.read.parquet(in).schema
+      val q = EventStreams.maintainEdgeStore(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in),
+        store, Some(ckpt), availableNow = true)
+      assert(q.awaitTermination(180000), "backfill did not drain")
+      val chains = EventStreams.manifest(store).values.map(_.length)
+      assert(chains.nonEmpty)
+      assert(chains.max <= EventStreams.AutoCompactMaxChain,
+        s"policy must bound every chain: $chains")
+      // content-invariance: the compaction contract
+      val stored = EventStreams.edgeStore(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val batch = EventStreams.dedupedBehavioralEdges(ev).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(stored.toSet == batch.toSet && stored.nonEmpty)
+      assert(stored.length == stored.distinct.length)
+    } finally sys.props.remove("spark.graft.store.deltaChainCap")
+  }
+
   test("concurrent committers serialize: every committed batch survives, no lost partitions") {
     // The declared contract (EventStreams.withCommitClaim): interleaved
     // mergeEdgeBatch committers on ONE store serialize via the
