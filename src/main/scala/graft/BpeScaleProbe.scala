@@ -38,12 +38,34 @@ object BpeScaleProbe {
       val ((merges, _), t) = timed(
         text.BpeTrainer.trainedK(spark, docs, ("bpe-probe", sfDir, k), k))
       val n = merges.count()
-      s""""k$k":{"train_sec":${f"$t%.2f"},"merges":$n}"""
+      s""""k$k":{"train_sec":${f"$t%.2f"},"merges":$n,""" +
+        s""""rounds":${text.BpeTrainer.lastRounds}}"""
     }
     val (nDocs, tEncode) =
       timed(text.BpeTrainer.encodeCounts(spark, sfDir).count())
+    // The testdata corpus has a ~61-word vocabulary that fully merges at
+    // ~126 rules — it cannot HOLD K=256. The deep-K capability claim
+    // needs a corpus with real lexical diversity: 40k docs of md5-hex
+    // words (16-char alphabet, 32-char words — merge structure for
+    // thousands of rules). Rounds << merges is the bounded-rounds proof.
+    import org.apache.spark.sql.functions._
+    val synth = spark.range(40000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        md5(concat(lit("a"), col("id"))),
+        md5(concat(lit("b"), col("id") % 1000)),
+        md5(concat(lit("c"), col("id") % 100)),
+        md5(concat(lit("d"), col("id") % 10))).as("text"))
+    val deepSweep = Seq(256, 512).map { k =>
+      val ((merges, _), t) = timed(
+        text.BpeTrainer.trainedK(spark, synth, ("bpe-probe-synth", k), k))
+      val n = merges.count()
+      s""""synth_k$k":{"train_sec":${f"$t%.2f"},"merges":$n,""" +
+        s""""rounds":${text.BpeTrainer.lastRounds}}"""
+    }
     println(
       s"""{"probe":"bpe_scale","sf_dir":"$sfDir",${sweep.mkString(",")},""" +
+      s"""${deepSweep.mkString(",")},""" +
       s""""encode_rows":$nDocs,"encode_sec":${f"$tEncode%.2f"}}""")
     spark.stop()
   }

@@ -115,6 +115,47 @@ object ChainReadProbe {
     // variants disagree is measuring different work.
     require(results.map(_._2).distinct.length == 1,
       s"edge counts diverged across chain lengths: ${results.map(_._2)}")
+
+    // Auto-compaction policy arm (r13): the same cap-length merge
+    // sequence with the maintainEdgeStore policy active — fold whenever
+    // a chain passes the read budget. The serving read must land in the
+    // compacted cost class and the final chain within budget: the probe
+    // row behind "the chain tax is bounded by policy".
+    {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sfDir#autocompact".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val store = Scratch.dir("graft-chainprobe", tag) + "/store"
+      val nMerges = math.max(2, cap)
+      val budget = streaming.EventStreams.AutoCompactMaxChain
+      var nCompactions = 0
+      val (_, tBuild) = timed {
+        for (i <- 0 until nMerges) {
+          val lo = mn + (mx - mn + 1) * i / nMerges
+          val hi = mn + (mx - mn + 1) * (i + 1) / nMerges
+          streaming.EventStreams.mergeEdgeBatch(
+            streaming.EventStreams.dedupedBehavioralEdges(
+              ev.filter(col("ts_us") >= lo && col("ts_us") < hi)), store)
+          if (streaming.EventStreams.maybeCompactEdgeStore(spark, store))
+            nCompactions += 1
+        }
+      }
+      val maxChain = streaming.EventStreams.manifest(store)
+        .values.map(_.length).max
+      val (nEdges, tRead) = timed {
+        streaming.EventStreams.edgeStore(spark, store).count()
+      }
+      require(nEdges == results.head._2,
+        s"auto-compacted store diverged: $nEdges vs ${results.head._2}")
+      require(maxChain <= budget,
+        s"policy failed to bound the chain: $maxChain > $budget")
+      println(
+        s"""{"probe":"chain_read_autocompact","sf_dir":"$sfDir",""" +
+        s""""n_merges":$nMerges,"budget":$budget,""" +
+        s""""compactions":$nCompactions,"final_chain":$maxChain,""" +
+        s""""build_sec":${f"$tBuild%.2f"},""" +
+        s""""snapshot_read_sec":${f"$tRead%.2f"},"n_edges":$nEdges}""")
+    }
     spark.stop()
   }
 }
