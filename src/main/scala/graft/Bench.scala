@@ -150,7 +150,8 @@ object Bench {
         sources.ZOrderLayout.manifestLayout(spark, sfDir)
       if (selectedNames("text_bpe_train") || selectedNames("text_bpe_encode"))
         text.BpeTrainer.trainMerges(spark, sfDir).count()
-      if (selectedNames("text_bpe_train_k256"))
+      if (selectedNames("text_bpe_train_k256") ||
+          selectedNames("text_bpe_encode_k256"))
         text.BpeTrainer.trainMergesDeep(spark, sfDir).count()
       if (selectedNames.exists(_.startsWith("quality_model_")))
         text.QualityModel.model(spark, sfDir)

@@ -86,6 +86,33 @@ object BpeTrainer {
       .orderBy("doc_id")
   }
 
+  /** Per-document re-tokenization under the DEEP (K=256) vocab — the
+    * serving shape a real tokenizer-training pipeline ships. Same plan
+    * as [[encodeCounts]]; only the merge table differs. */
+  def encodeCountsDeep(spark: SparkSession, dir: String): DataFrame = {
+    val wc = trainedK(spark, Tables.load(spark, dir, "documents"),
+        ("dir", dir), DeepK)._2
+      .groupBy("word").agg(count(lit(1)).as("np"))
+    val dw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+    dw.join(broadcast(wc), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** The deep vocab's learned (word → piece count) relation, collected
+    * for the pinned encode oracle — vocabulary-sized (the corpus's
+    * distinct pre-tokenizer words), bounded at any SF of this corpus. */
+  private[graft] def deepWordPieces(
+      spark: SparkSession, dir: String): Seq[(String, Long)] =
+    trainedK(spark, Tables.load(spark, dir, "documents"),
+        ("dir", dir), DeepK)._2
+      .groupBy("word").agg(count(lit(1)).as("np"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+
   /** (merge table, final symbol corpus), built once per (JVM, dir). */
   private def trained(spark: SparkSession,
                       dir: String): (DataFrame, DataFrame) =

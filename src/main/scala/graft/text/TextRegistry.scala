@@ -119,6 +119,7 @@ object TextRegistry {
       // batched ALGORITHM is cross-engine-proven by text_bpe_train's
       // unrolled twin, which runs the same code at K=8.
       "text_bpe_train_k256" -> ((s, d) => BpeTrainer.trainMergesDeep(s, d)),
+      "text_bpe_encode_k256" -> ((s, d) => BpeTrainer.encodeCountsDeep(s, d)),
       // Learned quality model: closed-form ridge-free OLS distillation of
       // the heuristic judge into scan-time byte counters — train (exact
       // integer normal equations + bit-parity Cramer solve), per-doc
@@ -695,12 +696,31 @@ object TextRegistry {
     val values = rows.map(r =>
       s"(${r.getInt(0)}, '${esc(r.getString(1))}', '${esc(r.getString(2))}'," +
         s" ${r.getLong(3)})").mkString(",\n  ")
-    Map("text_bpe_train_k256" ->
-      s"""SELECT CAST(step AS INTEGER) AS step, lhs, rhs,
-         |  CAST(pair_count AS BIGINT) AS pair_count
-         |FROM (VALUES
-         |  $values) AS t(step, lhs, rhs, pair_count)
-         |ORDER BY step""".stripMargin)
+    // The deep-vocab ENCODE twin pins the learned (word → pieces)
+    // relation instead of the merge table: the re-tokenization join is
+    // recomputed by DuckDB from raw text against the pinned vocab, so
+    // the row checks the serving join end-to-end, not just the state.
+    // Vocabulary-sized (this corpus: ≤ a few hundred distinct words).
+    val wp = BpeTrainer.deepWordPieces(spark, dir)
+    val wpValues = wp.map { case (w, np) => s"('${esc(w)}', $np)" }
+      .mkString(",\n  ")
+    val p = TextAnalysis.BpePattern.replace("'", "''")
+    Map(
+      "text_bpe_train_k256" ->
+        s"""SELECT CAST(step AS INTEGER) AS step, lhs, rhs,
+           |  CAST(pair_count AS BIGINT) AS pair_count
+           |FROM (VALUES
+           |  $values) AS t(step, lhs, rhs, pair_count)
+           |ORDER BY step""".stripMargin,
+      "text_bpe_encode_k256" ->
+        s"""WITH wc(word, np) AS (VALUES
+           |  $wpValues)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(np) AS BIGINT) AS n_pieces
+           |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$p'))
+           |        AS word FROM documents) dw
+           |JOIN wc USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
   /** One BM25 term score, structured exactly like the Spark expression
