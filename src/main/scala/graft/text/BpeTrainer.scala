@@ -86,6 +86,57 @@ object BpeTrainer {
       .orderBy("doc_id")
   }
 
+  /** The tokenizer APPLY: each document's full ORDERED piece sequence
+    * under the learned K=8 vocab — what a training pipeline actually
+    * ships to the model, not just the counts. Pieces are joined with the
+    * unit separator (U+001F) so the output stays a plain string column
+    * (a hash-proven type on the driver's compare); the sequence is
+    * reconstructable and its length is carried exactly as n_pieces.
+    * Plan: the vocabulary-sized (word → ordered pieces) relation
+    * broadcasts; per-doc assembly is two struct-sorted collect_lists
+    * bounded by document length (the chunking rows' posture) — the one
+    * corpus-sized pass is the word explode. */
+  def tokenizeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val wp = trained(spark, dir)._2
+      .groupBy("word")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym")).as("pieces"))
+    val dw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0)))).toDF("doc_id", "wpos", "word")
+    dw.join(broadcast(wp), "word")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws("\u001f", flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("pieces")))),
+          x => x.getField("pieces")))).as("pieces_str"),
+        sum(size(col("pieces"))).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[tokenizeDocs]]: the same unrolled corpus joined
+    * back to each document's ordered word stream, piece lists ordered by
+    * (word) position on both sides, joined by chr(31). */
+  def tokenizeOracleSql: String = {
+    val p = TextAnalysis.BpePattern.replace("'", "''")
+    "WITH " + oracleCtes +
+      s""",
+         |wp AS (SELECT word, list(sym ORDER BY pos) AS pieces
+         |       FROM corpus$K GROUP BY word),
+         |dw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '$p')) AS word,
+         |    unnest(generate_series(1, len(regexp_extract_all(text, '$p'))))
+         |      AS wpos
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(flatten(list(pieces ORDER BY wpos)), chr(31))
+         |    AS pieces_str,
+         |  CAST(sum(len(pieces)) AS BIGINT) AS n_pieces
+         |FROM dw JOIN wp USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document re-tokenization under the DEEP (K=256) vocab — the
     * serving shape a real tokenizer-training pipeline ships. Same plan
     * as [[encodeCounts]]; only the merge table differs. */

@@ -120,6 +120,9 @@ object TextRegistry {
       // unrolled twin, which runs the same code at K=8.
       "text_bpe_train_k256" -> ((s, d) => BpeTrainer.trainMergesDeep(s, d)),
       "text_bpe_encode_k256" -> ((s, d) => BpeTrainer.encodeCountsDeep(s, d)),
+      // The tokenizer APPLY: per-doc ORDERED piece sequence (U+001F
+      // joined) under the K=8 vocab — the artifact a pipeline ships.
+      "text_bpe_tokenize" -> ((s, d) => BpeTrainer.tokenizeDocs(s, d)),
       // Learned quality model: closed-form ridge-free OLS distillation of
       // the heuristic judge into scan-time byte counters — train (exact
       // integer normal equations + bit-parity Cramer solve), per-doc
@@ -131,6 +134,7 @@ object TextRegistry {
     oracles = Map(
       "text_bpe_train" -> BpeTrainer.mergeOracleSql,
       "text_bpe_encode" -> BpeTrainer.encodeOracleSql,
+      "text_bpe_tokenize" -> BpeTrainer.tokenizeOracleSql,
       "quality_model_train" -> QualityModel.trainOracleSql,
       "quality_model_score" -> QualityModel.scoreOracleSql,
       "quality_model_eval" -> QualityModel.evalOracleSql,

@@ -138,6 +138,31 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("tokenize emits each doc's exact ordered pieces: chars conserved, counts agree") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val tok = BpeTrainer.tokenizeDocs(spark, dir)
+    // 1. Character conservation: pieces joined (separator stripped) ==
+    //    the doc's pre-tokenizer words concatenated in order — merging
+    //    re-segments, never rewrites.
+    val direct = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("", regexp_extract_all(col("text"),
+          lit(graft.text.TextAnalysis.BpePattern), lit(0))).as("joined"))
+    val bad = tok.join(direct, "doc_id")
+      .filter(regexp_replace(col("pieces_str"), "\u001f", "") =!= col("joined"))
+    assert(bad.isEmpty)
+    // 2. n_pieces equals encodeCounts' n_pieces row-for-row, and equals
+    //    the separator count + 1 (one string, two independent counters).
+    val enc = BpeTrainer.encodeCounts(spark, dir)
+      .select(col("doc_id"), col("n_pieces").as("np_enc"))
+    val mismatch = tok.join(enc, "doc_id")
+      .filter(col("n_pieces") =!= col("np_enc") ||
+        col("n_pieces") =!= size(split(col("pieces_str"), "\u001f")))
+    assert(mismatch.isEmpty)
+    assert(tok.count() > 0)
+  }
+
   test("identical-symbol chains merge with greedy left-to-right parity") {
     // 'aaaa'/'aaaaa' force (a,a) chains where a naive "merge every
     // candidate" would differ from greedy (aaaaa → [aa][aa][a], never
