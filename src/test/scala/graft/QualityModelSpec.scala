@@ -56,6 +56,11 @@ class QualityModelSpec extends SparkTestBase {
     assert(exactDet != 0, "degenerate corpus: features affinely dependent")
     assert(math.abs(m.det - exactDet.toDouble) <=
       1e-9 * math.abs(exactDet.toDouble))
+    // The emitted det IS this exact integer, as a digit string (the r13
+    // canonicalization fix), and detExactOf computes the same polynomial.
+    assert(QualityModel.detExactOf(s) === exactDet)
+    val rep = QualityModel.trainReportOfModel(spark, m).head()
+    assert(rep.getString(10) === exactDet.toString)
     // Normal equations: A·w − b ≈ 0, relative to the b entries.
     val a = Array(
       Array(s.n.toDouble, s.s1.toDouble, s.s2.toDouble),
@@ -150,8 +155,9 @@ class QualityModelSpec extends SparkTestBase {
     assert(s.syy > BigInt(Long.MaxValue))
     val m = QualityModel.modelOf(s)
     assert(!m.det.isNaN && !m.w1.isNaN && !m.w2.isNaN)
-    // the train report carries the exact wide state end-to-end
+    // the train report carries the exact wide state end-to-end, as
+    // digit strings (decimal emission was the r13 driver-hash trap)
     val rep = QualityModel.trainReportOfModel(spark, m).head()
-    assert(BigInt(rep.getDecimal(9).toBigIntegerExact) === s.syy)
+    assert(BigInt(rep.getString(9)) === s.syy)
   }
 }
