@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   *   GET /etl                     → {"ok": true}            (materialize graph)
   *   GET /recs?product_id=N      → {"items": […], "took_ms": n}
   *   GET /recs?customer_id=N     → {"items": […], "took_ms": n}
+  *   GET /recs?customer_id=N&arm=ppr → same shape, Personalized-PageRank
+  *       ranking (the reference's declared GDS upgrade, main.py:31-33),
+  *       cascading back to the co-occurrence arms for unknown seeds
   *
   * Same wire shapes, same fallback cascade (co-occurrence → same-category,
   * reference `app/main.py:61,70-71`), same graceful degradation (any
@@ -54,8 +57,20 @@ object Serve {
               operators.Recs.recsForProduct(spark, dir, pid))
           }.orElse {
             params.get("customer_id").flatMap(_.toLongOption).map { cid =>
-              operators.Json.toItemsArray(
-                operators.Recs.recsForCustomer(spark, dir, cid))
+              // The reference's declared upgrade (main.py:31-33): with
+              // ?arm=ppr the customer arm serves Personalized PageRank —
+              // the exact fixed-iteration tier the ppr_fixed_recs oracle
+              // row pins — cascading to the co-occurrence arms when the
+              // seed has no propagated mass (unknown customer), the same
+              // degradation posture as the reference's GDS-absent path.
+              val usePpr = params.get("arm").contains("ppr")
+              val ppr =
+                if (usePpr) graph.GraphAlgs.pprRecsServing(spark, dir, cid)
+                else null
+              val df =
+                if (usePpr && !ppr.isEmpty) ppr
+                else operators.Recs.recsForCustomer(spark, dir, cid)
+              operators.Json.toItemsArray(df)
             }
           }.getOrElse("[]") // neither provided → empty list (main.py:123)
         } catch { case scala.util.control.NonFatal(_) => "[]" }

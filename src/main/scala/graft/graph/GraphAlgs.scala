@@ -1182,6 +1182,18 @@ object GraphAlgs {
     finishPprRecs(spark, dir,
       fixedRanks(spark, dir, Seq(Some(s"C$custId")), iters), "r0", custId, k)
 
+  /** [[pprFixedRecs]] in the serving wire shape (product_id, score,
+    * reason) — the `arm=ppr` upgrade of `/recs?customer_id=` the
+    * reference names as its intent ("Switch to Personalized PageRank
+    * when GDS is present", main.py:31-33). Same exact fixed-iteration
+    * tier the `ppr_fixed_recs` oracle row pins — serving never runs an
+    * unpinned float path. */
+  def pprRecsServing(spark: SparkSession, dir: String, custId: Long,
+                     iters: Int = 10, k: Int = 10): DataFrame =
+    pprFixedRecs(spark, dir, custId, iters, k)
+      .select(col("product_id"), col("rank").as("score"),
+        lit("personalized_pagerank").as("reason"))
+
   private def finishPprRecs(spark: SparkSession, dir: String,
                             ranks: DataFrame, rcol: String, custId: Long,
                             k: Int): DataFrame = {

@@ -36,6 +36,38 @@ class ServeSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("arm=ppr serves the ppr_fixed_recs oracle row's top-k, same wire shape") {
+    val server = Serve.start(spark, dir, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      // The oracle row (registry ppr_fixed_recs = pprFixedRecsShared,
+      // seed customer 1) projected to the serving wire shape must BE the
+      // arm's items, byte-for-byte — serving runs the same exact
+      // fixed-iteration tier the driver hash-checks, never a float fork.
+      val oracleRow = graph.GraphAlgs.pprFixedRecsShared(spark, dir)
+        .select(org.apache.spark.sql.functions.col("product_id"),
+          org.apache.spark.sql.functions.col("rank").as("score"),
+          org.apache.spark.sql.functions.lit("personalized_pagerank")
+            .as("reason"))
+      val expected = operators.Json.toItemsArray(oracleRow)
+      assert(expected != "[]", "vacuous: the PPR oracle row is empty")
+      val got = get(port, "/recs?customer_id=1&arm=ppr")
+      assert(got.startsWith(s"""{"items": $expected, "took_ms":"""),
+        s"ppr arm diverged from the oracle row:\n$got\nvs $expected")
+      assert(expected.contains("personalized_pagerank"))
+      // Unknown seed under the ppr arm → the co-occurrence cascade, not
+      // an empty answer and not a 500.
+      val unknown = get(port, "/recs?customer_id=999999999&arm=ppr")
+      assert(unknown.contains(""""items": """) &&
+        unknown.contains(""""took_ms":"""))
+      // An unknown arm value leaves the default cascade untouched.
+      val default = get(port, "/recs?customer_id=1")
+      val odd = get(port, "/recs?customer_id=1&arm=whatever")
+      assert(odd.split(""""took_ms"""").head ==
+        default.split(""""took_ms"""").head)
+    } finally server.stop(0)
+  }
+
   test("16 parallel clients get each their own seed's answer — no cross-request bleed") {
     // The reference runs a driver per request (app/main.py's FastAPI +
     // Neo4j session lifecycle); here all requests share ONE SparkSession
