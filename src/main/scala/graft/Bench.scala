@@ -160,6 +160,8 @@ object Bench {
       if (selectedNames("text_bpe_train_k256") ||
           selectedNames("text_bpe_encode_k256"))
         text.BpeTrainer.trainMergesDeep(spark, sfDir).count()
+      if (selectedNames("text_bpe_release"))
+        text.BpeTrainer.releasedTokenizer(spark, sfDir)
       if (selectedNames.exists(_.startsWith("quality_model_")))
         text.QualityModel.model(spark, sfDir)
     } catch {

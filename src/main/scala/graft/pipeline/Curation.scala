@@ -43,7 +43,7 @@ object Curation {
 
   /** Value of hex digit p (1-based) of md5(key) via ascii arithmetic —
     * the engine-portable trick shared with Dedup.simhashesMd5. */
-  private def hexDigit(h: Column, p: Int): Column = {
+  private[graft] def hexDigit(h: Column, p: Int): Column = {
     val a = ascii(substring(h, p, 1))
     a - when(a >= 97, 87).otherwise(48)
   }

@@ -104,6 +104,29 @@ object BpeTrainer {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("sym")))),
         x => x.getField("sym")).as("pieces"))
+    assembleDocPieces(spark, dir, wp)
+  }
+
+  /** [[tokenizeDocs]] under the DEEP (K=256) vocab, from the trained
+    * corpus state — the round-trip anchor the released artifact's loader
+    * path must reproduce exactly (BpeSpec). */
+  def tokenizeDocsDeep(spark: SparkSession, dir: String): DataFrame = {
+    val wp = trainedK(spark, Tables.load(spark, dir, "documents"),
+        ("dir", dir), DeepK)._2
+      .groupBy("word")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym")).as("pieces"))
+    assembleDocPieces(spark, dir, wp)
+  }
+
+  /** The per-doc assembly stage of the tokenizer APPLY, shared by the
+    * trained-state path ([[tokenizeDocs]]) and the released-artifact
+    * loader ([[tokenizeDocsFromArtifact]]): broadcast the vocabulary-
+    * sized (word -> ordered pieces) relation into the corpus word
+    * stream and fold each document's ordered piece sequence. */
+  private def assembleDocPieces(spark: SparkSession, dir: String,
+                                wp: DataFrame): DataFrame = {
     val dw = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), posexplode(regexp_extract_all(col("text"),
         lit(TextAnalysis.BpePattern), lit(0)))).toDF("doc_id", "wpos", "word")
@@ -165,6 +188,150 @@ object BpeTrainer {
       .groupBy("word").agg(count(lit(1)).as("np"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       .sortBy(_._1)
+
+  // --- Released tokenizer artifact (round 14) ---------------------------
+
+  /** Pure merge application — re-tokenizes a word from its CHARACTERS
+    * under an ordered merge list, with the trainer's own semantics (each
+    * merge applied fully, left-to-right non-overlapping, before the
+    * next). This is the LOADER'S path: it needs no trained corpus state,
+    * so a pipeline holding only the released artifact reproduces the
+    * tokenizer exactly (BpeSpec round-trips it against [[tokenizeDocs]]'
+    * corpus-state path on the real corpus). Codepoint split matches the
+    * trainer's substring(word, pos, 1) init. */
+  private[graft] def applyMergeList(
+      word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      word.codePoints().forEach(cp => b += new String(Character.toChars(cp)))
+      b.result()
+    }
+    for ((a, b) <- merges if syms.length > 1) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** Deterministic piece-id table of the released tokenizer: the base
+    * alphabet (distinct corpus characters, binary-sorted) takes ids
+    * 0..A-1, then merge OUTPUTS in step order (first occurrence wins on
+    * a duplicate output string; outputs are ≥2 chars so they never
+    * collide with the 1-char base). The standard merges+vocab artifact
+    * shape a downstream pipeline expects. */
+  private[graft] def releasedVocab(
+      merges: Seq[(Int, String, String)],
+      baseChars: Seq[String]): Seq[(Long, String)] = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    val out = Vector.newBuilder[String]
+    baseChars.foreach { c => if (seen.add(c)) out += c }
+    merges.sortBy(_._1).foreach { case (_, a, b) =>
+      val p = a + b
+      if (seen.add(p)) out += p
+    }
+    out.result().zipWithIndex.map { case (p, i) => (i.toLong, p) }
+  }
+
+  /** Write the DEEP (K=256) tokenizer as a RELEASED ARTIFACT — the
+    * corpus release-manifest posture applied to learned state: a parquet
+    * directory a downstream pipeline loads WITHOUT this JVM or
+    * retraining, partitioned by table:
+    *   `<path>/merges`: (step, lhs, rhs, pair_count), step-ordered —
+    *     the ordered merge program;
+    *   `<path>/vocab`:  (piece_id, piece) — deterministic ids
+    *     ([[releasedVocab]]).
+    * Both tables are vocabulary-sized (broadcast class at ANY corpus
+    * SF — the artifact of a 100 TB train is still ≤ ~10⁵ rows), each
+    * written as one sorted file. Built once per (JVM, dir) — ingest-side
+    * work under the bench's index-class convention. */
+  def releasedTokenizer(spark: SparkSession, dir: String): String =
+    graft.Memo.get(spark, "bpe-release", dir) {
+      import spark.implicits._
+      val mergesDf = trainedK(spark, Tables.load(spark, dir, "documents"),
+        ("dir", dir), DeepK)._1
+      val merges = mergesDf.orderBy("step").collect() // vocabulary-sized
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      // Base alphabet via the TRAINER'S own char semantics (substring
+      // explode), sorted by Spark's binary string order — the oracle's
+      // ORDER BY matches byte-for-byte.
+      val base = Tables.load(spark, dir, "documents")
+        .select(explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+        .select(col("word"),
+          explode(sequence(lit(1), length(col("word")))).as("pos"))
+        .select(expr("substring(word, pos, 1)").as("c"))
+        .distinct().orderBy("c")
+        .collect().map(_.getString(0)).toSeq // alphabet-sized
+      val vocab = releasedVocab(merges.map(m => (m._1, m._2, m._3)), base)
+      val out = graft.Scratch.dir("graft-bpe-release",
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(12))
+      merges.toDF("step", "lhs", "rhs", "pair_count")
+        .coalesce(1).orderBy("step")
+        .write.mode("overwrite").parquet(s"$out/merges")
+      vocab.toDF("piece_id", "piece")
+        .coalesce(1).orderBy("piece_id")
+        .write.mode("overwrite").parquet(s"$out/vocab")
+      out
+    }
+
+  /** `text_bpe_release` — the release row: per artifact table, row count
+    * and an exact order-independent content fingerprint (Σ of the
+    * 52-bit md5 prefixes of each row's canonical ␟-joined serialization,
+    * summed as decimal(38,0), emitted as a digit string — the
+    * curate_release_manifest convention). Computed by READING THE
+    * ARTIFACT BACK from disk, so the row proves the written files carry
+    * the learned state; the oracle predicts both fingerprints from the
+    * pinned merge table + the raw corpus (it re-derives the vocab ids
+    * itself — the id assignment is cross-engine, not pinned). */
+  def releaseReport(spark: SparkSession, dir: String): DataFrame = {
+    val path = releasedTokenizer(spark, dir)
+    def fpOf(df: DataFrame, part: String, canon: Column): DataFrame = {
+      val h = md5(canon)
+      val fp52 = (0 until 13).map(i =>
+        graft.pipeline.Curation.hexDigit(h, i + 1).cast("long") *
+          (1L << (4 * (12 - i)))).reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(fp52.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string").as("content_fp"))
+        .select(lit(part).as("part"), col("n_rows"), col("content_fp"))
+    }
+    fpOf(spark.read.parquet(s"$path/merges"), "merges",
+        concat_ws("\u001f", col("step").cast("string"), col("lhs"),
+          col("rhs"), col("pair_count").cast("string")))
+      .unionByName(fpOf(spark.read.parquet(s"$path/vocab"), "vocab",
+        concat_ws("\u001f", col("piece_id").cast("string"), col("piece"))))
+      .orderBy("part")
+  }
+
+  /** [[tokenizeDocs]] driven ENTIRELY by a released artifact: load the
+    * merge program from parquet, re-derive (word → ordered pieces) with
+    * [[applyMergeList]] over the corpus's distinct words (vocabulary-
+    * sized driver work, the deepWordPieces bound), and assemble per-doc
+    * sequences with the same broadcast-join plan. A user of the artifact
+    * runs exactly this — no trainer, no memoized corpus state. */
+  def tokenizeDocsFromArtifact(spark: SparkSession, dir: String,
+                               artifactPath: String): DataFrame = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$artifactPath/merges")
+      .orderBy("step").collect() // vocabulary-sized
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+      .distinct().collect().map(_.getString(0)).toSeq // vocabulary-sized
+    val wp = words.map(w => (w, applyMergeList(w, merges)))
+      .toDF("word", "pieces")
+    assembleDocPieces(spark, dir, wp)
+  }
 
   /** (merge table, final symbol corpus), built once per (JVM, dir). */
   private def trained(spark: SparkSession,

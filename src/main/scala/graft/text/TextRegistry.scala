@@ -123,6 +123,10 @@ object TextRegistry {
       // The tokenizer APPLY: per-doc ORDERED piece sequence (U+001F
       // joined) under the K=8 vocab — the artifact a pipeline ships.
       "text_bpe_tokenize" -> ((s, d) => BpeTrainer.tokenizeDocs(s, d)),
+      // The RELEASED tokenizer (round 14): merges+vocab written as a
+      // re-loadable parquet artifact; the row fingerprints the read-back
+      // state exactly (oracle: pinned merges + corpus-derived vocab ids).
+      "text_bpe_release" -> ((s, d) => BpeTrainer.releaseReport(s, d)),
       // Learned quality model: closed-form ridge-free OLS distillation of
       // the heuristic judge into scan-time byte counters — train (exact
       // integer normal equations + bit-parity Cramer solve), per-doc
@@ -724,7 +728,44 @@ object TextRegistry {
            |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$p'))
            |        AS word FROM documents) dw
            |JOIN wc USING (word)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // The released-artifact row: the merge table is pinned (state),
+      // but the VOCAB ID ASSIGNMENT and both content fingerprints are
+      // recomputed by DuckDB from the pinned merges + the raw corpus
+      // (base alphabet from the same word stream) — so the oracle
+      // predicts what Spark must read back from the artifact parquet.
+      "text_bpe_release" -> {
+        def fp(canon: String) =
+          s"CAST(('0x' || substr(md5($canon), 1, 13)) AS BIGINT)"
+        s"""WITH m(step, lhs, rhs, pair_count) AS (VALUES
+           |  $values),
+           |w AS (SELECT DISTINCT unnest(regexp_extract_all(text, '$p'))
+           |      AS word FROM documents),
+           |base AS (SELECT DISTINCT unnest(string_split(word, ''))
+           |      AS piece FROM w),
+           |mo AS (SELECT lhs || rhs AS piece, min(step) AS fs
+           |       FROM m GROUP BY lhs || rhs),
+           |vocab AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+           |    AS piece_id, piece FROM base
+           |  UNION ALL
+           |  SELECT CAST((SELECT count(*) FROM base) +
+           |    row_number() OVER (ORDER BY fs) - 1 AS BIGINT), piece
+           |  FROM mo),
+           |fpm AS (SELECT ${fp("CAST(step AS VARCHAR) || chr(31) || lhs" +
+              " || chr(31) || rhs || chr(31) || CAST(pair_count AS VARCHAR)")}
+           |  AS fp FROM m),
+           |fpv AS (SELECT ${fp("CAST(piece_id AS VARCHAR) || chr(31)" +
+              " || piece")} AS fp FROM vocab)
+           |SELECT 'merges' AS part, (SELECT count(*) FROM m) AS n_rows,
+           |  CAST(CAST(sum(fp) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+           |FROM fpm
+           |UNION ALL
+           |SELECT 'vocab' AS part, (SELECT count(*) FROM vocab) AS n_rows,
+           |  CAST(CAST(sum(fp) AS DECIMAL(38,0)) AS VARCHAR) AS content_fp
+           |FROM fpv
+           |ORDER BY part""".stripMargin
+      })
   }
 
   /** One BM25 term score, structured exactly like the Spark expression

@@ -163,6 +163,33 @@ class BpeSpec extends SparkTestBase {
     assert(tok.count() > 0)
   }
 
+  test("released artifact round-trips: load merges, tokenize == trained-state deep tokenizer") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val path = BpeTrainer.releasedTokenizer(spark, dir)
+    // The artifact is re-loadable plain parquet: the merge table read
+    // back IS the learned table, and the vocab ids are unique and cover
+    // every merge output.
+    val merges = spark.read.parquet(s"$path/merges").orderBy("step")
+    assert(merges.collect().toSeq ==
+      BpeTrainer.trainMergesDeep(spark, dir).collect().toSeq)
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val nVocab = vocab.count()
+    assert(vocab.select("piece_id").distinct().count() == nVocab)
+    assert(vocab.select("piece").distinct().count() == nVocab)
+    val outputs = merges.select(
+      concat(col("lhs"), col("rhs")).as("piece")).distinct()
+    assert(outputs.join(vocab, "piece", "left_anti").isEmpty,
+      "a merge output is missing from the released vocab")
+    // THE round-trip: tokenization driven ONLY by the artifact (pure
+    // merge replay from characters — no trainer, no corpus state)
+    // equals the trained-state deep tokenizer document-for-document.
+    val fromArtifact = BpeTrainer
+      .tokenizeDocsFromArtifact(spark, dir, path).collect().toSeq
+    val fromState = BpeTrainer.tokenizeDocsDeep(spark, dir).collect().toSeq
+    assert(fromArtifact.nonEmpty && fromArtifact == fromState)
+  }
+
   test("identical-symbol chains merge with greedy left-to-right parity") {
     // 'aaaa'/'aaaaa' force (a,a) chains where a naive "merge every
     // candidate" would differ from greedy (aaaaa → [aa][aa][a], never
