@@ -162,8 +162,11 @@ object Bench {
         text.BpeTrainer.trainMergesDeep(spark, sfDir).count()
       if (selectedNames("text_bpe_release"))
         text.BpeTrainer.releasedTokenizer(spark, sfDir)
-      if (selectedNames.exists(_.startsWith("quality_model_")))
+      if (selectedNames.exists(_.startsWith("quality_model_"))) {
         text.QualityModel.model(spark, sfDir)
+        if (selectedNames("quality_model_eval_val"))
+          text.QualityModel.modelTrainSplit(spark, sfDir)
+      }
     } catch {
       // Swallow (a broken prewarm must not fail the bench — queries
       // rebuild their own state) but NEVER silently: a failed prewarm

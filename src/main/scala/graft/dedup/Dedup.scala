@@ -692,6 +692,51 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** `dedup_simhash_audit` — the graphx_float_audit pattern applied to
+    * the last unfenced native expression: binds the production xxhash64
+    * SimHash ([[simhashes]], rows-only — no SQL engine can recompute
+    * xxhash64) to oracle-checked structural facts on the REAL corpus,
+    * one row:
+    *  - n_docs / n_classes: exact token-MULTISET equivalence classes
+    *    (any simhash scheme's votes are per-token sums, so fingerprints
+    *    are a function of the multiset);
+    *  - native_uniform_classes: classes whose native fingerprints are
+    *    constant. The oracle states the THEOREM (= n_classes): an
+    *    order-dependence, nondeterminism, or vote-sign bug in the native
+    *    expression breaks the driver's hash loudly;
+    *  - md5_uniform_classes: the same fact for the md5 scheme, computed
+    *    independently by BOTH engines (genuine cross-engine recompute of
+    *    the whole vote/sign pipeline);
+    *  - tokenless_nonallones: docs with no tokens whose native
+    *    fingerprint is not the all-ones zero-vote fixed point (= 0, the
+    *    SimHash64 empty-input theorem).
+    * Scale shape: one corpus scan per fingerprint relation (both
+    * memoized), one multiset-key aggregation — linear, no pairs. */
+  def simhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.load(spark, dir, "documents"))
+    val cls = docs.select(col("doc_id"),
+      concat_ws("\u001f", array_sort(TextAnalysis.tokens)).as("cls"),
+      (size(TextAnalysis.tokens) === 0).as("tokenless"))
+    def uniform(fps: DataFrame): DataFrame =
+      cls.join(fps, "doc_id")
+        .groupBy("cls")
+        .agg((min("simhash") === max("simhash")).as("u"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("u"), 1L).otherwise(0L)).as("uniform"))
+    val nat = uniform(simhashes(spark, dir))
+      .select(col("n_classes"), col("uniform").as("native_uniform_classes"))
+    val md5u = uniform(simhashesMd5Core(spark, dir))
+      .select(col("uniform").as("md5_uniform_classes"))
+    val allOnes = cls.join(simhashes(spark, dir), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tokenless") && col("simhash") =!= lit(-1L), 1L)
+          .otherwise(0L)).as("tokenless_nonallones"))
+    allOnes.join(nat).join(md5u) // 1-row frames
+      .select(col("n_docs"), col("n_classes"),
+        col("native_uniform_classes"), col("md5_uniform_classes"),
+        col("tokenless_nonallones"))
+  }
+
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, blocked by four
     * 16-bit chunks. Pigeonhole: a pair within distance 3 must match ≥1 of
     * the 4 chunks exactly, so candidate generation is an equi-join on

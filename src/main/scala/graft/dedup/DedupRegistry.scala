@@ -128,6 +128,10 @@ object DedupRegistry {
       "dedup_near_contamination" -> ((s, d) => Dedup.nearContamination(s, d)),
       "dedup_simhash" -> ((s, d) => Dedup.simhashes(s, d).orderBy("doc_id")),
       "dedup_simhash_md5" -> ((s, d) => Dedup.simhashesMd5(s, d)),
+      // Oracle-green audit fencing the native xxhash64 row (round 14):
+      // multiset-class uniformity theorems + an independent cross-engine
+      // recompute of the md5 scheme's class uniformity.
+      "dedup_simhash_audit" -> ((s, d) => Dedup.simhashAudit(s, d)),
       "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairsMd5(s, d)),
       "dedup_normalized" -> ((s, d) => Dedup.normalizedDedupReport(s, d)),
       "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -214,6 +218,29 @@ object DedupRegistry {
       "dedup_simhash_md5" ->
         s"""WITH $SimhashCtes
            |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+      // native_uniform_classes states the multiset-invariance THEOREM
+      // (= n_classes) the native xxhash64 fingerprints must satisfy;
+      // md5_uniform_classes is genuinely recomputed from the md5 vote
+      // pipeline; tokenless_nonallones is the zero-vote fixed point.
+      "dedup_simhash_audit" ->
+        s"""WITH $SimhashCtes,
+           |cls AS (SELECT doc_id,
+           |    array_to_string(list_sort($Toks), chr(31)) AS cls,
+           |    len($Toks) = 0 AS tokenless
+           |  FROM documents),
+           |m AS (SELECT c.cls, f.simhash
+           |      FROM cls c JOIN fp f USING (doc_id)),
+           |mu AS (SELECT cls, min(simhash) = max(simhash) AS u
+           |       FROM m GROUP BY cls)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           |  (SELECT CAST(count(DISTINCT cls) AS BIGINT) FROM cls)
+           |    AS n_classes,
+           |  (SELECT CAST(count(DISTINCT cls) AS BIGINT) FROM cls)
+           |    AS native_uniform_classes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mu WHERE u)
+           |    AS md5_uniform_classes,
+           |  CAST(0 AS BIGINT) AS tokenless_nonallones""".stripMargin,
       // One verified relation at the lowest threshold; each threshold
       // row is a conditional count over it. Thresholds come from
       // Dedup.SweepThresholds — the same default the Spark closure

@@ -247,18 +247,41 @@ object QualityModel {
       .orderBy("doc_id")
   }
 
+  /** The split-honest twin state: weights fit on the TRAIN split only
+    * ([[graft.pipeline.Curation.splitOf]] over doc_id — the corpus's
+    * deterministic 80/10/10 assignment), memoized like [[model]]. Same
+    * ten-long aggregation, same Cramer trees — only the scan filter
+    * differs, and it pushes to the parquet read. */
+  private[graft] def modelTrainSplit(spark: SparkSession,
+                                     dir: String): Model =
+    graft.Memo.get(spark, "quality-model-trainsplit", dir) {
+      modelOf(sumsOf(featFrame(spark, dir).filter(
+        graft.pipeline.Curation.splitOf(col("doc_id")) === "train")))
+    }
+
   /** `quality_model_eval` — per source: the keep-gate confusion matrix
     * (model gate vs judge gate at [[KeepThresholdMicro]] — exact integer
     * counts) and the residual sum of squares through the two-level
     * chunked sorted fold (the qualityReliability posture: no source's
     * doc list ever sinks into one task). The table a curation owner
     * reads before trusting the cheap gate on a new source. */
-  def evalReport(spark: SparkSession, dir: String): DataFrame = {
-    val m = model(spark, dir)
+  def evalReport(spark: SparkSession, dir: String): DataFrame =
+    evalReportOf(model(spark, dir), featFrame(spark, dir))
+
+  /** `quality_model_eval_val` — the split-HONEST eval (VERDICT r13 #6):
+    * weights fit on the train split, confusion matrix on the VAL split
+    * only, so the gate-agreement claim is measured out-of-sample. The
+    * whole-corpus row above stays as the in-sample capacity twin. */
+  def evalReportVal(spark: SparkSession, dir: String): DataFrame =
+    evalReportOf(modelTrainSplit(spark, dir),
+      featFrame(spark, dir).filter(
+        graft.pipeline.Curation.splitOf(col("doc_id")) === "val"))
+
+  private def evalReportOf(m: Model, feats: DataFrame): DataFrame = {
     def foldSum(c: Column): Column =
       aggregate(sort_array(collect_list(c)), lit(0.0), (s, x) => s + x)
     val t = lit(KeepThresholdMicro.toDouble)
-    val scored = featFrame(spark, dir)
+    val scored = feats
       .withColumn("pred_micro", predExpr(m))
       .withColumn("resid_micro",
         col("y6").cast("double") - col("pred_micro"))
@@ -305,8 +328,21 @@ object QualityModel {
 
   private def d(x: String) = s"CAST($x AS DOUBLE)"
 
-  /** CTEs: feat(doc_id, source, x1, x2, y6) → s(ten sums) → w(det + weights). */
-  private[graft] def modelCtes: String = {
+  /** Twin of Curation.hashBucket over doc_id — the 80/10/10 split key
+    * the split-honest rows filter by. */
+  private def bucketSql: String = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    def dig(p: Int) = s"(ascii(substring($h,$p,1)) - CASE WHEN " +
+      s"ascii(substring($h,$p,1)) >= 97 THEN 87 ELSE 48 END)"
+    (0 until 4).map(i => s"${dig(i + 1)} * ${1 << (4 * (3 - i))}")
+      .mkString("(", " + ", ") % 100")
+  }
+
+  /** CTEs: feat(doc_id, source, x1, x2, y6) → s(ten sums) → w(det +
+    * weights). `trainWhere` filters the SUMS scan (the split-honest
+    * rows fit on the train split only); feat stays unfiltered so eval
+    * CTEs can select their own slice. */
+  private[graft] def modelCtes(trainWhere: String = ""): String = {
     val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
       (d("n"), d("s1"), d("s2"), d("s11"), d("s12"), d("s22"),
         d("sy6"), d("s1y6"), d("s2y6"))
@@ -328,7 +364,7 @@ object QualityModel {
        |  CAST(sum(x1 * y6) AS DECIMAL(38,0)) AS s1y6,
        |  CAST(sum(x2 * y6) AS DECIMAL(38,0)) AS s2y6,
        |  CAST(sum(y6 * y6) AS DECIMAL(38,0)) AS syy6
-       |FROM feat),
+       |FROM feat $trainWhere),
        |w AS (SELECT *,
        |  $n * ($s11 * $s22 - $s12 * $s12) -
        |    $s1 * ($s1 * $s22 - $s12 * $s2) +
@@ -363,7 +399,7 @@ object QualityModel {
     def v(x: String) = s"CAST($x AS VARCHAR)"
     val (n, s1, s2, s11, s12, s22) =
       (h("n"), h("s1"), h("s2"), h("s11"), h("s12"), h("s22"))
-    s"""$modelCtes
+    s"""${modelCtes()}
        |SELECT n AS n_docs, s1, s2,
        |  ${v("s11")} AS s11, ${v("s12")} AS s12, ${v("s22")} AS s22,
        |  sy6, ${v("s1y6")} AS s1y6, ${v("s2y6")} AS s2y6,
@@ -376,7 +412,7 @@ object QualityModel {
   }
 
   def scoreOracleSql: String =
-    s"""$modelCtes
+    s"""${modelCtes()}
        |SELECT doc_id, x1, x2, y6,
        |  w_intercept + w_chars * ${d("x1")} + w_pieces * ${d("x2")}
        |    AS pred_micro,
@@ -384,15 +420,22 @@ object QualityModel {
        |    w_pieces * ${d("x2")}) AS resid_micro
        |FROM feat, w ORDER BY doc_id""".stripMargin
 
-  def evalOracleSql: String =
-    s"""$modelCtes,
+  def evalOracleSql: String = evalSqlOf(modelCtes(), "")
+
+  /** Split-honest twin: w fit on the train slice, sc over the val slice. */
+  def evalValOracleSql: String =
+    evalSqlOf(modelCtes(s"WHERE $bucketSql < 80"),
+      s"WHERE $bucketSql >= 80 AND $bucketSql < 90")
+
+  private def evalSqlOf(ctes: String, scWhere: String): String =
+    s"""$ctes,
        |sc AS (SELECT source, doc_id // 1024 AS chunk,
        |  y6 >= $KeepThresholdMicro AS judge_keep,
        |  (w_intercept + w_chars * ${d("x1")} + w_pieces * ${d("x2")})
        |    >= ${d(KeepThresholdMicro.toString)} AS model_keep,
        |  ${d("y6")} - (w_intercept + w_chars * ${d("x1")} +
        |    w_pieces * ${d("x2")}) AS resid
-       |FROM feat, w),
+       |FROM feat, w $scWhere),
        |leaves AS (SELECT source, chunk, count(*) AS n,
        |  CAST(sum(CASE WHEN model_keep AND judge_keep THEN 1 ELSE 0 END)
        |    AS BIGINT) AS tp,

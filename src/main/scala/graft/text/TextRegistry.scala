@@ -133,7 +133,10 @@ object TextRegistry {
       // scoring, and the per-source gate-agreement eval.
       "quality_model_train" -> ((s, d) => QualityModel.trainReport(s, d)),
       "quality_model_score" -> ((s, d) => QualityModel.scores(s, d)),
-      "quality_model_eval" -> ((s, d) => QualityModel.evalReport(s, d))
+      "quality_model_eval" -> ((s, d) => QualityModel.evalReport(s, d)),
+      // Split-honest eval (round 14): fit on the train split, confusion
+      // matrix on the val split only — the out-of-sample twin.
+      "quality_model_eval_val" -> ((s, d) => QualityModel.evalReportVal(s, d))
     ),
     oracles = Map(
       "text_bpe_train" -> BpeTrainer.mergeOracleSql,
@@ -142,6 +145,7 @@ object TextRegistry {
       "quality_model_train" -> QualityModel.trainOracleSql,
       "quality_model_score" -> QualityModel.scoreOracleSql,
       "quality_model_eval" -> QualityModel.evalOracleSql,
+      "quality_model_eval_val" -> QualityModel.evalValOracleSql,
       "text_token_counts" ->
         s"""SELECT doc_id, len($Toks) AS n_tokens,
            |  len(regexp_extract_all(text,

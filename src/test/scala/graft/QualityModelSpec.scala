@@ -104,6 +104,24 @@ class QualityModelSpec extends SparkTestBase {
     assert(total === QualityModel.scores(spark, dir).count())
   }
 
+  test("split-honest eval: fit on the train split, scored docs are exactly the val split") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+    val split = graft.pipeline.Curation.splitOf(col("doc_id"))
+    val nTrain = docs.filter(split === "train").count()
+    val nVal = docs.filter(split === "val").count()
+    assert(nTrain > 0 && nVal > 0)
+    // the fitted state saw ONLY the train split
+    assert(QualityModel.modelTrainSplit(spark, dir).sums.n === nTrain)
+    // the confusion matrix covers EXACTLY the val split, partitioned
+    val rows = QualityModel.evalReportVal(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === nVal)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+        === r.getLong(1))
+    }
+  }
+
   test("scores carry the literal-weight prediction tree exactly") {
     val m = QualityModel.model(spark, dir)
     val r = QualityModel.scores(spark, dir).orderBy($"doc_id").head()
