@@ -44,8 +44,13 @@ for i in 1 2 3 4 5; do
   cp BENCH_FULL_LATEST.json "/tmp/bench_clean_$i.json"
   # Stamp the provenance verdict INTO the artifact: clean ⇔ no crashed
   # queries, the artifact's own load_avg_start under 1, and measured
-  # external steal under the core-scaled 2% budget (cpus * 100 ticks/s
-  # * 0.02 = cpus*2 ticks per wall-second).
+  # external steal under a core-scaled 0.5% budget (cpus * 100 ticks/s
+  # * 0.005 = cpus/2 ticks per wall-second). Round 14 tightened this
+  # from 2%: a 32-core run admitted 0.55 cores of continuous steal and
+  # still stamped clean, inflating the total by ~45 s spread across
+  # dozens of untouched queries — an artifact the lineage math then
+  # reads as engine drift. All prior blessings (r12 7.5, r13 7.5
+  # ticks/s) sit far inside the new budget of 16 ticks/s.
   cpus="${SPARK_GRAFT_CPUS:-32}"
   read -r total failed clean <<< "$(python3 -c "
 import json
@@ -53,10 +58,10 @@ p = '/tmp/bench_clean_$i.json'
 b = json.load(open(p))
 load0 = b.get('load_avg_start', 999)
 failed = b.get('failed', 999)
-clean = (failed == 0 and load0 < 1.0 and $steal < $wall * $cpus * 2)
+clean = (failed == 0 and load0 < 1.0 and $steal < $wall * $cpus * 0.5)
 b['clean'] = clean
 b['clean_gate'] = {'steal_ticks': $steal, 'wall_s': $wall,
-  'steal_budget_ticks': $wall * $cpus * 2, 'load_avg_start_max': 1.0}
+  'steal_budget_ticks': $wall * $cpus * 0.5, 'load_avg_start_max': 1.0}
 json.dump(b, open(p, 'w'))
 print(round(b['value'], 1), failed, 1 if clean else 0)")"
   echo "attempt $i: total=${total}s failed=${failed} clean=${clean} wall=${wall}s steal_ticks=${steal} (steal_s=$((steal/100)))"
