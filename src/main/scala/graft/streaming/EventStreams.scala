@@ -599,8 +599,8 @@ object EventStreams {
     * FileSystem contract applies: atomic on HDFS; unsupported on bare
     * S3 (front a commit coordinator there, the standard Delta-on-S3
     * caveat). */
-  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem, claim: Path,
-                       token: String): Boolean = {
+  private[graft] def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                              claim: Path, token: String): Boolean = {
     def create(): Boolean =
       if (fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
           fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])

@@ -854,6 +854,81 @@ class StreamingSpec extends SparkTestBase {
       "merge did not wait for the live claim")
     assert(EventStreams.edgeStore(spark, store).count() == 3)
   }
+  test("claim mutex: exactly one of 16 concurrent claimers wins under the contract") {
+    // The concurrency fact the whole commit protocol rests on, exercised
+    // for real: N racing claimers on a contract-holding filesystem
+    // (local → the NIO CREATE_NEW / O_EXCL branch) yield EXACTLY one
+    // winner. The local FS can fake a lot, but not this — each thread
+    // runs the production tryClaim with its own token.
+    val dir = java.nio.file.Files.createTempDirectory("graft-claimrace")
+    dir.toFile.deleteOnExit()
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val claim = new org.apache.hadoop.fs.Path(dir.toString, "v1.claim")
+    val n = 16
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            EventStreams.tryClaim(raw, claim, s"tok-$i")
+          }
+        })
+      }
+      start.countDown()
+      val wins = futures.count(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(wins === 1, s"claim mutex violated: $wins winners of $n")
+    } finally pool.shutdown()
+  }
+
+  test("object-store test double (HEAD-then-PUT create) breaks the claim mutex — the refusal is load-bearing") {
+    // A FilterFileSystem that implements create(overwrite=false) the way
+    // S3-family Hadoop connectors do: an existence probe followed by an
+    // unconditional PUT. A barrier holds both committers between the
+    // probe and the PUT — the interleaving the connector cannot
+    // prevent — and BOTH claimers then "win" the same claim file: the
+    // exact lost-commit race requireClaimCapableFs refuses up front.
+    // This pins the refusal to demonstrated behavior, not documentation.
+    val dir = java.nio.file.Files.createTempDirectory("graft-claimdouble")
+    dir.toFile.deleteOnExit()
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    // Not a Local/RawLocalFileSystem subclass → tryClaim takes the
+    // generic FileSystem.create(path, overwrite=false) branch, like a
+    // real remote-store connector.
+    val lww = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def create(f: org.apache.hadoop.fs.Path,
+                          overwrite: Boolean):
+          org.apache.hadoop.fs.FSDataOutputStream = {
+        if (!overwrite) {
+          val absent = !fs.exists(f) // HEAD
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          if (!absent) throw new java.io.IOException(s"$f exists")
+          fs.create(f, true) // unconditional PUT — last writer wins
+        } else fs.create(f, true)
+      }
+    }
+    val claim = new org.apache.hadoop.fs.Path(dir.toString, "v1.claim")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = EventStreams.tryClaim(lww, claim, s"tok-$i")
+        })
+      }
+      val wins = futures.count(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(wins === 2,
+        s"expected the check-then-act double to hand BOTH committers " +
+          s"the claim (got $wins) — if this starts passing with 1, the " +
+          "double no longer models a last-writer-wins store")
+    } finally pool.shutdown()
+  }
+
   test("object-store schemes without atomic create-if-absent are refused loudly") {
     import spark.implicits._
     val batch = Seq((1L, 1L, "VIEWED")).toDF("user_id", "product_id", "rel_type")
