@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   *   GET /recs?customer_id=N&arm=ppr → same shape, Personalized-PageRank
   *       ranking (the reference's declared GDS upgrade, main.py:31-33),
   *       cascading back to the co-occurrence arms for unknown seeds
+  *   GET /recs?product_id=N&arm=item → same shape, served from the
+  *       precomputed item-item shelf (the item_item_topk row)
+  *   GET /recs?product_id=N&arm=rrf  → same shape, reciprocal-rank
+  *       fusion of the two product arms (the rec_rrf_fusion row)
+  *       — every arm cascades to the reference's default chain when it
+  *       has no signal for the seed
   *
   * Same wire shapes, same fallback cascade (co-occurrence → same-category,
   * reference `app/main.py:61,70-71`), same graceful degradation (any
@@ -53,7 +59,22 @@ object Serve {
       val items =
         try {
           params.get("product_id").flatMap(id => id.toLongOption).map { pid =>
-            operators.Json.toItemsArray(
+            // Product-seed arms (VERDICT r14 item 4): `arm=item` serves
+            // the precomputed item-item shelf, `arm=rrf` the
+            // rank-fusion tier — both the exact oracle-pinned rows
+            // projected to the wire shape, both cascading to the
+            // reference's co-occurrence→same-category default when the
+            // seed has no signal under the chosen arm. Any other arm
+            // value leaves the default cascade untouched.
+            val armItems = params.get("arm") match {
+              case Some("item") => operators.Json.toItemsArray(
+                graph.GraphAlgs.itemItemServing(spark, dir, pid))
+              case Some("rrf") => operators.Json.toItemsArray(
+                operators.Recs.rrfServing(spark, dir, pid))
+              case _ => "[]"
+            }
+            if (armItems != "[]") armItems
+            else operators.Json.toItemsArray(
               operators.Recs.recsForProduct(spark, dir, pid))
           }.orElse {
             params.get("customer_id").flatMap(_.toLongOption).map { cid =>
@@ -64,13 +85,18 @@ object Serve {
               // seed has no propagated mass (unknown customer), the same
               // degradation posture as the reference's GDS-absent path.
               val usePpr = params.get("arm").contains("ppr")
-              val ppr =
-                if (usePpr) graph.GraphAlgs.pprRecsServing(spark, dir, cid)
-                else null
-              val df =
-                if (usePpr && !ppr.isEmpty) ppr
-                else operators.Recs.recsForCustomer(spark, dir, cid)
-              operators.Json.toItemsArray(df)
+              // Render the PPR arm ONCE (ADVICE r14: the old
+              // isEmpty-then-render pair ran the top-k stage twice);
+              // pprRecsServing returns a local relation, so the empty
+              // probe on the rendered array is free.
+              val pprItems =
+                if (usePpr)
+                  operators.Json.toItemsArray(
+                    graph.GraphAlgs.pprRecsServing(spark, dir, cid))
+                else "[]"
+              if (usePpr && pprItems != "[]") pprItems
+              else operators.Json.toItemsArray(
+                operators.Recs.recsForCustomer(spark, dir, cid))
             }
           }.getOrElse("[]") // neither provided → empty list (main.py:123)
         } catch { case scala.util.control.NonFatal(_) => "[]" }

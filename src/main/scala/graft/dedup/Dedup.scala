@@ -714,8 +714,18 @@ object Dedup {
     * memoized), one multiset-key aggregation — linear, no pairs. */
   def simhashAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.load(spark, dir, "documents"))
-    val cls = docs.select(col("doc_id"),
-      concat_ws("\u001f", array_sort(TextAnalysis.tokens)).as("cls"),
+    // The class key must be INJECTIVE over token multisets: whitespace
+    // splitting does not exclude U+001F from a token (it is not \s — the
+    // r13 BpePattern hazard), so a bare concat_ws("\u001f", ...) would
+    // collide e.g. ["a\u001fb"] with ["a","b"] and turn a theorem row
+    // into a spurious red on such a corpus (ADVICE r14). Length-prefixing
+    // every token ("<len>:<token>") makes the joined string unambiguously
+    // decodable, hence injective, whatever bytes tokens carry; the DuckDB
+    // twin applies the identical encoding.
+    val clsKey = concat_ws("\u001f",
+      transform(array_sort(TextAnalysis.tokens),
+        t => concat(length(t).cast("string"), lit(":"), t)))
+    val cls = docs.select(col("doc_id"), clsKey.as("cls"),
       (size(TextAnalysis.tokens) === 0).as("tokenless"))
     def uniform(fps: DataFrame): DataFrame =
       cls.join(fps, "doc_id")

@@ -225,7 +225,9 @@ object DedupRegistry {
       "dedup_simhash_audit" ->
         s"""WITH $SimhashCtes,
            |cls AS (SELECT doc_id,
-           |    array_to_string(list_sort($Toks), chr(31)) AS cls,
+           |    array_to_string(list_transform(list_sort($Toks),
+           |      t -> concat(CAST(len(t) AS VARCHAR), ':', t)),
+           |      chr(31)) AS cls,
            |    len($Toks) = 0 AS tokenless
            |  FROM documents),
            |m AS (SELECT c.cls, f.simhash

@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -472,6 +472,33 @@ object GraphAlgs {
       .orderBy("product_id", "rec_rank")
   }
 
+  /** The item-item shelf, memoized + persisted for serving (one key per
+    * dir — bounded, unlike per-seed state): the classic precomputed
+    * "customers also bought" candidate store a serving tier reads with a
+    * point filter. Built once per session (ingest-side work by the bench
+    * accounting convention); every request after that is a filter over
+    * cached per-item top-3 rows. */
+  def itemItemShelf(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "item-item-shelf", dir) {
+      itemItemTopK(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Product-seed serving arm over [[itemItemShelf]] in the wire shape
+    * (product_id, score, reason) — the `arm=item` route of
+    * `/recs?product_id=` (VERDICT r14 item 4). Deterministic: the
+    * shelf's rec_rank is already the (n_orders desc, rec_product_id
+    * asc) total order. */
+  def itemItemServing(spark: SparkSession, dir: String, pid: Long,
+                      k: Int = 10): DataFrame =
+    itemItemShelf(spark, dir)
+      .filter(col("product_id") === pid)
+      .orderBy(asc("rec_rank"))
+      .limit(k)
+      .select(col("rec_product_id").as("product_id"),
+        col("n_orders").cast("double").as("score"),
+        lit("item-item").as("reason"))
+
   /** Distinct co-purchase product pairs (p1 < p2), basket-bounded like
     * [[allPairsCoOccurrence]] and generated the same in-partition way.
     * Memoized: feeds every consumer of the undirected product graph. */
@@ -793,6 +820,18 @@ object GraphAlgs {
   private[graft] def fixedRanks(spark: SparkSession, dir: String,
                                 seeds: Seq[Option[String]], iters: Int): DataFrame =
     graft.Memo.get(spark, "fixed-ranks", (dir, seeds, iters)) {
+      fixedRanksUncached(spark, dir, seeds, iters)
+    }
+
+  /** [[fixedRanks]] WITHOUT the Memo entry: the serving tier propagates
+    * ad-hoc per-request seeds through this so the propagation is never
+    * retained (ADVICE r14: the memoized path pinned one persisted
+    * 10-round propagation per distinct served customer_id forever —
+    * unbounded growth on a long-running server). Registry rows keep the
+    * memoized wrapper: their seed set is a fixed constant. */
+  private[graft] def fixedRanksUncached(spark: SparkSession, dir: String,
+                                        seeds: Seq[Option[String]],
+                                        iters: Int): DataFrame = {
       val coPart = stateCoPartitioned(spark, dir)
       val e = rankEdges(spark, dir, bySrc = coPart)
       val nodes = nodesById(spark, dir)
@@ -807,7 +846,7 @@ object GraphAlgs {
           rankStep(e, nodes, ranks, seeds, coPart), preserveLayout = coPart,
           round = i, last = i == iters)
       ranks
-    }
+  }
 
   /** Default gate: 2M state rows ≈ 60 MB for an id + 3 doubles — inside
     * any executor's broadcast budget with 30× headroom against an 8 GB
@@ -1182,17 +1221,62 @@ object GraphAlgs {
     finishPprRecs(spark, dir,
       fixedRanks(spark, dir, Seq(Some(s"C$custId")), iters), "r0", custId, k)
 
+  /** Bounded serving-tier result cache (ADVICE r14 medium): the ppr arm
+    * used to ride the fixed-ranks Memo, pinning one persisted 10-round
+    * propagation per distinct served customer_id for the life of the
+    * context — a memory-growth/DoS vector on a long-running server.
+    * What serving actually needs per seed is the ≤k FINALIZED rows, so
+    * that is all this caches: an access-ordered LRU of collected row
+    * arrays (≤64 entries × ≤k rows), evicting oldest-touched. The
+    * propagation behind a miss runs UNmemoized; once its rows are
+    * collected nothing references it and the ContextCleaner reclaims
+    * its checkpoint blocks. Keyed WITHOUT the SparkContext on purpose —
+    * collected rows are plain local values, valid across session
+    * restarts, and the result is a pure function of (dir, seed, iters,
+    * k). */
+  private val ServingPprCacheMax = 64
+  private val servingPprCache =
+    new java.util.LinkedHashMap[(String, Long, Int, Int),
+        (org.apache.spark.sql.types.StructType, Array[Row])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Int, Int),
+            (org.apache.spark.sql.types.StructType, Array[Row])]): Boolean =
+        size() > ServingPprCacheMax
+    }
+
   /** [[pprFixedRecs]] in the serving wire shape (product_id, score,
     * reason) — the `arm=ppr` upgrade of `/recs?customer_id=` the
     * reference names as its intent ("Switch to Personalized PageRank
     * when GDS is present", main.py:31-33). Same exact fixed-iteration
     * tier the `ppr_fixed_recs` oracle row pins — serving never runs an
-    * unpinned float path. */
+    * unpinned float path. The shared seed (customer 1 at the default
+    * horizon) reads the prewarmed shared propagation — per-seed-column
+    * bit parity makes it byte-equal to the standalone tier; any other
+    * seed propagates unmemoized and only its collected top-k enters the
+    * bounded cache above. Returns a LOCAL relation: callers can probe
+    * emptiness and render it without re-running the propagation. */
   def pprRecsServing(spark: SparkSession, dir: String, custId: Long,
-                     iters: Int = 10, k: Int = 10): DataFrame =
-    pprFixedRecs(spark, dir, custId, iters, k)
-      .select(col("product_id"), col("rank").as("score"),
-        lit("personalized_pagerank").as("reason"))
+                     iters: Int = 10, k: Int = 10): DataFrame = {
+    val key = (dir, custId, iters, k)
+    val hit = servingPprCache.synchronized(servingPprCache.get(key))
+    val (schema, rows) =
+      if (hit != null) hit
+      else {
+        val (ranks, rcol) =
+          if (custId == 1L && iters == 10)
+            (fixedRanks(spark, dir, SharedRankSeeds, 10), "r1")
+          else
+            (fixedRanksUncached(spark, dir, Seq(Some(s"C$custId")), iters),
+              "r0")
+        val df = finishPprRecs(spark, dir, ranks, rcol, custId, k)
+          .select(col("product_id"), col("rank").as("score"),
+            lit("personalized_pagerank").as("reason"))
+        val built = (df.schema, df.collect())
+        servingPprCache.synchronized(servingPprCache.put(key, built))
+        built
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   private def finishPprRecs(spark: SparkSession, dir: String,
                             ranks: DataFrame, rcol: String, custId: Long,

@@ -533,6 +533,18 @@ object Recs {
       .limit(k)
   }
 
+  /** [[rrfFusion]] in the serving wire shape (product_id, score,
+    * reason) — the `arm=rrf` route of `/recs?product_id=` (VERDICT r14
+    * item 4), the exact tier the `rec_rrf_fusion` oracle row pins
+    * (n_arms is diagnostic and dropped from the wire). Per-request
+    * compute is seed-pruned (both arms' candidate lists bounded by the
+    * seed's orders/category), so no serving cache is needed. */
+  def rrfServing(spark: SparkSession, dir: String, seedPart: Long,
+                 k: Int = 10): DataFrame =
+    rrfFusion(spark, dir, seedPart, k)
+      .select(col("product_id"), col("rrf_score").as("score"),
+        lit("rrf_fusion").as("reason"))
+
   /** Deterministic negative sampling — the contrastive-pair generator a
     * two-tower / ranking trainer runs over the interaction log: for
     * every customer, `k` popular products they did NOT purchase.

@@ -171,6 +171,29 @@ object RecsRegistry {
         Recs.sqlApiSameCategory(s, d, SeedPart)),
       "sql_api_rec_customer_category" -> ((s, d) =>
         Recs.sqlApiCustomerCategoryRecs(s, d, SeedCust)),
+      // CYPHER-TEXT twins (VERDICT r14 item 5): the reference's actual
+      // query language is Cypher, so the language front door is fed the
+      // four reference query strings VERBATIM
+      // (cypher/CypherLite.Reference, app/main.py:53-119). The
+      // translator parses + structurally matches + dispatches to the
+      // builders above, so these share the builders' oracle constants;
+      // canonical plan equality is asserted in CypherSpec.
+      "cypher_rec_cooccurrence" -> ((s, d) =>
+        graft.cypher.CypherLite.query(s, d,
+          graft.cypher.CypherLite.Reference.productCoOccurrence,
+          Map("pid" -> SeedPart))),
+      "cypher_rec_same_category" -> ((s, d) =>
+        graft.cypher.CypherLite.query(s, d,
+          graft.cypher.CypherLite.Reference.productSameCategory,
+          Map("pid" -> SeedPart))),
+      "cypher_rec_customer" -> ((s, d) =>
+        graft.cypher.CypherLite.query(s, d,
+          graft.cypher.CypherLite.Reference.customerCoOccurrence,
+          Map("cid" -> SeedCust))),
+      "cypher_rec_customer_category" -> ((s, d) =>
+        graft.cypher.CypherLite.query(s, d,
+          graft.cypher.CypherLite.Reference.customerSameCategory,
+          Map("cid" -> SeedCust))),
       "rec_same_category" -> ((s, d) => Recs.sameCategory(s, d, SeedPart)),
       "rec_customer" -> ((s, d) => Recs.customerRecs(s, d, SeedCust)),
       "rec_customer_category" -> ((s, d) =>
@@ -224,6 +247,10 @@ object RecsRegistry {
       "sql_api_customer_sweep" -> CustomerRecsSweepOracle,
       "sql_api_rec_cooccurrence" -> CoOccurrenceOracle,
       "sql_api_rec_customer" -> CustomerRecsOracle,
+      "cypher_rec_cooccurrence" -> CoOccurrenceOracle,
+      "cypher_rec_customer" -> CustomerRecsOracle,
+      "cypher_rec_same_category" -> SameCategoryOracle,
+      "cypher_rec_customer_category" -> CustomerCategoryOracle,
       "rec_same_category" -> SameCategoryOracle,
       "sql_api_rec_same_category" -> SameCategoryOracle,
       "sql_api_rec_customer_category" -> CustomerCategoryOracle,

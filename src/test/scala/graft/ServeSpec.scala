@@ -68,6 +68,42 @@ class ServeSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("arm=item and arm=rrf serve their oracle rows' top-k, same wire shape") {
+    val server = Serve.start(spark, dir, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      // arm=item: the precomputed shelf filtered to the seed must BE the
+      // response items, byte-for-byte (the item_item_topk registry row's
+      // machinery behind a point filter).
+      val itemExpected = operators.Json.toItemsArray(
+        graph.GraphAlgs.itemItemServing(spark, dir, 1L))
+      assert(itemExpected != "[]", "vacuous: item shelf empty for seed 1")
+      assert(itemExpected.contains(""""reason":"item-item""""))
+      val gotItem = get(port, "/recs?product_id=1&arm=item")
+      assert(gotItem.startsWith(s"""{"items": $itemExpected, "took_ms":"""),
+        s"item arm diverged from the shelf:\n$gotItem\nvs $itemExpected")
+      // arm=rrf: the rec_rrf_fusion tier projected to the wire shape.
+      val rrfExpected = operators.Json.toItemsArray(
+        operators.Recs.rrfServing(spark, dir, 1L))
+      assert(rrfExpected != "[]", "vacuous: rrf empty for seed 1")
+      assert(rrfExpected.contains(""""reason":"rrf_fusion""""))
+      val gotRrf = get(port, "/recs?product_id=1&arm=rrf")
+      assert(gotRrf.startsWith(s"""{"items": $rrfExpected, "took_ms":"""),
+        s"rrf arm diverged from the fusion tier:\n$gotRrf\nvs $rrfExpected")
+      // The two arms rank differently in general; both must keep the
+      // wire shape fields.
+      for (g <- Seq(gotItem, gotRrf))
+        assert(g.contains(""""product_id":""") && g.contains(""""score":"""))
+      // Unknown seed under each arm → the default cascade (200, items
+      // key present), never a 500 or a bare empty when fallback exists.
+      for (arm <- Seq("item", "rrf")) {
+        val unknown = get(port, s"/recs?product_id=999999999&arm=$arm")
+        assert(unknown.contains(""""items": """) &&
+          unknown.contains(""""took_ms":"""), s"arm=$arm unknown seed broke")
+      }
+    } finally server.stop(0)
+  }
+
   test("16 parallel clients get each their own seed's answer — no cross-request bleed") {
     // The reference runs a driver per request (app/main.py's FastAPI +
     // Neo4j session lifecycle); here all requests share ONE SparkSession

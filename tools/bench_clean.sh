@@ -15,9 +15,19 @@
 # Usage: tools/bench_clean.sh [accept_total_seconds]
 #   accept_total_seconds: stop early when a clean run beats this total
 #   (default 160).
+#
+# Round-15 additions (VERDICT r14 item 1a — run EARLY and keep editing):
+#   GRAFT_SNAP_CP=<dir>     run off a snapshotted classpath via
+#                           tools/run_snap.sh so a concurrent
+#                           `sbt compile` can't crash the bench mid-run.
+#   GRAFT_BLESS_COMMIT=<sha> stamp blessed_commit with the commit the
+#                           snapshot was built from, not whatever HEAD
+#                           has advanced to by bless time.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 ACCEPT="${1:-160}"
+RUNNER="tools/run.sh"
+[ -n "${GRAFT_SNAP_CP:-}" ] && RUNNER="tools/run_snap.sh"
 best=999999
 rm -f /tmp/bench_clean_best.json
 for i in 1 2 3 4 5; do
@@ -33,7 +43,7 @@ for i in 1 2 3 4 5; do
   s0=$(awk '/^cpu /{print $9}' /proc/stat); t0=$(date +%s)
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-    tools/run.sh graft.Bench > "/tmp/bench_clean_$i.out" 2>"/tmp/bench_clean_$i.err"
+    "$RUNNER" graft.Bench > "/tmp/bench_clean_$i.out" 2>"/tmp/bench_clean_$i.err"
   rc=$?
   t1=$(date +%s); s1=$(awk '/^cpu /{print $9}' /proc/stat)
   steal=$((s1 - s0)); wall=$((t1 - t0))
@@ -93,13 +103,15 @@ fi
 # artifacts alone. A judge can chain lineage entries to attribute any
 # multi-round creep without a same-host A/B.
 python3 - <<'PYEOF'
-import json, subprocess
+import json, os, subprocess
 new = json.load(open('/tmp/bench_clean_best.json'))
-try:
-    head = subprocess.run(['git', 'rev-parse', 'HEAD'],
-        capture_output=True, text=True).stdout.strip()
-except Exception:
-    head = None
+head = os.environ.get('GRAFT_BLESS_COMMIT') or None
+if not head:
+    try:
+        head = subprocess.run(['git', 'rev-parse', 'HEAD'],
+            capture_output=True, text=True).stdout.strip()
+    except Exception:
+        head = None
 new['blessed_commit'] = head
 prev = None
 try:

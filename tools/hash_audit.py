@@ -23,7 +23,10 @@ import duckdb
 
 def canon(v):
     if isinstance(v, float):
-        return b"f" + struct.pack("<d", v + 0.0)
+        # Pack the value directly: `v + 0.0` would canonicalize -0.0 to
+        # +0.0, hiding a run-to-run sign-of-zero flip — exactly the
+        # class of instability this tool exists to catch (ADVICE r14).
+        return b"f" + struct.pack("<d", v)
     if isinstance(v, bool):
         return b"b1" if v else b"b0"
     if isinstance(v, int):
