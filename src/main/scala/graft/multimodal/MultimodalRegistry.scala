@@ -25,7 +25,8 @@ object MultimodalRegistry {
       "mm_decode_dims" -> ((s, d) => Multimodal.decodeDims(s, d)),
       "mm_frame_counts" -> ((s, d) => Multimodal.frameSampleCounts(s, d)),
       "mm_resize_dims" -> ((s, d) => Multimodal.resizeDims(s, d)),
-      "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d))
+      "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
+      "mm_gif_frames" -> ((s, d) => Multimodal.gifFrameDims(s, d))
     ),
     oracles = Map(
       "mm_payload_stats" ->
@@ -57,6 +58,19 @@ object MultimodalRegistry {
            |SELECT doc_id, kind, w2 AS width,
            |  greatest(1, (n2 + w2 - 1) // w2) AS height
            |FROM d2 ORDER BY doc_id""".stripMargin,
+      // Animated-GIF tier: total frames = ceil(n_px/64) (full 8×8
+      // frames + one partial), dims = the shared ceil-sqrt arithmetic —
+      // the Spark side derives both from a real ImageIO multi-frame
+      // parse of real GIF bytes.
+      "mm_gif_frames" ->
+        s"""WITH $DimsCte,
+           |px AS (SELECT doc_id, kind, w,
+           |         greatest(1, (n + w - 1) // w) AS h,
+           |         w * greatest(1, (n + w - 1) // w) AS n_px FROM dims)
+           |SELECT doc_id, (n_px + 63) // 64 AS n_frames,
+           |  w AS width, h AS height
+           |FROM px WHERE kind = 'video'
+           |ORDER BY doc_id""".stripMargin,
       // The WAV samples are the doc's bytes (ASCII corpus: byte =
       // codepoint) zero-padded to w×h — appended silence contributes a
       // |0−128| = 128 deviation per pad byte, so the real-codec

@@ -3,11 +3,86 @@ package graft
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.Asset
 
-/** The binary plumbing around the stubbed decode boundary: container
-  * roundtrip, malformed-input tolerance, feature extraction, resize
-  * composition, frame sampling. */
+/** The binary plumbing around the real-codec decode boundary
+  * (PNG/WAV/AVI/animated-GIF): container roundtrip, malformed-input
+  * tolerance, feature extraction, resize composition, frame sampling. */
 class MultimodalSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
+
+  test("animated GIFs: real multi-frame container, independent block walk, lossless roundtrip") {
+    val data = ("the animated gif payload also needs more than sixty-four " +
+      "bytes so the container carries several full frames plus one " +
+      "partial tail frame").getBytes("UTF-8")
+    val enc = Multimodal.encodeGif(data)
+    assert(enc.take(6).sameElements("GIF89a".getBytes("US-ASCII")) ||
+      enc.take(6).sameElements("GIF87a".getBytes("US-ASCII")))
+    // Independent container parse — a hand-rolled walk of the GIF block
+    // grammar (logical screen descriptor, global/local color tables,
+    // 0x21 extensions, 0x2C image descriptors, 0x3B trailer), no
+    // ImageIO: the frame count must fall out of the raw bytes.
+    def countImageDescriptors(b: Array[Byte]): Int = {
+      var p = 13 // header (6) + logical screen descriptor (7)
+      val gflags = b(10) & 0xFF
+      if ((gflags & 0x80) != 0) p += 3 * (2 << (gflags & 7))
+      var count = 0
+      var done = false
+      def skipSubBlocks(): Unit = {
+        var n = b(p) & 0xFF
+        while (n != 0) { p += 1 + n; n = b(p) & 0xFF }
+        p += 1
+      }
+      while (!done && p < b.length) {
+        (b(p) & 0xFF) match {
+          case 0x3B => done = true
+          case 0x21 => p += 2; skipSubBlocks()
+          case 0x2C =>
+            count += 1
+            val lflags = b(p + 9) & 0xFF
+            p += 10
+            if ((lflags & 0x80) != 0) p += 3 * (2 << (lflags & 7))
+            p += 1 // LZW minimum code size
+            skipSubBlocks()
+          case other => fail(f"unknown GIF block 0x$other%02x at $p")
+        }
+      }
+      assert(done, "no GIF trailer (0x3B) found")
+      count
+    }
+    val (w, h) = Multimodal.dimsFor(data.length)
+    val expFrames = (w * h + 63) / 64
+    assert(countImageDescriptors(enc) == expFrames)
+    // The decode boundary dispatches on the GIF magic and is lossless:
+    // concatenated frame rasters reproduce the padded body exactly.
+    val Some((kind, dw, dh, body)) = Multimodal.decodePayload(enc)
+    assert(kind == "video")
+    assert((dw, dh) == (w, h))
+    assert(body.take(data.length).sameElements(data))
+    assert(body.drop(data.length).forall(_ == 0))
+    // All 256 sample values survive the palette round-trip (the
+    // lossless claim, not just on ASCII text).
+    val all = Array.tabulate(256)(_.toByte)
+    val Some((_, _, _, allBody)) =
+      Multimodal.decodePayload(Multimodal.encodeGif(all))
+    assert(allBody.take(256).sameElements(all))
+    // Corrupt containers degrade to None, never a throw.
+    assert(Multimodal.decodePayload(enc.take(enc.length / 2)).isEmpty)
+    assert(Multimodal.decodePayload(enc.take(13)).isEmpty)
+    assert(Multimodal.decodePayload(
+      "GIF89a then garbage that is not a screen descriptor"
+        .getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("mm_gif_frames: the registry row reads real GIF bytes end to end") {
+    val df = Multimodal.gifFrameDims(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // Every video-kind doc appears, each with ≥1 frame and dims
+    // consistent with the frame count (frames = ceil(w·h/64)).
+    rows.foreach { r =>
+      val (n, w, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && n == (w * h + 63) / 64, r.toString)
+    }
+  }
 
   test("video assets are real AVIs: RIFF container, PNG frames, lossless roundtrip") {
     val data = ("the multimodal video payload needs more than sixty-four " +
