@@ -165,7 +165,21 @@ object Dedup {
     }
 
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
-                            threshold: Double, anyHuge: Boolean): DataFrame = {
+                            threshold: Double, anyHuge: Boolean): DataFrame =
+    verifyJaccardScores(sh, candidates, anyHuge)
+      .filter(col("jacc") >= threshold)
+      .select("d1", "d2", "jacc")
+      .orderBy("d1", "d2")
+
+  /** The exact-verify core of [[verifyJaccard]] WITHOUT the threshold
+    * filter or boundary sort: every LSH candidate pair with its exact
+    * Jaccard. Split out so the full-corpus pipeline can materialize ONE
+    * threshold-free score relation ([[minhashCandidateScores]]) that
+    * every consumer threshold filters — the filter commutes with
+    * everything here (jacc is a pure function of the pair), so
+    * filter-after-materialize emits bit-identical rows. */
+  private def verifyJaccardScores(sh: DataFrame, candidates: DataFrame,
+                                  anyHuge: Boolean): DataFrame = {
     val participants = candidates.select(col("d1").as("doc_id"))
       .unionAll(candidates.select(col("d2").as("doc_id"))).distinct()
     val shp = sh.join(participants, Seq("doc_id"), "left_semi")
@@ -260,9 +274,7 @@ object Dedup {
       // DuckDB, unlike round() whose half-rule differs between engines.
       .withColumn("jacc", col("c").cast("double") /
         (col("n1") + col("n2") - col("c")))
-      .filter(col("jacc") >= threshold)
       .select("d1", "d2", "jacc")
-      .orderBy("d1", "d2")
   }
 
   /** n-gram Jaccard near-dup pairs in ONE df-bounded pass: self-join the
@@ -359,7 +371,7 @@ object Dedup {
                      thresholds: Seq[Double] = SweepThresholds)
       : DataFrame = {
     val ts = thresholds.sorted
-    val base = minhashLshPairs(spark, dir, ts.min)
+    val base = minhashPairsUnsorted(spark, dir, ts.min)
     // Single-pass doubling via explode, NOT a self-unionAll: union
     // branches are separate subtrees, and with the verify's joins
     // broadcast there is no reusable exchange between them — a union
@@ -420,20 +432,50 @@ object Dedup {
         col("bk.key").as("key"))
   }
 
+  /** Every full-corpus LSH candidate pair with its exact Jaccard — NO
+    * threshold — memoized + persisted per dir (the srp-pairs convention
+    * in [[graft.similarity.Similarity]], which this tier lacked): the
+    * audit probe, the lsh/cross-source/near-contamination rows and the
+    * threshold sweep each re-executed the whole candidates+verify
+    * pipeline otherwise (r15 job profile: 58 jobs in the audit's
+    * dedup_minhash chain alone). One threshold-free relation serves all
+    * of them — including the sweep's lower 0.7 bound — because the
+    * threshold is a pure filter over these rows. Size is LSH-candidate-
+    * bounded (dup-mass-linear, never n²), the same posture the persisted
+    * signature relation already holds at 100 TB. */
+  private[graft] def minhashCandidateScores(spark: SparkSession,
+                                            dir: String): DataFrame =
+    graft.Memo.get(spark, "dedup-minhash-cand", dir) {
+      val sh = shingles(spark, dir)
+      val buckets = bandBuckets(minhashSignatures(spark, dir))
+      val candidates = buckets
+        .select(col("doc_id").as("d1"), col("band"), col("key"))
+        .join(buckets.select(col("doc_id").as("d2"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      verifyJaccardScores(sh, candidates,
+        anyHuge = maxDocShingles(spark, dir) > verifyShingleArrayCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Banded LSH candidates + exact verify. Band key = md5 of its rows'
-    * concatenated mins; docs sharing any band bucket become candidates. */
+    * concatenated mins; docs sharing any band bucket become candidates.
+    * A threshold filter over the one memoized score relation — row-for-
+    * row identical to the old inline pipeline (the filter commutes with
+    * the verify; same doubles, same order). */
   def minhashLshPairs(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(spark, dir)
-    val buckets = bandBuckets(minhashSignatures(spark, dir))
-    val candidates = buckets.select(col("doc_id").as("d1"), col("band"), col("key"))
-      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    verifyJaccard(sh, candidates, threshold,
-      anyHuge = maxDocShingles(spark, dir) > verifyShingleArrayCap)
-  }
+                      threshold: Double = 0.8): DataFrame =
+    minhashPairsUnsorted(spark, dir, threshold).orderBy("d1", "d2")
+
+  /** [[minhashLshPairs]] without the boundary sort — for internal
+    * consumers (joins, aggregations, propagation inits) where a global
+    * orderBy is a wasted range exchange. */
+  private def minhashPairsUnsorted(spark: SparkSession, dir: String,
+                                   threshold: Double): DataFrame =
+    minhashCandidateScores(spark, dir)
+      .filter(col("jacc") >= threshold)
+      .select("d1", "d2", "jacc")
 
   /** Cross-source near-duplicate matrix: where duplication comes FROM —
     * MinHash-verified near-dup pairs attributed to their (source_a,
@@ -447,7 +489,7 @@ object Dedup {
                         threshold: Double = 0.8): DataFrame = {
     val src = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
-    minhashLshPairs(spark, dir, threshold)
+    minhashPairsUnsorted(spark, dir, threshold)
       .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
       .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
       .select(least(col("s1"), col("s2")).as("source_a"),
@@ -474,7 +516,7 @@ object Dedup {
     val ids = benchmarkIds.map(java.lang.Long.valueOf)
     val b1 = col("d1").isin(ids: _*)
     val b2 = col("d2").isin(ids: _*)
-    minhashLshPairs(spark, dir, threshold)
+    minhashPairsUnsorted(spark, dir, threshold)
       .filter(b1 =!= b2)
       .select(
         when(b1, col("d2")).otherwise(col("d1")).as("doc_id"),
@@ -554,7 +596,8 @@ object Dedup {
                                        rounds: Int = ClusterRounds): DataFrame =
     graft.Memo.get(spark, "dedup-minhash-comp", (dir, threshold, rounds)) {
       graft.graph.GraphAlgs.pairComponents(
-        minhashLshPairs(spark, dir, threshold).select("d1", "d2"), rounds)
+        minhashPairsUnsorted(spark, dir, threshold).select("d1", "d2"),
+        rounds)
     }
 
   /** Propagation horizon of the MinHash cluster tier — shared by the
@@ -570,7 +613,7 @@ object Dedup {
       rounds: Int = ClusterRounds): Boolean =
     graft.graph.GraphAlgs.pairComponentsConvergedWithin(spark,
       ("minhash", dir, threshold, rounds),
-      minhashLshPairs(spark, dir, threshold).select("d1", "d2"),
+      minhashPairsUnsorted(spark, dir, threshold).select("d1", "d2"),
       minhashComponents(spark, dir, threshold, rounds))
 
   def minhashClusters(spark: SparkSession, dir: String,

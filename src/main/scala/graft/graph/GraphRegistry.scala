@@ -56,6 +56,11 @@ object GraphRegistry {
     try {
       val fs = probes.map { case (fam, horizon, probe) =>
         Future {
+          // Label the family's jobs (guide-standard setJobDescription,
+          // thread-local so concurrent probes don't cross-tag): the
+          // audit is the bench's largest row and its five chains are
+          // indistinguishable in job-level profiles without this.
+          s.sparkContext.setJobDescription(s"audit:$fam")
           // Per-family wall (VERDICT r12 item 7): at ~17 s this row is
           // the bench's largest and aggregates four families' first-pay —
           // a regression in one family hides inside the lump (r11's
