@@ -1047,11 +1047,29 @@ object GraphAlgs {
     val coPart = stateCoPartitioned(spark, dir)
     val und = undirectedEdges(spark, dir, bySrc = coPart)
       .filter(!col("self")).select("src", "dst")
-    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    // By symmetry of the und relation, degree-by-dst ≡ degree-by-src
+    // (every edge appears in both orientations), so group on whichever
+    // key the memoized layout is already partitioned by — the groupBy
+    // then reuses the exchange (guide §2.4) instead of re-shuffling the
+    // |E| relation (r15: this groupBy was the row's remaining 24 MB
+    // shuffle; the dst-layout partial agg emitted |partitions|×|V|
+    // combine rows).
+    val deg =
+      if (coPart) und.groupBy("src").agg(count(lit(1)).as("d"))
+      else und.groupBy("dst").agg(count(lit(1)).as("d"))
+        .select(col("dst").as("src"), col("d"))
     val dec = "decimal(38,0)"
+    // The degree relation is |V|-bounded state: under the broadcast gate
+    // ship it to both joins instead of shuffling the |E| edge relation
+    // twice (r15 measurement: these two joins were the registry's
+    // largest shuffle, 70 MB at sf0.1, for a 3 MB degree side the
+    // estimator refused to broadcast). Over the gate the joins stay
+    // keyed — the same exact-count policy every propagation loop uses.
+    def side(df: DataFrame): DataFrame =
+      if (coPart) df.hint("merge") else broadcast(df)
     val p = und
-      .join(deg.select(col("src"), col("d").as("dx")), "src")
-      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      .join(side(deg.select(col("src"), col("d").as("dx"))), "src")
+      .join(side(deg.select(col("src").as("dst"), col("d").as("dy"))), "dst")
     val s = p.agg(count(lit(1)).as("m"),
       sum(col("dx").cast(dec)).as("sx"),
       sum(col("dy").cast(dec)).as("sy"),
