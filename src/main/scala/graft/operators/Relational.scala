@@ -332,22 +332,38 @@ object Relational {
     * (skip-listed in PlanAuditSpec like the float audit). */
   def sketchAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ad = approxDistinct(spark, dir).head()
-    val hllOk = math.abs(ad.getLong(0).toDouble - ad.getLong(1)) <=
-      0.05 * ad.getLong(1)
-    val aq = approxQuantiles(spark, dir).head()
-    val am = aq.getDouble(0)
-    val fr = Tables.load(spark, dir, "orders").agg(
-      count(when(col("o_totalprice") < am, 1)).as("lt"),
-      count(when(col("o_totalprice") <= am, 1)).as("le"),
-      count(lit(1)).as("n")).head()
-    val (lt, le, n) = (fr.getLong(0), fr.getLong(1), fr.getLong(2))
-    val rankEps = 1.0 / 10000
-    val qOk = lt.toDouble / n <= 0.5 + rankEps &&
-      le.toDouble / n >= 0.5 - rankEps
-    val cmsOk = graft.text.TextAnalysis.cmsAuditOk(spark, dir)
-    Seq(("cms", cmsOk), ("hll", hllOk), ("quantiles", qOk))
-      .toDF("family", "agrees").orderBy("family")
+    // The three family checks are independent job chains none of which
+    // saturates the executor pool — run them concurrently (the
+    // convergence_audit pattern) so the row's wall is the slowest
+    // family, not the sum (r15: 23 sequential jobs, ~2.3 s → max-chain).
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val hllF = Future {
+        val ad = approxDistinct(spark, dir).head()
+        math.abs(ad.getLong(0).toDouble - ad.getLong(1)) <=
+          0.05 * ad.getLong(1)
+      }
+      val qF = Future {
+        val aq = approxQuantiles(spark, dir).head()
+        val am = aq.getDouble(0)
+        val fr = Tables.load(spark, dir, "orders").agg(
+          count(when(col("o_totalprice") < am, 1)).as("lt"),
+          count(when(col("o_totalprice") <= am, 1)).as("le"),
+          count(lit(1)).as("n")).head()
+        val (lt, le, n) = (fr.getLong(0), fr.getLong(1), fr.getLong(2))
+        val rankEps = 1.0 / 10000
+        lt.toDouble / n <= 0.5 + rankEps &&
+          le.toDouble / n >= 0.5 - rankEps
+      }
+      val cmsF = Future { graft.text.TextAnalysis.cmsAuditOk(spark, dir) }
+      val (hllOk, qOk, cmsOk) = Await.result(
+        hllF.zip(qF).zip(cmsF).map { case ((h, q), c) => (h, q, c) },
+        scala.concurrent.duration.Duration(30, "min"))
+      Seq(("cms", cmsOk), ("hll", hllOk), ("quantiles", qOk))
+        .toDF("family", "agrees").orderBy("family")
+    } finally pool.shutdown()
   }
 
   /** Exact WHOLE-TABLE quantiles (p50/p90/p99 of order totals) with no
