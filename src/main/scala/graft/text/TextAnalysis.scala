@@ -729,10 +729,26 @@ object TextAnalysis {
     * lookup is a bigram-keyed join (no driver-side model), and the
     * per-doc fold is doc-length-bounded. */
   def lmLikelihood(spark: SparkSession, dir: String): DataFrame =
-    lmLikelihoodOf(Tables.load(spark, dir, "documents"))
+    lmPerDoc(spark, dir).orderBy("doc_id")
+
+  /** The per-doc LM-likelihood relation, memoized + persisted per dir:
+    * three registry rows (the likelihood row itself, the quality-LM
+    * agreement and the reliability curve) each rebuilt the bigram LM —
+    * two vocab aggregations + a bigram-keyed join — from scratch (r15,
+    * ~1.4 s each). One row per document (narrow), the same persistence
+    * posture as the dedup shingle index; the boundary sort stays on the
+    * registry row. */
+  private[text] def lmPerDoc(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "text-lm-perdoc", dir) {
+      lmLikelihoodCore(Tables.load(spark, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Core over any frame with doc_id + text columns — fixture entry. */
-  def lmLikelihoodOf(docs: DataFrame): DataFrame = {
+  def lmLikelihoodOf(docs: DataFrame): DataFrame =
+    lmLikelihoodCore(docs).orderBy("doc_id")
+
+  private def lmLikelihoodCore(docs: DataFrame): DataFrame = {
     val bi = docs.select(col("doc_id"), tokens.as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), explode(zip_with(
@@ -753,7 +769,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (col("sum_p") / col("n_bigrams")).as("mean_pcond"),
         col("min_pcond"))
-      .orderBy("doc_id")
   }
 
   /** Boilerplate-prefix detection: the header/template detector — group
@@ -930,7 +945,7 @@ object TextAnalysis {
       aggregate(sort_array(c), lit(0.0), (s, x) => s + x)
     val xy = qualityScore(spark, dir).select(col("doc_id"),
         col("quality").as("x"))
-      .join(lmLikelihood(spark, dir).select(col("doc_id"),
+      .join(lmPerDoc(spark, dir).select(col("doc_id"),
         col("mean_pcond").as("y")), "doc_id")
     val lvl = xy
       .groupBy(shiftright(col("doc_id"), 10).as("chunk"))
@@ -967,7 +982,7 @@ object TextAnalysis {
       aggregate(sort_array(collect_list(c)), lit(0.0), (s, x) => s + x)
     val q6 = qualityScore(spark, dir).select(col("doc_id"),
       round(col("quality") * lit(1000000.0)).cast("long").as("q6"))
-    val lm = lmLikelihood(spark, dir).select("doc_id", "mean_pcond")
+    val lm = lmPerDoc(spark, dir).select("doc_id", "mean_pcond")
     val leaves = q6.join(lm, "doc_id")
       .groupBy(least(expr("q6 div 100000"), lit(9L)).as("quality_decile"),
         shiftright(col("doc_id"), 10).as("chunk"))
