@@ -23,6 +23,7 @@ object DedupProbe {
       println(f"[probe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    t("shingle-arrays")(graft.dedup.Dedup.shingleArrays(spark, dir).count())
     t("shingles")(graft.dedup.Dedup.shingles(spark, dir).count())
     t("signatures")(graft.dedup.Dedup.minhashSignatures(spark, dir).count())
     t("cand+verify")(

@@ -39,35 +39,43 @@ object Dedup {
   val NumHashes = 16
   val Bands = 8
 
-  /** doc_id → distinct ShingleN-gram shingles (one row per (doc, shingle)).
+  /** doc_id → its distinct-shingle ARRAY, built entirely IN-ROW
+    * (transform + array_distinct over the doc's own token array): ZERO
+    * exchanges — the r15 shape exploded to (doc, shingle) rows, paid a
+    * corpus-wide distinct() shuffle plus a doc_id repartition, and then
+    * re-aggregated per doc THREE separate ways downstream (the 16-way
+    * md5-min signature groupBy, the verify's collect_list set build, the
+    * max-shingles count agg). Each of those is now a per-row expression
+    * over this one relation (guide §2.4 remove shuffles outright / §4
+    * codegen-friendly built-ins). Memory posture: a doc's array is
+    * bounded by ~3× its own text column — the same row that already
+    * flows through the scan — unlike the old cross-row collect_list
+    * whose aggregation buffers crossed a shuffle; the per-PAIR
+    * duplication hazard in verify keeps its huge-doc split unchanged.
     * Persisted + memoized per (session, dir): every near-dup pipeline
-    * references it 3-4× (candidate generation + both sides of
-    * verification), and repeated invocations in a long-lived session must
-    * share ONE cached plan, not stack identical persists. At 100 TB this
-    * is the "shingle index" table you'd materialize to storage once per
-    * corpus. */
-  def shingles(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.get(spark, "dedup-shingles", dir) {
-      val n = spark.sessionState.conf.numShufflePartitions
+    * references it 3-4×. At 100 TB this is the "shingle index" table
+    * you'd materialize to storage once per corpus. */
+  def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "dedup-shingle-arrays", dir) {
       Tables.spread(spark, Tables.load(spark, dir, "documents"))
         .withColumn("toks", TextAnalysis.tokens)
         .filter(size(col("toks")) >= ShingleN)
-        .select(col("doc_id"), explode(
+        .select(col("doc_id"), array_distinct(
           transform(sequence(lit(0), size(col("toks")) - ShingleN),
             i => concat_ws(" ", (0 until ShingleN).map(j => element_at(col("toks"), i + j + 1)): _*)))
-          .as("s"))
-        .distinct()
-        // Stored co-located by doc: the signature aggregation's 128
-        // md5-min columns then combine FULLY map-side (one 4 KB row per
-        // doc, total |docs|). Left on the distinct()'s (doc_id, s) hash
-        // layout, every doc appears in nearly every partition and the
-        // "partial" aggregate emits |partitions|×|docs| 4 KB rows — at
-        // the 100× slice that was ~50 GB of spill for an output whose
-        // true size is 2 GB. One extra raw-shingle exchange here (narrow
-        // rows, the cheap side) buys that combine for every downstream
-        // per-doc aggregation.
-        .repartition(n, col("doc_id"))
+          .as("ss"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** doc_id → distinct shingles, one row per (doc, shingle) — now a pure
+    * explode VIEW over the persisted [[shingleArrays]] (same rows: the
+    * array is exactly the doc's distinct shingle set). Only the inverted-
+    * index pass ([[ngramPairStats]]) still needs the exploded shape; it
+    * re-explodes from the columnar cache, which costs no shuffle. */
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.get(spark, "dedup-shingles", dir) {
+      shingleArrays(spark, dir)
+        .select(col("doc_id"), explode(col("ss")).as("s"))
     }
 
   /** Exact dedup: md5-groupBy, representative = min doc_id (deterministic
@@ -160,13 +168,15 @@ object Dedup {
     * cap" proves no verify call can ever meet a huge doc. */
   private[graft] def maxDocShingles(spark: SparkSession, dir: String): Long =
     graft.Memo.get(spark, "dedup-max-shingles", dir) {
-      shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
+      // size() of the per-doc distinct array ≡ the old per-doc count of
+      // exploded distinct rows; no groupBy needed over the array layout.
+      shingleArrays(spark, dir)
+        .agg(max(size(col("ss"))).cast("long")).head().getLong(0)
     }
 
-  private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
+  private def verifyJaccard(shArr: DataFrame, candidates: DataFrame,
                             threshold: Double, anyHuge: Boolean): DataFrame =
-    verifyJaccardScores(sh, candidates, anyHuge)
+    verifyJaccardScores(shArr, candidates, anyHuge)
       .filter(col("jacc") >= threshold)
       .select("d1", "d2", "jacc")
       .orderBy("d1", "d2")
@@ -178,11 +188,11 @@ object Dedup {
     * every consumer threshold filters — the filter commutes with
     * everything here (jacc is a pure function of the pair), so
     * filter-after-materialize emits bit-identical rows. */
-  private def verifyJaccardScores(sh: DataFrame, candidates: DataFrame,
+  private def verifyJaccardScores(shArr: DataFrame, candidates: DataFrame,
                                   anyHuge: Boolean): DataFrame = {
     val participants = candidates.select(col("d1").as("doc_id"))
       .unionAll(candidates.select(col("d2").as("doc_id"))).distinct()
-    val shp = sh.join(participants, Seq("doc_id"), "left_semi")
+    val shp = shArr.join(participants, Seq("doc_id"), "left_semi")
     // One ARRAY row per participant doc, intersected per pair — never
     // the (pair × shingle) expansion: candidates are dup-mass-linear
     // but each carries ~|shingle set| rows through two joins, and the
@@ -206,7 +216,12 @@ object Dedup {
     // [[maxDocShingles]]) actually exceeds the cap; every real corpus
     // (max ~10² vs cap 2¹⁶) takes the pure array plan below.
     val counted = if (!anyHuge) {
-      val docSets = shp.groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
+      // The per-doc set arrays are the persisted relation's own rows now —
+      // the r15 shape rebuilt them per verify via a collect_list groupBy
+      // (one more exchange + per-group array build). array_intersect/size
+      // are order-insensitive over distinct elements, so c/n1/n2 — and
+      // the jacc double — are bit-identical to the aggregated form.
+      val docSets = shp
       candidates
         .join(docSets.select(col("doc_id").as("d1"), col("ss").as("ss1")),
           "d1")
@@ -218,13 +233,14 @@ object Dedup {
           size(col("ss1")).cast("long").as("n1"),
           size(col("ss2")).cast("long").as("n2"))
     } else {
-      // Exact per-doc set sizes first (a count agg builds no arrays) —
-      // they gate the huge-doc split and serve as n1/n2 on the row path.
-      val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Exact per-doc set sizes first (size() of the stored array — no
+      // aggregation) — they gate the huge-doc split and serve as n1/n2
+      // on the row path.
+      val sizes = shp.select(col("doc_id"),
+        size(col("ss")).cast("long").as("n"))
       val hugeIds = sizes.filter(col("n") > verifyShingleArrayCap)
         .select("doc_id")
       val docSets = shp.join(hugeIds, Seq("doc_id"), "left_anti")
-        .groupBy("doc_id").agg(collect_list(col("s")).as("ss"))
       val arrayPairs = candidates
         .join(hugeIds.select(col("doc_id").as("d1")), Seq("d1"), "left_anti")
         .join(hugeIds.select(col("doc_id").as("d2")), Seq("d2"), "left_anti")
@@ -254,9 +270,10 @@ object Dedup {
             "left_semi")
           .select("d1", "d2"))
         .distinct()
-      val rowCounted = shp.select(col("doc_id").as("d1"), col("s"))
+      val shpRows = shp.select(col("doc_id"), explode(col("ss")).as("s"))
+      val rowCounted = shpRows.select(col("doc_id").as("d1"), col("s"))
         .join(hugePairs.select("d1", "d2"), Seq("d1"))
-        .join(shp.select(col("doc_id").as("d2"), col("s")),
+        .join(shpRows.select(col("doc_id").as("d2"), col("s")),
           Seq("d2", "s"), "left_semi")
         .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
         // right join keeps zero-intersection huge pairs (c = 0) so a
@@ -302,7 +319,22 @@ object Dedup {
     * (two full shingle self-joins per bench run; r15). Both consumers'
     * filters commute with everything here, so their rows are
     * bit-identical. Size is df-capped-candidate-bounded, the documented
-    * 100 TB posture of this pass. */
+    * 100 TB posture of this pass.
+    *
+    * Retention (r15 advice #1, applies equally to
+    * [[minhashCandidateScores]]): these threshold-free candidate
+    * relations persist MEMORY_AND_DISK for the SparkContext lifetime —
+    * graft.Memo's only eviction is context stop. Under adversarial dup
+    * mass the persisted footprint exceeds any one consumer's filtered
+    * output; the bound is the df-capped candidate count (≤ DfCap ×
+    * |index| pairs here, LSH-band collisions there), which is the same
+    * bound the COMPUTE of every consumer already pays, so persisting
+    * never makes an intractable corpus tractable-looking — it only
+    * moves where the pairs live. MEMORY_AND_DISK (not DISK_ONLY)
+    * because the block manager spills to disk by itself under memory
+    * pressure; a long-lived multi-corpus service would key eviction on
+    * dir-LRU, which Memo deliberately does not implement for the
+    * single-dir bench/verify lifecycle. */
   private[graft] def ngramPairStats(spark: SparkSession,
                                     dir: String): DataFrame =
     graft.Memo.get(spark, "dedup-ngram-stats", dir) {
@@ -314,7 +346,10 @@ object Dedup {
         .join(joinable.select(col("doc_id").as("d2"), col("s")), "s")
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Per-doc sizes read off the stored arrays (≡ the old exploded
+      // count agg) — one less corpus-wide groupBy.
+      val sizes = shingleArrays(spark, dir).select(col("doc_id"),
+        size(col("ss")).cast("long").as("n"))
       common
         .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
@@ -413,9 +448,17 @@ object Dedup {
     * Memoized like shingles (same repeated-invocation argument). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.get(spark, "dedup-minhash-sig", dir) {
+      // Per-ROW min-hash kernel: array_min over the doc's own shingle
+      // array — the r15 shape was a corpus-wide 16-column md5-min groupBy
+      // over the exploded relation (an exchange + wide agg buffers).
+      // min-aggregate over a group ≡ array_min over the array holding
+      // exactly that group's (distinct, non-null) values, so every h_i is
+      // bit-identical. Same md5 count per shingle either way (§4:
+      // codegen-friendly expressions, no shuffle).
       val mins = (0 until NumHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-      shingles(spark, dir).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        array_min(transform(col("ss"),
+          s => md5(concat(lit(s"$i|"), s)))).as(s"h$i"))
+      shingleArrays(spark, dir).select(col("doc_id") +: mins: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -447,7 +490,7 @@ object Dedup {
   private[graft] def minhashCandidateScores(spark: SparkSession,
                                             dir: String): DataFrame =
     graft.Memo.get(spark, "dedup-minhash-cand", dir) {
-      val sh = shingles(spark, dir)
+      val sh = shingleArrays(spark, dir)
       val buckets = bandBuckets(minhashSignatures(spark, dir))
       val candidates = buckets
         .select(col("doc_id").as("d1"), col("band"), col("key"))
@@ -563,7 +606,7 @@ object Dedup {
         .select(col("doc_id").as("d1"), col("band"), col("key")),
         Seq("band", "key"))
       .select("d1", "d2").distinct()
-    val nearIds = verifyJaccard(shingles(spark, dir), cand, threshold,
+    val nearIds = verifyJaccard(shingleArrays(spark, dir), cand, threshold,
         anyHuge = maxDocShingles(spark, dir) > verifyShingleArrayCap)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("nr", lit(1))

@@ -612,11 +612,17 @@ object GraphAlgs {
           .otherwise(col("p1")).as("dst"))
     val adj = e.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("ns"))
-    e.join(adj.select(col("src").as("a0"), col("ns").as("out_a")),
-        col("src") === col("a0"))
+    // The oriented edge set IS adj exploded — (a, out_a, b) per element —
+    // so attaching out(a) needs no join at all: the r15 shape joined e
+    // back to adj twice (src and dst keyed), paying an exchange of e per
+    // join; exploding adj yields exactly the same (a, b) multiset (ns
+    // collects each oriented edge's dst once — pairs are distinct) with
+    // out_a already in the row. One keyed join (out_b) remains (§2.4).
+    adj.select(col("src").as("a"), col("ns").as("out_a"),
+        explode(col("ns")).as("b"))
       .join(adj.select(col("src").as("b0"), col("ns").as("out_b")),
-        col("dst") === col("b0"))
-      .select(col("src").as("a"), col("dst").as("b"),
+        col("b") === col("b0"))
+      .select(col("a"), col("b"),
         explode(array_intersect(col("out_a"), col("out_b"))).as("c"))
   }
 

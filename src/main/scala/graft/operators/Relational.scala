@@ -339,13 +339,24 @@ object Relational {
     import scala.concurrent.{Await, Future, ExecutionContext}
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Every family runs under one cancellable job group (thread-local,
+    // so each pool thread tags its own jobs): pool.shutdown() alone
+    // would leave in-flight job chains running detached on an Await
+    // timeout or a fast-failing sibling, competing with whatever query
+    // runs next (r15 advice #3).
+    val jobGroup = "sketch-audit"
+    def grouped[T](body: => T): Future[T] = Future {
+      spark.sparkContext.setJobGroup(jobGroup, "sketch_audit family",
+        interruptOnCancel = true)
+      body
+    }
     try {
-      val hllF = Future {
+      val hllF = grouped {
         val ad = approxDistinct(spark, dir).head()
         math.abs(ad.getLong(0).toDouble - ad.getLong(1)) <=
           0.05 * ad.getLong(1)
       }
-      val qF = Future {
+      val qF = grouped {
         val aq = approxQuantiles(spark, dir).head()
         val am = aq.getDouble(0)
         val fr = Tables.load(spark, dir, "orders").agg(
@@ -357,10 +368,15 @@ object Relational {
         lt.toDouble / n <= 0.5 + rankEps &&
           le.toDouble / n >= 0.5 - rankEps
       }
-      val cmsF = Future { graft.text.TextAnalysis.cmsAuditOk(spark, dir) }
-      val (hllOk, qOk, cmsOk) = Await.result(
-        hllF.zip(qF).zip(cmsF).map { case ((h, q), c) => (h, q, c) },
-        scala.concurrent.duration.Duration(30, "min"))
+      val cmsF = grouped { graft.text.TextAnalysis.cmsAuditOk(spark, dir) }
+      val (hllOk, qOk, cmsOk) =
+        try Await.result(
+          hllF.zip(qF).zip(cmsF).map { case ((h, q), c) => (h, q, c) },
+          scala.concurrent.duration.Duration(30, "min"))
+        catch { case t: Throwable =>
+          spark.sparkContext.cancelJobGroup(jobGroup)
+          throw t
+        }
       Seq(("cms", cmsOk), ("hll", hllOk), ("quantiles", qOk))
         .toDF("family", "agrees").orderBy("family")
     } finally pool.shutdown()

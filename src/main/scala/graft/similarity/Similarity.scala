@@ -917,7 +917,15 @@ object Similarity {
     // same 0.0 seed — only the container changed (per-dim columns →
     // positions of one array), so the oracle twin stays byte-identical.
     // Per-dim extract + sorted fold over a collected list-of-arrays, as
-    // one array-valued expression.
+    // one array-valued expression. Stricter failure mode than the old
+    // per-dim collect_list (r15 advice #2): collect_list silently
+    // dropped null ELEMENTS, so a malformed/short embedding excluded
+    // only itself; element_at past an array's end yields null and a
+    // null poisons its chunk's fold (the whole result goes NaN/null —
+    // loudly wrong, not quietly wrong). Acceptable because the
+    // embeddings fixture is 64-dim non-null by construction (emb()
+    // materializes fixed-width arrays); a lossy-input corpus would
+    // need a size(e)=64 AND !array_contains-null gate before the loop.
     def perDimFolds(lst: Column): Column =
       transform(sequence(lit(1), lit(dim)), d =>
         aggregate(sort_array(transform(lst, a => element_at(a, d))),
