@@ -47,20 +47,25 @@ object Layout {
     * co-partitioned (over-the-gate) path materializes every round: the
     * next round's exchange-free sort-merge join hangs on the pinned
     * layout, and at 10⁹-vertex state the plan must stay shallow. The
-    * broadcast path materializes every SECOND round instead: each
-    * round's state broadcast already forces execution of the short lazy
-    * segment behind it, so the odd round's eager localCheckpoint was a
-    * pure extra materialization job (~0.3–0.4 s at bench scale —
-    * measured on the shared 10-round rank loop at sf0.1: 5.8 s with
-    * per-round checkpoints → 3.4 s with K=2; RankProbe). A FULLY lazy
-    * chain does not help (measured 5.9 s: every round still pays its
-    * blocking broadcast collect, and the plan just gets deeper), so K=2
-    * is the floor. The final round is always materialized — consumers
-    * fan out over it. Bit parity is untouched: segmentation only moves
-    * materialization boundaries, never the computation or its order. */
+    * broadcast path checkpoints every round but LAZILY
+    * (localCheckpoint(eager = false)): the plan is truncated to a
+    * LogicalRDD at call time — every round's plan is depth-1, shallower
+    * than the old K=2 cadence's odd rounds — while the materialization
+    * rides INSIDE the job the next round's state broadcast already
+    * runs, so no round pays a separate checkpoint job. History of this
+    * knob (all at sf0.1 on the shared 10-round rank loop): eager every
+    * round 5.8 s; eager K=2 3.4 s; FULLY lazy (no truncation) 5.9 s —
+    * the lazy chain re-planned the whole history each round. Lazy
+    * per-round checkpointing is the missing quadrant: K=2's job count
+    * minus its materialization jobs, with none of the no-truncation
+    * re-planning (r16 ChainProfile: jobs/round down, see
+    * OPTIMIZATION_r16.md). The final round is always materialized
+    * eagerly — consumers fan out over it. Bit parity is untouched:
+    * segmentation only moves materialization boundaries, never the
+    * computation or its order. */
   def roundCheckpoint(df: DataFrame, preserveLayout: Boolean,
                       round: Int, last: Boolean): DataFrame =
     if (preserveLayout) checkpoint(df)
-    else if (last || round % 2 == 0) df.localCheckpoint(true)
-    else df
+    else if (last) df.localCheckpoint(true)
+    else df.localCheckpoint(false)
 }

@@ -206,8 +206,8 @@ object GraphAlgs {
     * its state on src, folds on dst). The self rows are what let a
     * min-label round fold least(own, min(nbrs)) in ONE keyed
     * aggregation with the label state referenced ONCE — a round that
-    * also left-joins the previous state re-executes a lazy round twice
-    * under the K=2 checkpoint policy ([[graft.Layout.roundCheckpoint]]).
+    * also left-joins the previous state would execute a not-yet-
+    * materialized lazy checkpoint twice ([[graft.Layout.roundCheckpoint]]).
     * Isolated nodes surface through their self row (the old
     * formulation's left join carried them). */
   private def undirectedEdges(spark: SparkSession, dir: String,
@@ -683,13 +683,23 @@ object GraphAlgs {
       val pairs = coPurchasePairs(spark, dir)
       var alive = coPurchaseDegrees(spark, dir).select("p")
         .localCheckpoint(true)
+      // One job per round (r16, §2.6 fewer sync points): the checkpoint
+      // is lazy — the convergence count is the job that materializes it
+      // — and the previous round's count carries forward instead of
+      // re-counting the cached frame. Survivor sets only shrink, so
+      // equal counts ⟺ identical sets (the pre-existing probe logic).
+      var nAlive = -1L
       var r = 0
       var converged = false
       while (r < rounds && !converged) {
         r += 1
-        val next = kCorePeelStep(pairs, alive, k).localCheckpoint(true)
-        if (r < rounds)
-          converged = next.count() == alive.count()
+        val next = kCorePeelStep(pairs, alive, k).localCheckpoint(false)
+        if (r < rounds) {
+          if (nAlive < 0) nAlive = alive.count()
+          val nNext = next.count()
+          converged = nNext == nAlive
+          nAlive = nNext
+        }
         alive = next
       }
       alive
@@ -1119,8 +1129,9 @@ object GraphAlgs {
     * gated broadcast-vs-merge like [[fixedRanks]] (a warehouse graph
     * flips to the exchange-free sort-merge path); each half-step pays
     * one |E|-keyed fold shuffle — the honest cost — plus a 1-row scalar
-    * total broadcast. Per-round state checkpoints via the shared K=2
-    * policy. Output: top-k per side, deterministic total order. */
+    * total broadcast. Per-round state checkpoints via the shared lazy
+    * per-round policy. Output: top-k per side, deterministic total
+    * order. */
   def hitsFixedTop(spark: SparkSession, dir: String, iters: Int = 5,
                    k: Int = 10): DataFrame = {
     val coPart = stateCoPartitioned(spark, dir)
@@ -1132,13 +1143,25 @@ object GraphAlgs {
     // normalization a lazy narrow projection over it — without this the
     // total's agg is a second full execution of the half-step, and the
     // lazy chains compound across rounds (measured 24 s → ~4 s).
-    def l1(df: DataFrame, v: String): DataFrame = {
-      val m = graft.Layout.stateCheckpoint(df, preserveLayout = coPart)
-      val tot = m.agg(foldSum(col(v)).as("__t"))
-      m.crossJoin(broadcast(tot))
-        .select(m.columns.filter(c => c != v && c != "__t").map(col) :+
-          (col(v) / col("__t")).as(v): _*)
-    }
+    // Broadcast path (r16, §2.6 fewer sync points): the checkpoint is
+    // LAZY and the total agg is the job that materializes it — one job
+    // per half-step where the eager checkpoint + broadcast-built total
+    // were two. The total crosses as the exact collected double (the
+    // same value the 1-row broadcast carried; division by the literal
+    // is the identical IEEE op), so rows are bit-identical.
+    def l1(df: DataFrame, v: String): DataFrame =
+      if (coPart) {
+        val m = graft.Layout.stateCheckpoint(df, preserveLayout = true)
+        val tot = m.agg(foldSum(col(v)).as("__t"))
+        m.crossJoin(broadcast(tot))
+          .select(m.columns.filter(c => c != v && c != "__t").map(col) :+
+            (col(v) / col("__t")).as(v): _*)
+      } else {
+        val m = df.localCheckpoint(false)
+        val t = m.agg(foldSum(col(v))).head().getDouble(0)
+        m.select(m.columns.filter(_ != v).map(col) :+
+          (col(v) / lit(t)).as(v): _*)
+      }
     def side(df: DataFrame): DataFrame =
       if (coPart) df.hint("merge") else broadcast(df)
     var hubs = e.select(col("c")).distinct().withColumn("h", lit(1.0))
@@ -1387,7 +1410,7 @@ object GraphAlgs {
       // self-augmented edge set: the self row carries the node's own
       // label (isolated nodes surface through it), so no second
       // reference to the previous state exists anywhere in the round —
-      // a lazy odd round under the K=2 checkpoint policy executes once.
+      // a not-yet-materialized lazy checkpoint executes exactly once.
       // The per-row `changed` flag (new min ≠ own label) rides along so
       // the convergence probe below is a scan of the checkpoint, not a
       // second join against the previous state.
@@ -1403,10 +1426,12 @@ object GraphAlgs {
         preserveLayout = coPart, round = r, last = r == rounds)
       // Min-label is monotone: an unchanged round is a fixed point, so
       // every remaining round is a no-op — skipping them returns exactly
-      // what the oracle's full unrolling computes. Probe only on
-      // MATERIALIZED rounds (a probe on a lazy odd round would force the
-      // execution the K=2 round policy just saved); checking every
-      // second round costs at most one no-op extra round after the true
+      // what the oracle's full unrolling computes. Probe every second
+      // round: under the lazy per-round checkpoint the probe's take(1)
+      // is what materializes the round's cache (the broadcast build
+      // completes it), so an every-round probe would only add a
+      // scheduling round-trip per round, not save compute; the cost of
+      // the %2 cadence is at most one no-op extra round after the true
       // fixed point — still exactly the unrolled result.
       if (r < rounds && (coPart || r % 2 == 0))
         converged = next.filter(col("changed")).isEmpty
@@ -1483,11 +1508,11 @@ object GraphAlgs {
         round = r, last = r == rounds)
       // Min-label is monotone: an unchanged round is a fixed point, so
       // every remaining round is a no-op — skipping them returns exactly
-      // the full unrolling (the componentsFixedSizes argument). The
-      // probe is a scan of the just-checkpointed round — MATERIALIZED
-      // rounds only (probing a lazy odd round would force the execution
-      // the K=2 round policy just saved); at most one extra no-op round
-      // past the true fixed point.
+      // the full unrolling (the componentsFixedSizes argument). Probe
+      // every second round: under the lazy per-round checkpoint the
+      // probe is what materializes the round's cache, so an every-round
+      // probe would only add a scheduling round-trip; at most one extra
+      // no-op round past the true fixed point.
       if (coPart || r % 2 == 0 || r == rounds)
         converged = comp.filter(col("changed")).isEmpty
     }
@@ -1502,8 +1527,8 @@ object GraphAlgs {
     * min(own ∪ nbrs) folds in ONE keyed aggregation — per-d2 in-place
     * under the gate, the round's one pair-relation-sized exchange over
     * it — and the label state is referenced exactly once (a second
-    * reference would re-execute a lazy odd round under the K=2
-    * checkpoint policy). The per-row `changed` flag (new min ≠ the self
+    * reference would execute a not-yet-materialized lazy checkpoint
+    * twice). The per-row `changed` flag (new min ≠ the self
     * row's own label) rides along so the convergence probe is a scan of
     * the round's checkpoint, not a second join against the state. */
   private[graft] def pairComponentsStep(und: DataFrame, comp: DataFrame,

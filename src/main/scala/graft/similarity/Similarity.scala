@@ -952,8 +952,12 @@ object Similarity {
         element_at(col("u"), d + 1) * element_at(col("u"), d + 1))
         .reduce(_ + _))
       // one materialization of the 1-row state; gain and v are narrow
-      // projections over it (no re-execution of the corpus scan)
-      val uM = u.localCheckpoint(true)
+      // projections over it (no re-execution of the corpus scan). Lazy
+      // (r16): the plan truncates here but the corpus scan executes
+      // inside the job that already consumes uM (the next round's
+      // broadcast(v) build, or the final posexplode) — one job per
+      // round instead of checkpoint + broadcast-build.
+      val uM = u.localCheckpoint(false)
       lastGain = uM.select(nrm.as("gain"))
       v = uM.select(transform(col("u"), x => x / nrm).as("v"))
     }
