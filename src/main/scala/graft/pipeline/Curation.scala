@@ -362,13 +362,13 @@ object Curation {
     * exact-dup collapsed to the min-doc_id representative. */
   def curate(spark: SparkSession, dir: String,
              minQuality: Double = 0.5): DataFrame = {
-    val quality = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("quality"))
-    val lang = TextAnalysis.langId(spark, dir)
-      .select(col("doc_id"), col("lang_pred"))
+    // Both text gates read from ONE tokenizing scan (r16, §1.2): the
+    // old qualityScore ⋈ langId composition paid two full document
+    // scans plus a doc_id exchange for per-row signals a single scan
+    // yields. Same shared expressions → bit-identical survivor set.
     val keep = Dedup.exact(spark, dir)
       .select(col("keep_doc_id").as("doc_id"))
-    quality.join(lang, "doc_id")
+    TextAnalysis.qualityLangSignals(spark, dir)
       .join(keep, Seq("doc_id"), "left_semi")
       .filter(col("lang_pred") === "en" && col("quality") >= minQuality)
       .select(col("doc_id"), col("quality"),

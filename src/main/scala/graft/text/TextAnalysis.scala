@@ -230,20 +230,51 @@ object TextAnalysis {
     * per-language stopword hits, 'und' (unknown) when no markers hit).
     * Declared `lang` is carried through for side-by-side evaluation. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val withHits = LangMarkers.foldLeft(
-      Tables.load(spark, dir, "documents").withColumn("toks", tokens)) {
-      case (df, (code, words)) =>
-        df.withColumn(s"hits_$code", hitCount(col("toks"), words))
+    val withHits = withLangHits(
+      Tables.load(spark, dir, "documents").withColumn("toks", tokens))
+    val best = bestLangExpr
+    withHits.select(col("doc_id"), col("lang"), best._1.as("lang_pred"),
+        best._2.as("marker_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language marker-hit columns over a toks-bearing frame — shared
+    * by [[langId]] and [[qualityLangSignals]] so the two can never
+    * drift. */
+  private def withLangHits(df: DataFrame): DataFrame =
+    LangMarkers.foldLeft(df) { case (d, (code, words)) =>
+      d.withColumn(s"hits_$code", hitCount(col("toks"), words))
     }
-    val best = LangMarkers.map(_._1).foldLeft(
+
+  /** The (lang_pred, marker_hits) argmax fold over the hits_<code>
+    * columns [[withLangHits]] adds — declaration-order strict-> ties,
+    * exactly the published langId semantics. */
+  private def bestLangExpr: (Column, Column) =
+    LangMarkers.map(_._1).foldLeft(
       (lit("unknown"), lit(0))) { case ((bestLang, bestHits), code) =>
       val h = col(s"hits_$code")
       (when(h > bestHits, lit(code)).otherwise(bestLang),
         when(h > bestHits, h).otherwise(bestHits))
     }
-    withHits.select(col("doc_id"), col("lang"), best._1.as("lang_pred"),
-        best._2.as("marker_hits"))
-      .orderBy("doc_id")
+
+  /** (doc_id, quality, lang_pred) in ONE documents scan — the gate
+    * signals the curation front door consumes (guide §1.2 don't compute
+    * twice / §2.4 no doc_id exchange): `curate` previously joined the
+    * standalone qualityScore and langId operators, paying two full
+    * tokenizing scans plus a doc_id-keyed join for per-row values one
+    * scan already yields. The expressions are THE shared definitions
+    * ([[qualityExpr]], the [[bestLangExpr]] argmax over
+    * [[withLangHits]]), so every emitted value is bit-identical to the
+    * standalone operators'. */
+  private[graft] def qualityLangSignals(spark: SparkSession,
+                                        dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits", hitCount(col("toks"), Stopwords))
+    withLangHits(base).select(col("doc_id"),
+      qualityExpr(col("n_tokens"), col("stop_hits")).as("quality"),
+      bestLangExpr._1.as("lang_pred"))
   }
 
   /** tf-idf-style top terms per document: score = tf × (N / df). The
